@@ -1,0 +1,668 @@
+"""Query registry consumed by __spark_entry__: each entry pairs a Spark
+DataFrame job with an exact DuckDB oracle SQL over the same parquet
+tables.
+
+Column names, float operation order, rounding (6 dp) and tie-breaks are
+mirrored on both sides so the driver's order-insensitive value-hash
+matches bit-for-bit.
+
+The shared tokenizer contract (index.simple.TOKEN_SPLIT_RE):
+    terms = filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from alix_spark.index import simple
+from alix_spark.lexicometry import cooc as cooc_mod
+from alix_spark.lexicometry import keyness as keyness_mod
+from alix_spark.lexicometry import suggest as suggest_mod
+from alix_spark.query import bm25
+from alix_spark.util import round6, sql_round6
+from alix_spark.textops import dedup, multimodal, similarity, textstats
+
+# ---------------------------------------------------------------- helpers
+
+TOKS_CTE = """
+toks AS (
+  SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS term
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS l
+        FROM documents)
+)
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return df.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
+        "label",
+    )
+
+
+def _tok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simple.tokens(_docs(spark, sf_dir))
+
+
+# ------------------------------------------------------- index structures
+
+
+def q_term_dict(spark, sf_dir):
+    return simple.term_dict(_tok(spark, sf_dir))
+
+
+def q_doc_stats(spark, sf_dir):
+    return simple.doc_stats(_tok(spark, sf_dir))
+
+
+def q_term_stats(spark, sf_dir):
+    return simple.term_stats(_tok(spark, sf_dir))
+
+
+def q_postings(spark, sf_dir):
+    tok = _tok(spark, sf_dir)
+    return (
+        simple.postings(tok, with_positions=True)
+        .select(
+            "term",
+            "doc_id",
+            "tf",
+            F.concat_ws(",", F.transform("positions", lambda x: x.cast("string"))).alias(
+                "positions_csv"
+            ),
+        )
+    )
+
+
+def q_corpus_stats(spark, sf_dir):
+    return simple.corpus_stats(_tok(spark, sf_dir)).select(
+        "corpus_docs", "corpus_tokens", round6(F.col("avgdl")).alias("avgdl")
+    )
+
+
+# ----------------------------------------------------------- BM25 ranking
+
+BM25_AND_TERMS = ["hash", "join"]
+BM25_SINGLE_TERM = ["merge"]
+BM25_OR_TERMS = ["stream", "vector"]
+
+
+def q_bm25_and(spark, sf_dir):
+    tok = _tok(spark, sf_dir)
+    return bm25.bm25_topk(
+        simple.postings(tok),
+        simple.doc_stats(tok).select("doc_id", "dl"),
+        simple.term_stats(tok),
+        simple.corpus_stats(tok).select(F.col("corpus_docs"), "avgdl"),
+        BM25_AND_TERMS,
+        k=10,
+        mode="and",
+    )
+
+
+def q_bm25_single(spark, sf_dir):
+    tok = _tok(spark, sf_dir)
+    return bm25.bm25_topk(
+        simple.postings(tok),
+        simple.doc_stats(tok).select("doc_id", "dl"),
+        simple.term_stats(tok),
+        simple.corpus_stats(tok).select(F.col("corpus_docs"), "avgdl"),
+        BM25_SINGLE_TERM,
+        k=10,
+        mode="and",
+    )
+
+
+def q_bm25_or(spark, sf_dir):
+    tok = _tok(spark, sf_dir)
+    return bm25.bm25_topk(
+        simple.postings(tok),
+        simple.doc_stats(tok).select("doc_id", "dl"),
+        simple.term_stats(tok),
+        simple.corpus_stats(tok).select(F.col("corpus_docs"), "avgdl"),
+        BM25_OR_TERMS,
+        k=10,
+        mode="or",
+    )
+
+
+# -------------------------------------------------- positional span ops
+
+
+def q_phrase_match(spark, sf_dir):
+    """Exact phrase "table scan": adjacent positions (reference
+    SpanNearQuery slop=0 in-order, SpanQueryParser.java:302-318)."""
+    tok = _tok(spark, sf_dir)
+    t1 = tok.filter(F.col("term") == "table").select("doc_id", F.col("pos").alias("p1"))
+    t2 = tok.filter(F.col("term") == "scan").select("doc_id", F.col("pos").alias("p2"))
+    return (
+        t1.join(t2, "doc_id")
+        .filter(F.col("p2") == F.col("p1") + 1)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_matches"))
+        .orderBy("doc_id")
+    )
+
+
+def q_near_match(spark, sf_dir):
+    """Unordered near "sort merge"~3 (SpanNear slop, unordered —
+    SpanQueryParser.java:302-318): count of position pairs within 3."""
+    tok = _tok(spark, sf_dir)
+    t1 = tok.filter(F.col("term") == "sort").select("doc_id", F.col("pos").alias("p1"))
+    t2 = tok.filter(F.col("term") == "merge").select("doc_id", F.col("pos").alias("p2"))
+    return (
+        t1.join(t2, "doc_id")
+        .filter(F.abs(F.col("p2") - F.col("p1")) <= 3)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("doc_id")
+    )
+
+
+# ----------------------------------------------------------- lexicometry
+
+KEYNESS_FOCUS = {
+    "g2": "fr",
+    "chi2": "en",
+    "logratio": "de",
+    "logdice": "es",
+    "simplemaths": "zh",
+}
+
+
+def _keyness(spark, sf_dir, scorer: str):
+    docs = _docs(spark, sf_dir)
+    tok = simple.tokens(docs)
+    focus = docs.filter(F.col("lang") == KEYNESS_FOCUS[scorer]).select("doc_id")
+    return keyness_mod.keyness(tok, focus, scorer, top=50)
+
+
+def q_keyness_g2(spark, sf_dir):
+    return _keyness(spark, sf_dir, "g2")
+
+
+def q_keyness_chi2(spark, sf_dir):
+    return _keyness(spark, sf_dir, "chi2")
+
+
+def q_keyness_logratio(spark, sf_dir):
+    return _keyness(spark, sf_dir, "logratio")
+
+
+def q_keyness_logdice(spark, sf_dir):
+    return _keyness(spark, sf_dir, "logdice")
+
+
+def q_keyness_simplemaths(spark, sf_dir):
+    return _keyness(spark, sf_dir, "simplemaths")
+
+
+def q_facet_counts(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.groupBy(F.col("source").alias("label"))
+        .agg(F.count("*").alias("docs"))
+        .orderBy(F.desc("docs"), F.asc("label"))
+    )
+
+
+def q_time_histogram(spark, sf_dir):
+    # sum over decimal(18,2) is exact → bit-identical across engines and
+    # accumulation orders (double sums are order-sensitive)
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.year("ts").cast("long").alias("y"), F.month("ts").cast("long").alias("m"))
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+        .orderBy("y", "m")
+    )
+
+
+def q_events_by_type(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+            F.countDistinct("user_id").alias("users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_cooc_window(spark, sf_dir):
+    return cooc_mod.cooc_counts(_tok(spark, sf_dir), pivot="spark", left=5, right=5, top=50)
+
+
+def q_suggest(spark, sf_dir):
+    tstats = simple.term_stats(_tok(spark, sf_dir))
+    return suggest_mod.suggest(tstats, "sc", top=20)
+
+
+# ------------------------------------------------------------------ dedup
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dup_groups(_docs(spark, sf_dir))
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    return dedup.jaccard_pairs(_docs(spark, sf_dir), threshold=0.08)
+
+
+def q_dedup_minhash(spark, sf_dir):
+    # rows-only check (seeded numpy hashing is not SQL-expressible)
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.08)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    # rows-only check
+    return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=12)
+
+
+# ------------------------------------------------------------- similarity
+
+
+def q_ann_cosine(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return similarity.cosine_topk(emb, queries, k=5)
+
+
+def q_ann_lsh(spark, sf_dir):
+    # rows-only check (bucketing is seeded-numpy); recall vs exact is
+    # asserted in tests/test_textops.py
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return similarity.ann_lsh_topk(emb, queries, k=5)
+
+
+# ------------------------------------------------------------- text stats
+
+
+def q_lang_id(spark, sf_dir):
+    return textstats.lang_scores(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_quality(spark, sf_dir):
+    return textstats.quality_scores(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_token_counts(spark, sf_dir):
+    return textstats.token_counts(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_fingerprints(spark, sf_dir):
+    return textstats.fingerprints(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_multimodal_meta(spark, sf_dir):
+    return multimodal.as_media_table(_docs(spark, sf_dir)).select(
+        "media_id", "mime", "n_bytes"
+    ).orderBy("media_id")
+
+
+def q_multimodal_features(spark, sf_dir):
+    # rows-only: stubbed decode produces deterministic fake features
+    media = multimodal.as_media_table(_docs(spark, sf_dir))
+    feats = multimodal.decode_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.concat_ws(",", F.transform("features", lambda x: x.cast("string"))).alias("features_csv"),
+    ).orderBy("media_id")
+
+
+# ---------------------------------------------------------------- registry
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "term_dict": q_term_dict,
+        "doc_stats": q_doc_stats,
+        "term_stats": q_term_stats,
+        "postings": q_postings,
+        "corpus_stats": q_corpus_stats,
+        "bm25_and": q_bm25_and,
+        "bm25_single": q_bm25_single,
+        "bm25_or": q_bm25_or,
+        "phrase_match": q_phrase_match,
+        "near_match": q_near_match,
+        "keyness_g2": q_keyness_g2,
+        "keyness_chi2": q_keyness_chi2,
+        "keyness_logratio": q_keyness_logratio,
+        "keyness_logdice": q_keyness_logdice,
+        "keyness_simplemaths": q_keyness_simplemaths,
+        "facet_counts": q_facet_counts,
+        "time_histogram": q_time_histogram,
+        "events_by_type": q_events_by_type,
+        "cooc_window": q_cooc_window,
+        "suggest": q_suggest,
+        "dedup_exact": q_dedup_exact,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_cosine": q_ann_cosine,
+        "ann_lsh": q_ann_lsh,
+        "lang_id": q_lang_id,
+        "quality": q_quality,
+        "token_counts": q_token_counts,
+        "fingerprints": q_fingerprints,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_features": q_multimodal_features,
+    }
+
+
+# -------------------------------------------------------------- oracle SQL
+
+
+def _keyness_sql(scorer: str, lang: str) -> str:
+    """DuckDB SQL mirroring alix_spark.lexicometry.keyness exactly
+    (same double casts, same operation order, same CASE guards)."""
+    if scorer == "g2":
+        cell = (
+            "(CASE WHEN a > 0 THEN 2.0 * a * ln(a / (fa * (a + b) / (fa + fb))) ELSE 0 END"
+            " + CASE WHEN b > 0 THEN 2.0 * b * ln(b / (fb * (a + b) / (fa + fb))) ELSE 0 END"
+            " + CASE WHEN fa - a > 0 THEN 2.0 * (fa - a) * ln((fa - a) / (fa * ((fa - a) + (fb - b)) / (fa + fb))) ELSE 0 END"
+            " + CASE WHEN fb - b > 0 THEN 2.0 * (fb - b) * ln((fb - b) / (fb * ((fa - a) + (fb - b)) / (fa + fb))) ELSE 0 END)"
+        )
+        score = f"CASE WHEN a / fa >= b / fb THEN {cell} ELSE -{cell} END"
+    elif scorer == "chi2":
+        cells = []
+        for o, e in [
+            ("a", "(fa * (a + b) / (fa + fb))"),
+            ("b", "(fb * (a + b) / (fa + fb))"),
+            ("(fa - a)", "(fa * ((fa - a) + (fb - b)) / (fa + fb))"),
+            ("(fb - b)", "(fb * ((fa - a) + (fb - b)) / (fa + fb))"),
+        ]:
+            cells.append(f"CASE WHEN {e} > 0 THEN ({o} - {e}) * ({o} - {e}) / {e} ELSE 0 END")
+        cell = "(" + " + ".join(cells) + ")"
+        score = f"CASE WHEN a / fa >= b / fb THEN {cell} ELSE -{cell} END"
+    elif scorer == "logratio":
+        score = (
+            "CASE WHEN a > 0 AND b > 0 "
+            "THEN ln((a / fa) / (b / fb)) / ln(2.0) * ln(a) ELSE 0 END"
+        )
+    elif scorer == "logdice":
+        score = "14.0 + ln(2.0 * a / (fa + (a + b))) / ln(2.0)"
+    elif scorer == "simplemaths":
+        score = "(a * 1000000.0 / fa + 1.0) / (b * 1000000.0 / fb + 1.0)"
+    else:
+        raise KeyError(scorer)
+    where = "WHERE a > 0" if scorer == "logdice" else ""
+    return f"""
+WITH {TOKS_CTE},
+tagged AS (
+  SELECT t.term, CASE WHEN d.lang = '{lang}' THEN 1 ELSE 0 END AS isf
+  FROM toks t JOIN documents d USING (doc_id)
+),
+counts AS (
+  SELECT term,
+         CAST(sum(isf) AS DOUBLE) AS a,
+         CAST(sum(1 - isf) AS DOUBLE) AS b
+  FROM tagged GROUP BY term
+),
+marg AS (
+  SELECT CAST(sum(isf) AS DOUBLE) AS fa,
+         CAST(sum(1 - isf) AS DOUBLE) AS fb
+  FROM tagged
+)
+SELECT term, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+       {sql_round6(score)} AS score
+FROM counts, marg
+{where}
+ORDER BY score DESC, term ASC
+LIMIT 50
+"""
+
+
+def oracle_sql() -> dict[str, str]:
+    sqls: dict[str, str] = {}
+
+    sqls["term_dict"] = f"""
+WITH {TOKS_CTE}
+SELECT term, row_number() OVER (ORDER BY term) AS term_id
+FROM (SELECT DISTINCT term FROM toks)
+"""
+
+    sqls["doc_stats"] = f"""
+WITH {TOKS_CTE}
+SELECT doc_id, count(*) AS dl, max(pos) + 1 AS width FROM toks GROUP BY doc_id
+"""
+
+    sqls["term_stats"] = f"""
+WITH {TOKS_CTE}
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf FROM toks GROUP BY term
+"""
+
+    sqls["postings"] = f"""
+WITH {TOKS_CTE}
+SELECT term, doc_id, count(*) AS tf,
+       string_agg(pos, ',' ORDER BY pos) AS positions_csv
+FROM toks GROUP BY term, doc_id
+"""
+
+    sqls["corpus_stats"] = f"""
+WITH {TOKS_CTE}
+SELECT count(DISTINCT doc_id) AS corpus_docs,
+       count(*) AS corpus_tokens,
+       floor((count(*) * 1.0 / count(DISTINCT doc_id)) * 1000000.0 + 0.5) / 1000000.0 AS avgdl
+FROM toks
+"""
+
+    sqls["bm25_and"] = bm25.bm25_oracle_sql(BM25_AND_TERMS, k=10, mode="and")
+    sqls["bm25_single"] = bm25.bm25_oracle_sql(BM25_SINGLE_TERM, k=10, mode="and")
+    sqls["bm25_or"] = bm25.bm25_oracle_sql(BM25_OR_TERMS, k=10, mode="or")
+
+    sqls["phrase_match"] = f"""
+WITH {TOKS_CTE}
+SELECT t1.doc_id, count(*) AS n_matches
+FROM (SELECT doc_id, pos FROM toks WHERE term = 'table') t1
+JOIN (SELECT doc_id, pos FROM toks WHERE term = 'scan') t2
+  ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+GROUP BY t1.doc_id ORDER BY t1.doc_id
+"""
+
+    sqls["near_match"] = f"""
+WITH {TOKS_CTE}
+SELECT t1.doc_id, count(*) AS n_pairs
+FROM (SELECT doc_id, pos FROM toks WHERE term = 'sort') t1
+JOIN (SELECT doc_id, pos FROM toks WHERE term = 'merge') t2
+  ON t1.doc_id = t2.doc_id AND abs(t2.pos - t1.pos) <= 3
+GROUP BY t1.doc_id ORDER BY t1.doc_id
+"""
+
+    for scorer, lang in KEYNESS_FOCUS.items():
+        sqls[f"keyness_{scorer}"] = _keyness_sql(scorer, lang)
+
+    sqls["facet_counts"] = """
+SELECT source AS label, count(*) AS docs FROM documents
+GROUP BY source ORDER BY docs DESC, label ASC
+"""
+
+    sqls["time_histogram"] = """
+SELECT year(ts) AS y, month(ts) AS m, count(*) AS docs,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM events GROUP BY y, m ORDER BY y, m
+"""
+
+    sqls["events_by_type"] = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       count(DISTINCT user_id) AS users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+    sqls["cooc_window"] = f"""
+WITH {TOKS_CTE},
+hits AS (SELECT doc_id AS h_doc, pos AS h_pos FROM toks WHERE term = 'spark'),
+neigh AS (
+  SELECT DISTINCT t.doc_id, t.pos, t.term
+  FROM toks t JOIN hits h
+    ON t.doc_id = h.h_doc
+   AND t.pos >= h.h_pos - 5 AND t.pos <= h.h_pos + 5
+   AND t.pos <> h.h_pos
+)
+SELECT term, count(*) AS freq, count(DISTINCT doc_id) AS docs
+FROM neigh WHERE term <> 'spark'
+GROUP BY term ORDER BY freq DESC, term ASC LIMIT 50
+"""
+
+    sqls["suggest"] = f"""
+WITH {TOKS_CTE},
+tstats AS (SELECT term, count(*) AS cf FROM toks GROUP BY term)
+SELECT term, cf FROM tstats WHERE starts_with(term, 'sc')
+ORDER BY cf DESC, term ASC LIMIT 20
+"""
+
+    sqls["dedup_exact"] = """
+SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS first_doc
+FROM documents GROUP BY md5(text) HAVING count(*) > 1 ORDER BY text_hash
+"""
+
+    sqls["dedup_jaccard"] = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(l) - 2, 0)),
+           i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS shingles
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS l
+        FROM documents)
+),
+shn AS (SELECT doc_id, shingles, len(shingles) AS n_sh FROM sh WHERE len(shingles) > 0),
+ex AS (SELECT doc_id, n_sh, unnest(shingles) AS s FROM shn),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+         count(*) AS i
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b, floor((i * 1.0 / (na + nb - i)) * 1000000.0 + 0.5) / 1000000.0 AS jac
+FROM inter WHERE floor((i * 1.0 / (na + nb - i)) * 1000000.0 + 0.5) / 1000000.0 >= 0.08
+ORDER BY doc_a, doc_b
+"""
+
+    sqls["ann_cosine"] = """
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, e AS qe FROM emb WHERE vec_id < 5),
+scored AS (
+  SELECT q.q_id, emb.vec_id,
+         floor((list_sum(list_transform(generate_series(1, len(e)),
+                                       i -> e[i] * qe[i]))
+               / (sqrt(list_sum(list_transform(e, x -> x * x)))
+                  * sqrt(list_sum(list_transform(qe, x -> x * x))))) * 1000000.0 + 0.5) / 1000000.0 AS cos
+  FROM emb, q WHERE emb.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT q_id, vec_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
+"""
+
+    sqls["lang_id"] = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents
+),
+scores AS (
+  SELECT doc_id,
+         len(list_filter(l, x -> x IN ('der','die','das','und','ist','ein','zu'))) AS de,
+         len(list_filter(l, x -> x IN ('the','and','of','to','in','is','a'))) AS en,
+         len(list_filter(l, x -> x IN ('el','la','los','de','y','es','un'))) AS es,
+         len(list_filter(l, x -> x IN ('le','la','les','de','et','un','est'))) AS fr
+  FROM t
+)
+SELECT doc_id, de, en, es, fr,
+       CASE WHEN de = greatest(de, en, es, fr) THEN 'de'
+            WHEN en = greatest(de, en, es, fr) THEN 'en'
+            WHEN es = greatest(de, en, es, fr) THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM scores ORDER BY doc_id
+"""
+
+    stop_list = ", ".join(f"'{w}'" for w in textstats.STOPWORDS)
+    sqls["quality"] = f"""
+WITH t AS (
+  SELECT doc_id, length(text) AS n_chars,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents
+),
+base AS (
+  SELECT doc_id, n_chars,
+         len(l) AS n_tokens,
+         len(list_distinct(l)) AS n_types,
+         len(list_filter(l, x -> x IN ({stop_list}))) AS n_stop,
+         list_sum(list_transform(l, x -> CAST(length(x) AS DOUBLE))) AS tok_chars
+  FROM t WHERE len(l) > 0
+)
+SELECT doc_id, n_chars, n_tokens, n_types,
+       floor((n_types / CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS ttr,
+       floor((n_stop / CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS stop_ratio,
+       floor((tok_chars / CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS mean_tok_len,
+       floor((0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+             + 0.3 * (n_types / CAST(n_tokens AS DOUBLE))
+             + 0.3 * (1.0 - abs(n_stop / CAST(n_tokens AS DOUBLE) - 0.4))) * 1000000.0 + 0.5) / 1000000.0 AS quality
+FROM base ORDER BY doc_id
+"""
+
+    sqls["token_counts"] = """
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS ws_tokens,
+       len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\\s]')) AS bpe_ish_tokens
+FROM documents ORDER BY doc_id
+"""
+
+    sqls["fingerprints"] = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents
+)
+SELECT doc_id,
+       md5(array_to_string(l, ' ')) AS fp_full,
+       list_min(list_transform(
+         generate_series(1, greatest(len(l) - 2, 0)),
+         i -> md5(l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]))) AS fp_min
+FROM t ORDER BY doc_id
+"""
+
+    sqls["multimodal_meta"] = """
+SELECT CAST(doc_id AS BIGINT) AS media_id, 'text/plain' AS mime,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents ORDER BY media_id
+"""
+
+    return sqls

@@ -1,0 +1,100 @@
+"""SQL-parity index layer: tokens → postings → stats → dictionary.
+
+These builders implement the reference's columnar sidecar structures
+(reference: common/.../terms/TermStats.java:30-112 per-doc/per-term
+aggregates; TermLexicon.java:36-65 dense termIds in byte order) as plain
+DataFrame jobs over a ``(doc_id, text)`` table, using a *simple
+deterministic tokenizer* (lowercase, split on non-alphanumeric runs)
+that is expressible identically in ANSI SQL — this is the oracle-checked
+spine of the engine. The full Alix analysis chain (alix_spark.analysis)
+plugs into the same downstream builders by swapping the tokens source.
+
+Scale notes (100 TB target):
+- Tokenization is `split`/`filter`/`posexplode` — whole-stage codegen,
+  no Python in the hot path; the parquet scan prunes to (doc_id, text).
+- Postings/stats are single-shuffle groupBy aggs with map-side partial
+  aggregation; Zipf skew on hot terms is absorbed by the partial agg
+  (per-partition combine) and AQE skew handling.
+- term_dict uses a global sort (range partition) — only over the
+  *distinct* vocabulary, which is ~1e7 rows even at web scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Tokenizer contract shared with the DuckDB oracle (see entry_queries):
+#   terms = filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+def tokens_array(df: DataFrame, text_col: str = "text") -> "F.Column":
+    """Array<string> of simple tokens for one text column (JVM-side)."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE), lambda x: x != F.lit("")
+    )
+
+
+def tokens(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exploded token table ``(doc_id, pos, term)``; pos is the 0-based
+    index in the filtered token sequence (the reference's token position
+    channel, gaps excluded — simple mode has no stopword gaps)."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens_array(df, text_col)).alias("pos", "term"),
+    )
+
+
+def doc_stats(tok: DataFrame) -> DataFrame:
+    """Per-doc stats (reference TermStats.docTokens/docWidths,
+    TermStats.java:37-49). In simple mode tokens == widths."""
+    return tok.groupBy("doc_id").agg(
+        F.count("*").alias("dl"),
+        (F.max("pos") + F.lit(1)).cast("long").alias("width"),
+    )
+
+
+def term_stats(tok: DataFrame) -> DataFrame:
+    """Per-term stats: df = doc freq, cf = corpus freq
+    (reference TermStats.termDocs/termFreq, TermStats.java:95-105)."""
+    return tok.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.count("*").alias("cf"),
+    )
+
+
+def term_dict(tok: DataFrame) -> DataFrame:
+    """Dense term ids in lexicographic byte order of the term
+    (reference TermLexicon.java:46-53; id 1-based, 0 = absent-term
+    sentinel). Simple-mode terms are ASCII so string order == byte
+    order; the full chain sorts on encode(term,'utf-8')."""
+    w = Window.orderBy("term")
+    return tok.select("term").distinct().withColumn(
+        "term_id", F.row_number().over(w).cast("long")
+    )
+
+
+def postings(tok: DataFrame, with_positions: bool = False) -> DataFrame:
+    """Posting lists ``(term, doc_id, tf[, positions])`` — the core
+    inverted-index table (reference: Lucene postings with positions,
+    AlixLuceneConsumer.java:66-74). One shuffle on (term, doc_id) with
+    map-side combine; positions kept sorted ascending."""
+    aggs = [F.count("*").alias("tf")]
+    if with_positions:
+        aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
+    return tok.groupBy("term", "doc_id").agg(*aggs)
+
+
+def corpus_stats(tok: DataFrame) -> DataFrame:
+    """Corpus scalars (reference TermStats.fieldDocs/fieldTokens +
+    avgdl, TermStats.java:148-156): one row
+    (corpus_docs, corpus_tokens, avgdl)."""
+    return tok.agg(
+        F.countDistinct("doc_id").alias("corpus_docs"),
+        F.count("*").alias("corpus_tokens"),
+    ).select(
+        "corpus_docs",
+        "corpus_tokens",
+        (F.col("corpus_tokens") / F.col("corpus_docs")).alias("avgdl"),
+    )

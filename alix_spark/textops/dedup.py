@@ -1,0 +1,274 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, cheapest first:
+  exact          — md5 hash groupBy (one shuffle, no Python)
+  ngram Jaccard  — exact set similarity over word 3-gram shingles
+                   (explode + equi-join on shingle; candidate pairs only)
+  MinHash + LSH  — banded MinHash bucketing → candidate join → verify
+                   (the 100 TB path: candidates shrink the O(n²) pair
+                   space to near-linear; all hashing vectorized numpy)
+  SimHash        — 64-bit weighted fingerprint, near-dup by Hamming
+                   distance on rotated prefix buckets
+
+The shingle/token contract matches alix_spark.index.simple so exact
+oracle SQL exists for the exact/Jaccard tiers; MinHash/SimHash use
+seeded numpy hashing (deterministic across runs and cluster sizes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from alix_spark.index.simple import tokens_array
+from alix_spark.util import ensure_py_files, round6
+
+MERSENNE61 = (1 << 61) - 1
+
+
+def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(text_hash, n_docs, first_doc) for texts appearing more than once."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy("text_hash")
+    )
+
+
+def doc_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, shingles array<string>, n_sh)."""
+    toks = df.select(F.col(id_col).alias("doc_id"), tokens_array(df, text_col).alias("__toks"))
+    parts = ", ".join(f"__toks[i + {j}]" for j in range(n))
+    # guard: Spark sequence(0, negative) DESCENDS, so short docs need an
+    # explicit empty array
+    sh = toks.select(
+        "doc_id",
+        F.expr(
+            f"IF(size(__toks) >= {n}, "
+            f"array_distinct(transform(sequence(0, size(__toks) - {n}), "
+            f"i -> concat_ws(' ', {parts}))), "
+            f"CAST(array() AS ARRAY<STRING>))"
+        ).alias("shingles"),
+    )
+    return sh.withColumn("n_sh", F.size("shingles").cast("long")).filter(F.col("n_sh") > 0)
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (doc_a < doc_b, jac >= t).
+
+    Shape: explode distinct shingles, equi-join on shingle (candidate
+    pairs share >=1 shingle — at scale, rare shingles keep this sparse;
+    hot shingles can be dropped by a df-cap filter), then
+    jac = |A∩B| / (|A| + |B| - |A∩B|).
+    """
+    sh = doc_shingles(df, id_col, text_col, n)
+    ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("sh"))
+    a = ex.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), "sh")
+    b = ex.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.withColumn(
+            "jac",
+            round6(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))),
+        )
+        .filter(F.col("jac") >= threshold)
+        .select("doc_a", "doc_b", "jac")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _hash64(arr: "np.ndarray") -> "np.ndarray":
+    """Stable 64-bit hash of an array of python strings (FNV-1a)."""
+    out = np.empty(len(arr), dtype=np.uint64)
+    for i, s in enumerate(arr):
+        h = np.uint64(0xCBF29CE484222325)
+        for c in s.encode("utf-8"):
+            h = np.uint64((int(h) ^ c) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
+        out[i] = h
+    return out
+
+
+def minhash_signatures(
+    sh: DataFrame, num_perm: int = 64, seed: int = 42
+) -> DataFrame:
+    """(doc_id, sig array<long>) MinHash signatures via vectorized numpy
+    inside mapInPandas (Arrow batches; no per-row Python UDF).
+
+    Permutations h_i(x) = (a_i * x + b_i) mod p (p = 2^61-1), a/b drawn
+    from a seeded generator so signatures are identical at any
+    parallelism (cluster-size invariant).
+    """
+    ensure_py_files(sh.sparkSession)
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, MERSENNE61, size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, MERSENNE61, size=num_perm, dtype=np.int64).astype(np.uint64)
+
+    def gen(it):
+        for pdf in it:
+            sigs = []
+            for shingles in pdf["shingles"]:
+                if len(shingles) == 0:
+                    sigs.append([0] * num_perm)
+                    continue
+                h = _hash64(shingles) % np.uint64(MERSENNE61)
+                # (num_perm, n_shingles) via object-free modular arithmetic:
+                # (a*h + b) mod p with uint64 wrap is fine because p < 2^61
+                # and python ints avoid overflow in the outer product.
+                hm = (
+                    (a[:, None].astype(object) * h[None, :].astype(object) + b[:, None].astype(object))
+                    % MERSENNE61
+                )
+                sigs.append(hm.min(axis=1).astype(np.int64).tolist())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", sh.schema["doc_id"].dataType),
+            T.StructField("sig", T.ArrayType(T.LongType())),
+        ]
+    )
+    return sh.select("doc_id", "shingles").mapInPandas(gen, schema)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash LSH, verified by exact Jaccard.
+
+    bands × rows = num_perm; a pair collides if any band's row-slice is
+    identical. Candidates are verified with the exact shingle Jaccard so
+    the output is deterministic (LSH only prunes the pair space).
+    """
+    rows = num_perm // bands
+    sh = doc_shingles(df, id_col, text_col, n)
+    sig = minhash_signatures(sh, num_perm, seed)
+    band_cols = F.explode(
+        F.expr(
+            f"transform(sequence(0, {bands - 1}), "
+            f"b -> struct(b as band, concat_ws(',', slice(sig, b * {rows} + 1, {rows})) as key))"
+        )
+    ).alias("bk")
+    buckets = sig.select("doc_id", band_cols).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    cand = (
+        buckets.alias("x")
+        .join(buckets.alias("y"), ["band", "key"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # verify candidates with exact Jaccard
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"), F.col("n_sh").alias("na"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"), F.col("n_sh").alias("nb"))
+    v = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
+        .withColumn("jac", round6(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))))
+        .filter(F.col("jac") >= threshold)
+    )
+    return v.select("doc_a", "doc_b", "jac").orderBy("doc_a", "doc_b")
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, simhash) 64-bit SimHash over token FNV hashes weighted
+    by tf — vectorized numpy in mapInPandas."""
+    ensure_py_files(df.sparkSession)
+    toks = df.select(F.col(id_col).alias("doc_id"), tokens_array(df, text_col).alias("toks"))
+
+    def gen(it):
+        for pdf in it:
+            fps = []
+            for tl in pdf["toks"]:
+                if len(tl) == 0:
+                    fps.append(0)
+                    continue
+                vals, counts = np.unique(np.asarray(tl, dtype=object), return_counts=True)
+                h = _hash64(vals)
+                bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+                    np.int64
+                )
+                v = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
+                fp = int((np.uint64(1) << np.arange(64, dtype=np.uint64))[v > 0].sum())
+                # store as signed 64-bit
+                fps.append(fp - (1 << 64) if fp >= (1 << 63) else fp)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": pd.array(fps, dtype="int64")})
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", toks.schema["doc_id"].dataType),
+            T.StructField("simhash", T.LongType()),
+        ]
+    )
+    return toks.mapInPandas(gen, schema)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Scale path: block on 16-bit chunks (pigeonhole — any pair within
+    Hamming<=3 shares at least one of 4 chunks exactly), join per chunk,
+    verify with bit_count. Avoids the O(n²) cross join.
+    """
+    fp = simhash_fingerprints(df, id_col, text_col)
+    chunks = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), "
+                "c -> struct(c as chunk, shiftright(simhash, c * 16) & 65535 as key))"
+            )
+        ).alias("ck"),
+    ).select("doc_id", "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
+    cand = (
+        chunks.alias("x")
+        .join(chunks.alias("y"), ["chunk", "key"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("ha"),
+            F.col("y.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(ha ^ hb)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
