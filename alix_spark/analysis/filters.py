@@ -1,0 +1,395 @@
+"""Token-stream filters, applied in the reference's canonical order
+(reference: analysis/.../fr/FrenchAnalyzer.java:288-305 ``canonicChain``):
+
+    tokenize → boundary → clitic split → replace → uppercase → pos →
+    lemma → mwe → stop → cleanup
+
+Each filter is a pure function ``list[Tok] → list[Tok]`` over an
+annotated token record, so the whole chain is trivially testable and runs
+batched inside ``mapInPandas``.
+
+Position semantics (reference CleanupFilter.java:174-201 + Lucene
+posInc): a *gap drop* consumes a position (stopwords, punctuation —
+their holes survive in the position channel, the TermStats invariant
+``docTokens ≤ docWidths``, TermStats.java:44-49); a *collapse drop*
+consumes none (XML tags, 1-char noise — ``skip()``).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from alix_spark.analysis import lexicons as lx
+from alix_spark.analysis.tokenizer import C, N, S, Token, W, X
+
+# boundary pseudo-terms (reference MarkupBoundaryFilter.java:96-358)
+PARA = "¶"
+SECTION = "§"
+
+_BLOCK_PARA = frozenset(
+    {"p", "h1", "h2", "h3", "h4", "h5", "h6", "li", "div", "td", "tr",
+     "blockquote", "br", "hr"}
+)
+_BLOCK_SECTION = frozenset({"section", "article", "body", "html"})
+
+_TAG_NAME_RE = re.compile(r"^<\s*(/?)\s*([a-zA-Z][a-zA-Z0-9]*)")
+
+
+@dataclass
+class Tok:
+    """Annotated token flowing through the chain."""
+
+    term: str
+    start: int
+    end: int
+    ttype: str                 # W N X S C  (+ "B" boundary)
+    pos_tag: str = ""          # UD tag or PUNCT* code
+    lemma: str = ""            # sparse lemma channel
+    flags: set = field(default_factory=set)
+
+
+B = "B"  # boundary token type
+
+
+def annotate(tokens: list[Token]) -> list[Tok]:
+    return [Tok(t.term, t.start, t.end, t.ttype) for t in tokens]
+
+
+# ------------------------------------------------------------- boundary
+
+
+def boundary_filter(toks: list[Tok]) -> list[Tok]:
+    """Drop tag tokens; closing block tags emit coalesced ¶/§ boundary
+    tokens, section wins (reference MarkupBoundaryFilter.java:96-358)."""
+    out: list[Tok] = []
+    for t in toks:
+        if t.ttype != X:
+            out.append(t)
+            continue
+        m = _TAG_NAME_RE.match(t.term)
+        if not m:
+            continue  # comment / doctype / CDATA: dropped silently
+        closing, name = m.group(1) == "/", m.group(2).lower()
+        self_closing = t.term.rstrip(">").rstrip().endswith("/")
+        fire = (closing or self_closing or name in ("br", "hr")) and (
+            name in _BLOCK_PARA or name in _BLOCK_SECTION
+        )
+        if not fire:
+            continue
+        mark = SECTION if name in _BLOCK_SECTION else PARA
+        if out and out[-1].ttype == B:
+            if mark == SECTION:
+                out[-1].term = SECTION
+                out[-1].pos_tag = lx.PUNCT_SECTION
+            continue  # coalesce
+        out.append(
+            Tok(mark, t.start, t.end, B,
+                lx.PUNCT_SECTION if mark == SECTION else lx.PUNCT_PARA)
+        )
+    return out
+
+
+# ---------------------------------------------------------- clitic split
+
+_PREFIXES = sorted(lx.CLITIC_PREFIX, key=len, reverse=True)
+_SUFFIXES = sorted(lx.CLITIC_SUFFIX, key=len, reverse=True)
+
+
+def _split_clitics_one(t: Tok) -> list[Tok]:
+    low = t.term.lower()
+    if low in lx.CLITIC_KEEP:
+        return [t]
+    out: list[Tok] = []
+    term, start = t.term, t.start
+    splits = 0
+    # apostrophe prefixes, possibly chained (jusqu'à l' → rare but legal)
+    changed = True
+    while changed and splits < lx.MAX_SPLITS:
+        changed = False
+        low = term.lower()
+        if low in lx.CLITIC_KEEP:
+            break
+        for p in _PREFIXES:
+            if low.startswith(p) and len(term) > len(p):
+                out.append(Tok(lx.CLITIC_PREFIX[p], start, start + len(p), W))
+                term = term[len(p):]
+                start += len(p)
+                splits += 1
+                changed = True
+                break
+    # '"s" genitive dropped (reference :152-155)
+    if term.lower().endswith("'s") and len(term) > 2:
+        term = term[:-2]
+    # hyphen-suffix enclitics, cascading from the right (reference :158-185)
+    tail: list[Tok] = []
+    changed = True
+    while changed and splits < lx.MAX_SPLITS:
+        changed = False
+        low = term.lower()
+        for sfx in _SUFFIXES:
+            if low.endswith(sfx) and len(term) > len(sfx):
+                rep = lx.CLITIC_SUFFIX[sfx]
+                cut = len(term) - len(sfx)
+                if rep is not None:
+                    tail.insert(
+                        0, Tok(rep, start + cut, start + len(term), W)
+                    )
+                term = term[:cut]
+                splits += 1
+                changed = True
+                break
+    # strip one trailing apostrophe (reference :214-221)
+    if term.endswith("'") and len(term) > 1 and term.lower() + "" not in lx.CLITIC_PREFIX:
+        term = term[:-1]
+    if term:
+        out.append(Tok(term, start, start + len(term), W))
+    out.extend(tail)
+    return out if out else [t]
+
+
+def clitic_filter(toks: list[Tok]) -> list[Tok]:
+    out: list[Tok] = []
+    for t in toks:
+        if t.ttype == W and ("'" in t.term or "-" in t.term):
+            out.extend(_split_clitics_one(t))
+        else:
+            out.append(t)
+    return out
+
+
+# -------------------------------------------------------------- replace
+
+
+def replace_filter(toks: list[Tok]) -> list[Tok]:
+    """Whole-token normalization; miss retries lowercase when the first
+    char is uppercase (reference ReplaceFilter.java:110-130)."""
+    for t in toks:
+        if t.ttype != W:
+            continue
+        hit = lx.NORM.get(t.term)
+        if hit is None and t.term[:1].isupper():
+            hit = lx.NORM.get(t.term.lower())
+        if hit is not None:
+            t.term = hit
+    return toks
+
+
+# ------------------------------------------------------------ uppercase
+
+_DOT_ACRO_RE = re.compile(r"^(?:[^\W\d_]{1,3}\.)+$")
+
+
+def _decap(term: str) -> str:
+    """Lowercase all but the first letter, restarting capitalization
+    after each hyphen (reference UppercaseFilter.java:19-99)."""
+    parts = term.split("-")
+    return "-".join(p[:1] + p[1:].lower() if p else p for p in parts)
+
+
+def uppercase_filter(toks: list[Tok]) -> list[Tok]:
+    out: list[Tok] = []
+    for t in toks:
+        if t.ttype != W or any(c.islower() for c in t.term):
+            out.append(t)
+            continue
+        letters = sum(1 for c in t.term if c.isalpha())
+        if (
+            t.term in lx.UCWORDS
+            or letters <= 1
+            or _DOT_ACRO_RE.match(t.term)
+        ):
+            out.append(t)
+            continue
+        if letters < 4:
+            # unprotected short all-caps word: deleted, position gap
+            t.term = ""
+            t.flags.add("gap")
+            out.append(t)
+            continue
+        t.term = _decap(t.term)
+        out.append(t)
+    return out
+
+
+# ------------------------------------------------------------ pos tagger
+
+_VERB_FORMS = frozenset(
+    f for f, l in lx.LEMMA.items()
+    if l.endswith(("er", "ir", "re", "oir")) and f not in lx.POS
+)
+
+
+def pos_filter(toks: list[Tok]) -> list[Tok]:
+    """Deterministic lexicon POS tagger (substitute for the reference's
+    OpenNLP maxent model, SURVEY §7 option (iii); goldens pinned here).
+    Sentence-initial titlecase words are not PROPN-forced."""
+    sent_start = True
+    for t in toks:
+        if t.ttype == B:
+            sent_start = True
+            continue
+        if t.ttype == S:
+            t.pos_tag = lx.PUNCT_SENT
+            sent_start = True
+            continue
+        if t.ttype == C:
+            t.pos_tag = lx.PUNCT_CLAUSE
+            continue
+        if t.ttype == N:
+            t.pos_tag = "DIGIT"
+            sent_start = False
+            continue
+        if not t.term:
+            continue
+        low = t.term.lower()
+        if low in lx.POS:
+            t.pos_tag = lx.POS[low]
+        elif low in _VERB_FORMS:
+            t.pos_tag = "VERB"
+        elif t.term in lx.PROPN or (t.term[:1].isupper() and not sent_start):
+            t.pos_tag = "PROPN"
+        else:
+            t.pos_tag = "NOUN"
+        sent_start = False
+    return toks
+
+
+# ---------------------------------------------------------------- lemma
+
+
+def lemma_filter(toks: list[Tok]) -> list[Tok]:
+    """Sparse lemma channel (reference LemmaFilter.java:130-224):
+    surface lookup; unknown first-upper words are protected if PROPN or
+    inner-uppercase, else retried lowercase with surface rewritten to
+    lowercase on hit; POS-specific entry wins over POS-agnostic."""
+    for t in toks:
+        if t.ttype != W or not t.term:
+            continue
+        lem = lx.LEMMA_POS.get((t.term, t.pos_tag)) or lx.LEMMA.get(t.term)
+        if lem is None and t.term[:1].isupper():
+            if t.term in lx.PROPN or any(c.isupper() for c in t.term[1:]):
+                continue  # protected
+            low = t.term.lower()
+            lem = lx.LEMMA_POS.get((low, t.pos_tag)) or lx.LEMMA.get(low)
+            if lem is not None:
+                t.term = low  # surface rewritten (reference :190-203)
+        if lem is not None and lem != t.term:
+            t.lemma = lem
+    return toks
+
+
+# ------------------------------------------------------------------ mwe
+
+
+def mwe_filter(toks: list[Tok]) -> list[Tok]:
+    """Maximal-munch multi-word-expression compounding over two parallel
+    paths — surface forms and lemmas (lemma falls back to form); longest
+    match wins, form beats lemma on tie (reference MweFilter.java:82-325).
+    The merged token carries the canonical form, spans the offsets, and
+    has an empty lemma (:246-275)."""
+    out: list[Tok] = []
+    i, n = 0, len(toks)
+    while i < n:
+        t = toks[i]
+        if t.ttype != W or not t.term:
+            out.append(t)
+            i += 1
+            continue
+        best = None  # (length, canonical, tag)
+        for length in range(min(lx.MWE_MAX_LEN, n - i), 1, -1):
+            window = toks[i : i + length]
+            if any(w.ttype != W or not w.term for w in window):
+                continue
+            form_key = tuple(w.term.lower() for w in window)
+            hit = lx.MWE.get(form_key)
+            if hit is None:
+                lemma_key = tuple((w.lemma or w.term).lower() for w in window)
+                hit = lx.MWE.get(lemma_key)
+            if hit is not None:
+                best = (length, hit[0], hit[1])
+                break  # longest-first scan: first hit is maximal
+        if best is None:
+            out.append(t)
+            i += 1
+            continue
+        length, canon, tag = best
+        out.append(
+            Tok(canon, t.start, toks[i + length - 1].end, W, tag, "",
+                {"mwe"})
+        )
+        i += length
+    return out
+
+
+# ----------------------------------------------------------------- stop
+
+
+def stop_filter(toks: list[Tok]) -> list[Tok]:
+    """Stopword drop by surface form, *before* lemma projection
+    (reference FrenchAnalyzer.java:302); the position gap is kept."""
+    for t in toks:
+        if t.ttype == W and t.term and "mwe" not in t.flags:
+            if t.term.lower() in lx.STOPWORDS:
+                t.term = ""
+                t.flags.add("gap")
+    return toks
+
+
+# -------------------------------------------------------------- cleanup
+
+_KEEP_1CHAR_POS = frozenset({"ADP", "AUX", "PRON", "VERB"})
+_BAD_EDGE = ("-", "'", ".", "+", "=", "<", ">", "&", "_", "°")
+
+
+def cleanup_filter(toks: list[Tok]) -> list[tuple[str, int, str, str]]:
+    """Final hygiene + position assignment
+    (reference CleanupFilter.java:101-363).
+
+    Returns emitted tokens ``(term, position, pos_tag, lemma)``:
+    - punctuation / boundaries / numbers / stop-gaps → dropped, position
+      consumed (gap)
+    - XML / collapse-flagged 1-char noise → dropped, no position
+    - lemma projected into the term when present (:346-349)
+    - never emits empty terms
+    """
+    out: list[tuple[str, int, str, str]] = []
+    pos = 0
+    for t in toks:
+        if t.ttype == X:
+            continue  # collapse: no position
+        if t.ttype in (S, C, B, N):
+            pos += 1  # gap
+            continue
+        if not t.term:  # deleted upstream (stop / short all-caps)
+            if "gap" in t.flags:
+                pos += 1
+            continue
+        term = t.lemma if t.lemma else t.term
+        if len(term) == 1 and t.pos_tag not in _KEEP_1CHAR_POS and "mwe" not in t.flags:
+            continue  # collapse (reference :251-291 skip())
+        if "mwe" not in t.flags and (
+            term[0].isdigit()
+            or term[-1].isdigit()
+            or term[0] in _BAD_EDGE
+            or term[-1] in _BAD_EDGE
+        ):
+            pos += 1  # accept()-style drop with gap (reference :313-358)
+            continue
+        out.append((term, pos, t.pos_tag, t.lemma))
+        pos += 1
+    return out
+
+
+def run_chain(tokens: list[Token]) -> list[tuple[str, int, str, str]]:
+    """tokenize() output → final indexable tokens."""
+    toks = annotate(tokens)
+    toks = boundary_filter(toks)
+    toks = clitic_filter(toks)
+    toks = replace_filter(toks)
+    toks = uppercase_filter(toks)
+    toks = pos_filter(toks)
+    toks = lemma_filter(toks)
+    toks = mwe_filter(toks)
+    toks = stop_filter(toks)
+    return cleanup_filter(toks)

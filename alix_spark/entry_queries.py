@@ -17,7 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from alix_spark.index import simple
+from alix_spark.index import segments, simple
 from alix_spark.lexicometry import cooc as cooc_mod
 from alix_spark.lexicometry import keyness as keyness_mod
 from alix_spark.lexicometry import suggest as suggest_mod
@@ -139,6 +139,93 @@ def q_bm25_or(spark, sf_dir):
         k=10,
         mode="or",
     )
+
+
+# --------------------------------------- WAND over the compressed index
+
+_WAND_IDX_CACHE: dict[str, str] = {}
+
+
+def _wand_index(spark, sf_dir: str) -> str:
+    """Compressed sharded index over the documents table (simple
+    tokenizer), built once per (process, sf_dir) under /tmp."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    idx = _WAND_IDX_CACHE.get(sf_dir) or os.path.join(
+        tempfile.gettempdir(), f"alix_wand_idx_{key}"
+    )
+    if sf_dir not in _WAND_IDX_CACHE or not os.path.exists(
+        os.path.join(idx, "corpus.json")
+    ):
+        segments.build_index(spark, _tok(spark, sf_dir), idx, n_shards=8)
+        _WAND_IDX_CACHE[sf_dir] = idx
+    return idx
+
+
+def q_bm25_wand_and(spark, sf_dir):
+    """Block-max WAND top-10 over delta+varint block-compressed sharded
+    postings — same oracle as bm25_and (rank-identity is the gate)."""
+    from alix_spark.query import wand as wand_mod
+
+    return wand_mod.wand_topk(spark, _wand_index(spark, sf_dir), BM25_AND_TERMS, k=10, mode="and")
+
+
+def q_bm25_wand_or(spark, sf_dir):
+    from alix_spark.query import wand as wand_mod
+
+    return wand_mod.wand_topk(spark, _wand_index(spark, sf_dir), BM25_OR_TERMS, k=10, mode="or")
+
+
+# ------------------------------------ French analysis chain on webtext
+
+
+def q_webtext_extract(spark, sf_dir):
+    """Deterministic webtext corpus → byte-identical text extraction;
+    md5 per url (rows-only: the html column is engine-generated, not a
+    DuckDB view; cluster-size invariance is checked via the signature)."""
+    from alix_spark.analysis.chain import extracted_text
+    from alix_spark.corpus import webtext as wt
+
+    corpus = wt.webtext(spark, 120, seed=42)
+    return extracted_text(corpus).select(
+        "url", F.md5(F.encode("text", "utf-8")).alias("text_md5")
+    ).orderBy("url")
+
+
+def q_webtext_term_stats(spark, sf_dir):
+    """Full French chain (tokenize→clitic→replace→uppercase→pos→lemma→
+    mwe→stop→cleanup) → term stats top-50 (rows-only)."""
+    from alix_spark.analysis.chain import analyzed_tokens
+    from alix_spark.corpus import webtext as wt
+
+    corpus = wt.doc_ids(wt.webtext(spark, 120, seed=42))
+    tok = analyzed_tokens(corpus)
+    return (
+        simple.term_stats(tok)
+        .orderBy(F.desc("cf"), F.asc("term"))
+        .limit(50)
+    )
+
+
+def q_webtext_wand_fr(spark, sf_dir):
+    """End-to-end: html → analysis chain → compressed sharded index →
+    block-max WAND BM25 top-10 (rows-only)."""
+    import os
+    import tempfile
+
+    from alix_spark.analysis.chain import analyzed_tokens
+    from alix_spark.corpus import webtext as wt
+    from alix_spark.query import wand as wand_mod
+
+    idx = os.path.join(tempfile.gettempdir(), "alix_wand_idx_webtext120")
+    if not os.path.exists(os.path.join(idx, "corpus.json")):
+        corpus = wt.doc_ids(wt.webtext(spark, 120, seed=42))
+        tok = analyzed_tokens(corpus).select("doc_id", "pos", "term")
+        segments.build_index(spark, tok, idx, n_shards=4)
+    return wand_mod.wand_topk(spark, idx, ["ville", "roi"], k=10, mode="and")
 
 
 # -------------------------------------------------- positional span ops
@@ -348,6 +435,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_and": q_bm25_and,
         "bm25_single": q_bm25_single,
         "bm25_or": q_bm25_or,
+        "bm25_wand_and": q_bm25_wand_and,
+        "bm25_wand_or": q_bm25_wand_or,
+        "webtext_extract": q_webtext_extract,
+        "webtext_term_stats": q_webtext_term_stats,
+        "webtext_wand_fr": q_webtext_wand_fr,
         "phrase_match": q_phrase_match,
         "near_match": q_near_match,
         "keyness_g2": q_keyness_g2,
@@ -475,6 +567,10 @@ FROM toks
     sqls["bm25_and"] = bm25.bm25_oracle_sql(BM25_AND_TERMS, k=10, mode="and")
     sqls["bm25_single"] = bm25.bm25_oracle_sql(BM25_SINGLE_TERM, k=10, mode="and")
     sqls["bm25_or"] = bm25.bm25_oracle_sql(BM25_OR_TERMS, k=10, mode="or")
+    # the WAND executor must reproduce the identical top-k (north rule
+    # rank-identity): same oracle as the brute-force DataFrame path
+    sqls["bm25_wand_and"] = bm25.bm25_oracle_sql(BM25_AND_TERMS, k=10, mode="and")
+    sqls["bm25_wand_or"] = bm25.bm25_oracle_sql(BM25_OR_TERMS, k=10, mode="or")
 
     sqls["phrase_match"] = f"""
 WITH {TOKS_CTE}
