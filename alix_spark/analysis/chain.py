@@ -73,32 +73,64 @@ def analyze(src: str | bytes) -> list[tuple[str, int, str, str]]:
 
 # ------------------------------------------------------- Spark operators
 
-TOKENS_SCHEMA = "doc_id long, pos int, term string, pos_tag string, lemma string"
 EXTRACT_SCHEMA = "url string, text string"
 
 
 def analyzed_tokens(
-    docs: DataFrame, id_col: str = "doc_id", src_col: str = "html"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "html",
+    id_type: str = "long",
+    light: bool = False,
 ) -> DataFrame:
-    """Distributed analysis: ``(doc_id, html) → (doc_id, pos, term,
-    pos_tag, lemma)`` exploded token table via mapInPandas (Arrow
-    batches; the chain itself is per-document pure Python over
-    C-level regex — the vectorized-UDF slow path is only the filter
-    dict lookups)."""
+    """Distributed analysis: ``(id, html) → (id, pos, term, pos_tag,
+    lemma)`` exploded token table via mapInPandas (Arrow batches; the
+    chain itself is per-document pure Python over C-level regex — the
+    vectorized-UDF slow path is only the filter dict lookups).
+
+    ``id_col`` may be the dense ``doc_id`` or the natural-key ``url``
+    (``id_type='string'``): at scale, tokenize by url straight off the
+    source scan and join the skinny token table to
+    ``corpus.webtext.url_ranks`` afterwards — never shuffle the html
+    payload. ``light=True`` emits only (id, pos, term) — the index
+    build's columns — halving the Arrow transfer."""
     ensure_py_files(docs.sparkSession)
-    cols = docs.select(F.col(id_col).alias("doc_id"), F.col(src_col).alias("src"))
+    if light:
+        schema = f"{id_col} {id_type}, pos int, term string"
+    else:
+        schema = (
+            f"{id_col} {id_type}, pos int, term string, "
+            "pos_tag string, lemma string"
+        )
+    cols = docs.select(F.col(id_col).alias("_id"), F.col(src_col).alias("src"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for doc_id, src in zip(pdf["doc_id"], pdf["src"]):
-                for term, pos, tag, lemma in analyze(src):
-                    rows.append((doc_id, pos, term, tag, lemma))
-            yield pd.DataFrame(
-                rows, columns=["doc_id", "pos", "term", "pos_tag", "lemma"]
-            )
+            ids: list = []
+            poss: list = []
+            terms: list = []
+            tags: list = []
+            lemmas: list = []
+            for doc_id, src in zip(pdf["_id"], pdf["src"]):
+                toks = analyze(src)
+                ids.extend([doc_id] * len(toks))
+                if light:
+                    for term, pos, _tag, _lemma in toks:
+                        poss.append(pos)
+                        terms.append(term)
+                else:
+                    for term, pos, tag, lemma in toks:
+                        poss.append(pos)
+                        terms.append(term)
+                        tags.append(tag)
+                        lemmas.append(lemma)
+            out = {id_col: ids, "pos": poss, "term": terms}
+            if not light:
+                out["pos_tag"] = tags
+                out["lemma"] = lemmas
+            yield pd.DataFrame(out)
 
-    return cols.mapInPandas(run, schema=TOKENS_SCHEMA)
+    return cols.mapInPandas(run, schema=schema)
 
 
 def extracted_text(docs: DataFrame, src_col: str = "html") -> DataFrame:

@@ -203,12 +203,47 @@ def write_corpus(spark: SparkSession, n_docs: int, out: str, seed: int = 42) -> 
     webtext(spark, n_docs, seed).write.mode("overwrite").parquet(out)
 
 
-def doc_ids(corpus: DataFrame) -> DataFrame:
-    """Deterministic dense docIDs: row_number over url byte order
-    (SURVEY §7 hard part 6 — stable across cluster sizes)."""
+def url_ranks(corpus: DataFrame) -> DataFrame:
+    """Deterministic dense docIDs ``(url, doc_id)``: rank of url in url
+    byte order (SURVEY §7 hard part 6 — stable across cluster sizes).
+
+    Scale note: a global ``row_number`` window would funnel the whole
+    corpus through ONE task. Instead: range-partition the url column
+    ONLY (parallel global sort over skinny rows — the wide html payload
+    never enters the sort), then partition-local row_number offset by
+    the preceding partitions' counts — every stage parallel, identical
+    ids at any parallelism (asserted in tests)."""
     from pyspark.sql import Window
 
-    w = Window.orderBy("url")
-    return corpus.select(
-        F.row_number().over(w).cast("long").alias("doc_id"), "url", "text", "lang", "html"
+    spark = corpus.sparkSession
+    parts = max(spark.sparkContext.defaultParallelism, 2)
+    urls = corpus.select("url")
+    ranged = urls.repartitionByRange(parts, F.col("url")).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    counts = ranged.groupBy("_pid").count().collect()
+    offsets = {}
+    acc = 1  # 1-based ids (0 = absent-doc sentinel, TermLexicon style)
+    for r in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[r["_pid"]] = acc
+        acc += r["count"]
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
+    )
+    w = Window.partitionBy("_pid").orderBy("url")
+    return (
+        ranged.withColumn("_rn", F.row_number().over(w).cast("long"))
+        .join(F.broadcast(off_df), "_pid")
+        .select("url", (F.col("_off") + F.col("_rn") - F.lit(1)).alias("doc_id"))
+    )
+
+
+def doc_ids(corpus: DataFrame) -> DataFrame:
+    """Corpus with dense docIDs attached (join on url).
+
+    Prefer tokenizing by url first and joining ids to the *token* table
+    (skinny rows) — joining here shuffles the html payload; kept for
+    small-corpus convenience and tests."""
+    return corpus.join(url_ranks(corpus), "url").select(
+        "doc_id", "url", "text", "lang", "html"
     )

@@ -190,6 +190,13 @@ def build_index(
     tok = tok.withColumn(
         "shard", (F.col("doc_id") % F.lit(n_shards)).cast("int")
     )
+    # the token table feeds 4 downstream jobs (doc/term stats, corpus
+    # scalars, postings encode) — persist it or the whole upstream
+    # analysis chain re-runs per job (at 100 TB: materialize to a
+    # staging Iceberg table instead of executor memory)
+    from pyspark.storagelevel import StorageLevel
+
+    tok = tok.persist(StorageLevel.MEMORY_AND_DISK)
 
     dstats, tstats = _stats(tok)
     corpus = tok.agg(
@@ -237,7 +244,9 @@ def build_index(
 
         encoded = post.groupBy("shard", "tbucket").applyInPandas(
             encode, schema=ENC_SCHEMA
-        )
+        ).repartition(max(len(todo), 1), "shard")
+        # ^ coalesce encoder output to ~one file per shard: query-side
+        # parquet listing cost stays O(shards), not O(encode tasks)
         # dynamic partition overwrite: replaces exactly the shards being
         # (re)built — a half-written shard from a crashed run is cleanly
         # rewritten, completed shards are untouched (the Iceberg
@@ -293,6 +302,7 @@ def build_index(
     }
     with open(os.path.join(index_dir, "corpus.json"), "w") as f:
         json.dump(meta, f)
+    tok.unpersist()
     return meta
 
 

@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""spark-submit entry: build the compressed sharded index end-to-end.
+
+    spark-submit --master local[8] --py-files /tmp/alix_spark.zip \\
+        scripts/build_index.py --n-docs 60000 --index-dir /tmp/ix \\
+        [--corpus /path/webtext.parquet] [--resume] [--queries ville,roi]
+
+Pipeline: synthetic webtext corpus (or an existing parquet with the
+input_hint schema) → dense docIDs → French analysis chain (mapInPandas)
+→ salted postings encode → sharded delta+varint segments + manifests.
+
+Prints ONE JSON line with build throughput (docs/sec), token counts, and
+BM25-WAND query latencies — the measurement unit for the N-vs-4N
+scaling-efficiency runs (see scripts/scaling_bench.py and BENCH.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-docs", type=int, default=20000)
+    ap.add_argument("--index-dir", required=True)
+    ap.add_argument("--n-shards", type=int, default=16)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--corpus", default=None, help="existing webtext parquet")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--queries", default="ville,roi;guerre,paix;histoire",
+                    help="';'-separated, ','-joined AND term groups")
+    args = ap.parse_args()
+
+    spark = SparkSession.builder.appName("alix_build_index").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    cores = spark.sparkContext.defaultParallelism
+
+    from alix_spark.analysis.chain import analyzed_tokens
+    from alix_spark.corpus import webtext as wt
+    from alix_spark.index import segments
+    from alix_spark.query import wand
+
+    from pyspark.storagelevel import StorageLevel
+
+    t0 = time.perf_counter()
+    if args.corpus:
+        corpus = spark.read.parquet(args.corpus)
+    else:
+        # landing table: persisted once, the analogue of reading the
+        # input Iceberg table (generation is ingest, not index build)
+        corpus = wt.webtext(
+            spark, args.n_docs, seed=args.seed, partitions=cores * 4
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        corpus.count()
+    t_corpus = time.perf_counter() - t0
+
+    t1 = time.perf_counter()
+    # tokenize by url straight off the landing table (no html shuffle),
+    # then join dense doc ids onto the skinny token table
+    tok_url = analyzed_tokens(corpus, id_col="url", id_type="string", light=True)
+    ids = wt.url_ranks(corpus)
+    tok = tok_url.join(ids, "url").select("doc_id", "pos", "term")
+    meta = segments.build_index(
+        spark, tok, args.index_dir, n_shards=args.n_shards, resume=args.resume
+    )
+    build_s = time.perf_counter() - t1
+
+    lat = []
+    for group in args.queries.split(";"):
+        terms = [t for t in group.split(",") if t]
+        tq = time.perf_counter()
+        wand.wand_topk(spark, args.index_dir, terms, k=10, mode="and").collect()
+        lat.append(time.perf_counter() - tq)
+
+    out = {
+        "n_docs": int(meta["corpus_docs"]),
+        "n_tokens": int(meta["corpus_tokens"]),
+        "n_shards": args.n_shards,
+        "cores": cores,
+        "corpus_sec": round(t_corpus, 3),
+        "build_sec": round(build_s, 3),
+        "docs_per_sec": round(meta["corpus_docs"] / build_s, 2),
+        "tokens_per_sec": round(meta["corpus_tokens"] / build_s, 2),
+        "bm25_wand_p50_ms": round(statistics.median(lat) * 1000.0, 2),
+        "resumed_from": meta["resumed_from"],
+    }
+    print("BUILD_METRICS " + json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
