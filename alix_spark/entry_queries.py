@@ -179,6 +179,20 @@ def q_bm25_wand_or(spark, sf_dir):
     return wand_mod.wand_topk(spark, _wand_index(spark, sf_dir), BM25_OR_TERMS, k=10, mode="or")
 
 
+PHRASE_TERMS = ["table", "scan"]
+
+
+def q_phrase_wand(spark, sf_dir):
+    """Index-side exact phrase query (positions channel in the
+    compressed blocks): phrase scored as one synthetic term —
+    tf = match count, df = matching docs, golden BM25 formula."""
+    from alix_spark.query import wand as wand_mod
+
+    return wand_mod.phrase_topk(
+        spark, _wand_index(spark, sf_dir), PHRASE_TERMS, slop=0, ordered=True, k=10
+    )
+
+
 # ------------------------------------ French analysis chain on webtext
 
 
@@ -437,6 +451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_or": q_bm25_or,
         "bm25_wand_and": q_bm25_wand_and,
         "bm25_wand_or": q_bm25_wand_or,
+        "phrase_wand": q_phrase_wand,
         "webtext_extract": q_webtext_extract,
         "webtext_term_stats": q_webtext_term_stats,
         "webtext_wand_fr": q_webtext_wand_fr,
@@ -571,6 +586,32 @@ FROM toks
     # rank-identity): same oracle as the brute-force DataFrame path
     sqls["bm25_wand_and"] = bm25.bm25_oracle_sql(BM25_AND_TERMS, k=10, mode="and")
     sqls["bm25_wand_or"] = bm25.bm25_oracle_sql(BM25_OR_TERMS, k=10, mode="or")
+
+    # phrase scored as a synthetic term: tf = adjacent-pair count,
+    # df = matching docs — same float ops as wand.phrase_topk
+    t1, t2 = PHRASE_TERMS
+    sqls["phrase_wand"] = f"""
+WITH {TOKS_CTE},
+dstats AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+cstats AS (SELECT count(DISTINCT doc_id) AS n,
+                  count(*) * 1.0 / count(DISTINCT doc_id) AS avgdl FROM toks),
+m AS (
+  SELECT a.doc_id, count(*) AS tf
+  FROM (SELECT doc_id, pos FROM toks WHERE term = '{t1}') a
+  JOIN (SELECT doc_id, pos FROM toks WHERE term = '{t2}') b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY a.doc_id
+),
+mdf AS (SELECT count(*) AS df FROM m)
+SELECT m.doc_id,
+       {sql_round6(
+           "ln(1.0 + (c.n - mdf.df + 0.5) / (mdf.df + 0.5))"
+           " * (m.tf * 2.2) / (m.tf + 1.2 * (0.25 + 0.75 * d.dl / c.avgdl))"
+       )} AS score
+FROM m JOIN dstats d USING (doc_id), cstats c, mdf
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
 
     sqls["phrase_match"] = f"""
 WITH {TOKS_CTE}

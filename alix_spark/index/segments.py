@@ -103,32 +103,56 @@ def varint_decode(buf: bytes, count: int) -> np.ndarray:
 
 ENC_SCHEMA = (
     "shard int, term string, block_id int, n int, max_doc long, max_tf int, "
-    "block_ub double, doc_bytes binary, tf_bytes binary, dl_bytes binary"
+    "block_ub double, doc_bytes binary, tf_bytes binary, dl_bytes binary, "
+    "pos_bytes binary"
 )
 
 
 def _encode_term_group(
     shard: int, term: str, docs: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
     avgdl: float, k1: float = K1, b: float = B,
+    positions: np.ndarray | None = None,
 ) -> list[tuple]:
     """One (shard, term) posting list → delta+varint blocks with skip
     data. ``block_ub`` is the idf-free BM25 bound
-    max(tf·(k1+1)/(tf+norm)) — query side multiplies the term's idf."""
+    max(tf·(k1+1)/(tf+norm)) — query side multiplies the term's idf.
+
+    ``positions``: optional flat array of within-doc token positions,
+    grouped by doc in ``docs`` order (tf values give the per-doc
+    counts), position-sorted within each doc. Encoded as within-doc
+    delta + varint (the reference's Lucene positions channel,
+    AlixLuceneConsumer.java:66-74), enabling index-side phrase/near.
+    """
     order = np.argsort(docs, kind="stable")
+    if positions is not None:
+        # regroup the flat positions to the sorted doc order
+        bounds = np.concatenate(([0], np.cumsum(tfs)))
+        pos_chunks = [positions[bounds[i] : bounds[i + 1]] for i in order]
     docs, tfs, dls = docs[order], tfs[order], dls[order]
     rows = []
     for blk_id, off in enumerate(range(0, docs.size, BLOCK)):
         d = docs[off : off + BLOCK]
         t = tfs[off : off + BLOCK]
         dl = dls[off : off + BLOCK]
-        deltas = np.diff(d, prepend=d[0:1])  # first = abs doc id? no:
-        deltas[0] = d[0]                      # first value absolute
+        deltas = np.diff(d, prepend=d[0:1])
+        deltas[0] = d[0]  # first value absolute: blocks self-contained
         norm = k1 * (1.0 - b + b * dl / avgdl)
         ub = float(np.max(t * (k1 + 1.0) / (t + norm)))
+        pos_b = b""
+        if positions is not None:
+            chunk = pos_chunks[off : off + BLOCK]
+            flat = np.concatenate(chunk) if chunk else np.zeros(0, np.int64)
+            if flat.size:
+                # within-doc deltas: reset at each doc boundary
+                dp = np.diff(flat, prepend=flat[0:1])
+                starts = np.concatenate(([0], np.cumsum(t)))[:-1]
+                dp[starts] = flat[starts]
+                pos_b = varint_encode(dp)
         rows.append(
             (
                 shard, term, blk_id, int(d.size), int(d[-1]), int(t.max()),
                 ub, varint_encode(deltas), varint_encode(t), varint_encode(dl),
+                pos_b,
             )
         )
     return rows
@@ -142,6 +166,19 @@ def decode_block(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     tfs = varint_decode(row["tf_bytes"], n)
     dls = varint_decode(row["dl_bytes"], n)
     return docs, tfs, dls
+
+
+def decode_block_positions(row, tfs: np.ndarray) -> list[np.ndarray]:
+    """Per-doc position arrays for one block (requires pos_bytes)."""
+    total = int(tfs.sum())
+    if total == 0 or not row["pos_bytes"]:
+        return [np.zeros(0, np.int64) for _ in tfs]
+    dp = varint_decode(row["pos_bytes"], total)
+    bounds = np.concatenate(([0], np.cumsum(tfs)))
+    out = []
+    for i in range(tfs.size):
+        out.append(np.cumsum(dp[bounds[i] : bounds[i + 1]]))
+    return out
 
 
 # ------------------------------------------------------------ build job
@@ -164,6 +201,7 @@ def build_index(
     index_dir: str,
     n_shards: int = 16,
     resume: bool = False,
+    with_positions: bool = True,
 ) -> dict:
     """Build (or resume) the sharded compressed index from a token table
     ``(doc_id, pos, term)``.
@@ -211,10 +249,13 @@ def build_index(
         # hottest Zipf-head term, and keeps the applyInPandas group count
         # fixed instead of one-group-per-term (north rule: salted
         # repartitioning on term-hash).
+        aggs = [F.count("*").alias("tf")]
+        if with_positions:
+            aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
         post = (
             tok.filter(F.col("shard").isin(todo))
             .groupBy("shard", "term", "doc_id")
-            .agg(F.count("*").alias("tf"))
+            .agg(*aggs)
             .join(dstats.select("doc_id", "dl"), "doc_id")
             .withColumn(
                 "tbucket", F.pmod(F.xxhash64("term"), F.lit(SALT_BUCKETS)).cast("int")
@@ -224,6 +265,11 @@ def build_index(
         def encode(_key, pdf: pd.DataFrame) -> pd.DataFrame:
             rows: list[tuple] = []
             for (shard, term), g in pdf.groupby(["shard", "term"], sort=False):
+                pos_flat = None
+                if with_positions:
+                    pos_flat = np.concatenate(
+                        [np.asarray(p, dtype=np.int64) for p in g["positions"]]
+                    ) if len(g) else np.zeros(0, np.int64)
                 rows.extend(
                     _encode_term_group(
                         int(shard), term,
@@ -231,6 +277,7 @@ def build_index(
                         g["tf"].to_numpy(np.int64),
                         g["dl"].to_numpy(np.int64),
                         avgdl,
+                        positions=pos_flat,
                     )
                 )
             return pd.DataFrame(
@@ -238,7 +285,7 @@ def build_index(
                 columns=[
                     "shard", "term", "block_id", "n", "max_doc",
                     "max_tf", "block_ub", "doc_bytes", "tf_bytes",
-                    "dl_bytes",
+                    "dl_bytes", "pos_bytes",
                 ],
             )
 

