@@ -353,6 +353,100 @@ def q_cooc_window(spark, sf_dir):
     return cooc_mod.cooc_counts(_tok(spark, sf_dir), pivot="spark", left=5, right=5, top=50)
 
 
+def _bm25_inputs(spark, sf_dir):
+    tok = _tok(spark, sf_dir)
+    return (
+        simple.postings(tok),
+        simple.doc_stats(tok).select("doc_id", "dl"),
+        simple.term_stats(tok),
+        simple.corpus_stats(tok).select("corpus_docs", "avgdl"),
+    )
+
+
+def q_theme_bm25(spark, sf_dir):
+    """Corpus theme ranking: idf^0.9 · Σ tf-saturation (reference
+    IdfTermScorer.BM25 no-focus path, OpTerms branch 1)."""
+    from alix_spark.lexicometry import theme
+
+    return theme.theme_weights(*_bm25_inputs(spark, sf_dir), top=50)
+
+
+def q_theme_irdf(spark, sf_dir):
+    """Focus-vs-rest theme ranking, IRDF contrast (IdfTermScorer.BM25
+    Mode.IRDF)."""
+    from alix_spark.lexicometry import theme
+
+    post, dstats, tstats, cstats = _bm25_inputs(spark, sf_dir)
+    focus = _docs(spark, sf_dir).filter(F.col("lang") == "fr").select("doc_id")
+    return theme.theme_weights_focus(post, dstats, tstats, cstats, focus, top=50)
+
+
+def q_doc_vectors(spark, sf_dir):
+    """Per-(term, doc) BM25 weights — the Lucene2vec export table."""
+    from alix_spark.lexicometry import theme
+
+    return theme.doc_term_weights(*_bm25_inputs(spark, sf_dir)).orderBy(
+        "term", "doc_id"
+    )
+
+
+def _doc_parts(spark, sf_dir):
+    return _docs(spark, sf_dir).select("doc_id", F.col("lang").alias("part"))
+
+
+def q_part_keyness_min(spark, sf_dir):
+    """Strict-dominance partitioned keyness (PartScorer.LogLikelihood:
+    min of pairwise signed G² vs every other part, × coverage^0.3)."""
+    from alix_spark.lexicometry import partition
+
+    return partition.partition_keyness(
+        _tok(spark, sf_dir), _doc_parts(spark, sf_dir), "fr", scorer="min", top=50
+    )
+
+
+def q_part_keyness_tail(spark, sf_dir):
+    """Worst-tail partitioned keyness (PartScorer.LogLikelihoodTail:
+    mean of worst ceil(0.2·n) pairwise G²)."""
+    from alix_spark.lexicometry import partition
+
+    return partition.partition_keyness(
+        _tok(spark, sf_dir), _doc_parts(spark, sf_dir), "fr", scorer="tail", top=50
+    )
+
+
+def q_cooc_profile(spark, sf_dir):
+    return cooc_mod.cooc_profile(_tok(spark, sf_dir), pivot="spark", max_dist=5, top=20)
+
+
+COOC_NODES = ["hash", "join", "merge", "sort"]
+
+
+def q_cooc_matrix(spark, sf_dir):
+    return cooc_mod.cooc_matrix(_tok(spark, sf_dir), COOC_NODES, window=5)
+
+
+def q_suggest_folded(spark, sf_dir):
+    tstats = simple.term_stats(_tok(spark, sf_dir))
+    return suggest_mod.suggest_folded(tstats, "que", top=20)
+
+
+def q_kwic(spark, sf_dir):
+    from alix_spark.query import kwic as kwic_mod
+
+    return kwic_mod.kwic(_tok(spark, sf_dir), "spark", width=3, limit=50)
+
+
+def q_ca_map(spark, sf_dir):
+    """Correspondence-analysis factor map (OpClades/ContingencySvd:
+    IPF residuals → SVD → principal coords; rows-only — SVD is not
+    SQL-expressible; determinism enforced by stable sign convention)."""
+    from alix_spark.lexicometry import svd as svd_mod
+
+    return svd_mod.ca_map_df(
+        spark, _tok(spark, sf_dir), _doc_parts(spark, sf_dir), top_terms=30, axes=2
+    )
+
+
 def q_suggest(spark, sf_dir):
     tstats = simple.term_stats(_tok(spark, sf_dir))
     return suggest_mod.suggest(tstats, "sc", top=20)
@@ -466,6 +560,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_histogram": q_time_histogram,
         "events_by_type": q_events_by_type,
         "cooc_window": q_cooc_window,
+        "theme_bm25": q_theme_bm25,
+        "theme_irdf": q_theme_irdf,
+        "doc_vectors": q_doc_vectors,
+        "part_keyness_min": q_part_keyness_min,
+        "part_keyness_tail": q_part_keyness_tail,
+        "cooc_profile": q_cooc_profile,
+        "cooc_matrix": q_cooc_matrix,
+        "suggest_folded": q_suggest_folded,
+        "kwic": q_kwic,
+        "ca_map": q_ca_map,
         "suggest": q_suggest,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -633,6 +737,201 @@ GROUP BY t1.doc_id ORDER BY t1.doc_id
 
     for scorer, lang in KEYNESS_FOCUS.items():
         sqls[f"keyness_{scorer}"] = _keyness_sql(scorer, lang)
+
+    # ---- theme weights (IdfTermScorer.BM25): same float ops/order
+    local = "(p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / c.avgdl))"
+    sqls["theme_bm25"] = f"""
+WITH {TOKS_CTE},
+dstats AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+cstats AS (SELECT count(DISTINCT doc_id) AS n,
+                  count(*) * 1.0 / count(DISTINCT doc_id) AS avgdl FROM toks),
+tstats AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+post AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
+acc AS (
+  SELECT p.term, sum({local}) AS acc
+  FROM post p JOIN dstats d USING (doc_id), cstats c
+  GROUP BY p.term
+)
+SELECT a.term, t.df,
+       {sql_round6("pow(ln(1.0 + (c.n - t.df + 0.5) / (t.df + 0.5)), 0.9) * a.acc")} AS score
+FROM acc a JOIN tstats t USING (term), cstats c
+ORDER BY score DESC, term ASC LIMIT 50
+"""
+
+    sqls["theme_irdf"] = f"""
+WITH {TOKS_CTE},
+dstats AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+cstats AS (SELECT count(DISTINCT doc_id) AS n,
+                  count(*) * 1.0 / count(DISTINCT doc_id) AS avgdl FROM toks),
+tstats AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+fdocs AS (SELECT doc_id FROM documents WHERE lang = 'fr'),
+nf AS (SELECT count(*) AS n_focus FROM fdocs),
+post AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
+acc AS (
+  SELECT p.term,
+         sum(CASE WHEN f.doc_id IS NOT NULL THEN {local} ELSE 0 END) AS acc,
+         sum(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS focus_df
+  FROM post p JOIN dstats d USING (doc_id)
+  LEFT JOIN fdocs f ON p.doc_id = f.doc_id, cstats c
+  GROUP BY p.term
+)
+SELECT a.term,
+       {sql_round6(
+           "pow(ln(1.0 + ((c.n - nf.n_focus) - (t.df - a.focus_df) + 0.5)"
+           " / ((t.df - a.focus_df) + 0.5)), 0.9) * a.acc"
+       )} AS score
+FROM acc a JOIN tstats t USING (term), cstats c, nf
+WHERE a.focus_df > 0
+ORDER BY score DESC, term ASC LIMIT 50
+"""
+
+    sqls["doc_vectors"] = f"""
+WITH {TOKS_CTE},
+dstats AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+cstats AS (SELECT count(DISTINCT doc_id) AS n,
+                  count(*) * 1.0 / count(DISTINCT doc_id) AS avgdl FROM toks),
+tstats AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+post AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id)
+SELECT p.term, p.doc_id, p.tf,
+       {sql_round6(
+           "pow(ln(1.0 + (c.n - t.df + 0.5) / (t.df + 0.5)), 1.0)"
+           " * (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / c.avgdl))"
+       )} AS weight
+FROM post p JOIN dstats d USING (doc_id) JOIN tstats t USING (term), cstats c
+ORDER BY p.term, p.doc_id
+"""
+
+    # ---- partitioned keyness (PartScorer.LogLikelihood[Tail])
+    g2cell = (
+        "(CASE WHEN a > 0 AND (a+b) * fa / (fa+fb) > 0 THEN 2.0 * a * ln(a / ((a+b) * fa / (fa+fb))) ELSE 0 END"
+        " + CASE WHEN b > 0 AND (a+b) * fb / (fa+fb) > 0 THEN 2.0 * b * ln(b / ((a+b) * fb / (fa+fb))) ELSE 0 END"
+        " + CASE WHEN fa-a > 0 AND ((fa-a)+(fb-b)) * fa / (fa+fb) > 0 THEN 2.0 * (fa-a) * ln((fa-a) / (((fa-a)+(fb-b)) * fa / (fa+fb))) ELSE 0 END"
+        " + CASE WHEN fb-b > 0 AND ((fa-a)+(fb-b)) * fb / (fa+fb) > 0 THEN 2.0 * (fb-b) * ln((fb-b) / (((fa-a)+(fb-b)) * fb / (fa+fb))) ELSE 0 END)"
+    )
+    g2signed = (
+        f"CASE WHEN (a+b) <= 0 OR ((fa-a)+(fb-b)) <= 0 THEN 0.0 "
+        f"WHEN a / fa >= b / fb THEN {g2cell} ELSE -{g2cell} END"
+    )
+
+    def _part_keyness_sql(agg_mode: str) -> str:
+        if agg_mode == "min":
+            agg_sel = "SELECT term, min(g2) AS raw FROM cells2 GROUP BY term"
+        else:
+            agg_sel = """
+SELECT term, avg(g2) AS raw FROM (
+  SELECT term, g2,
+         row_number() OVER (PARTITION BY term ORDER BY g2 ASC) AS rk,
+         count(*) OVER (PARTITION BY term) AS cnt
+  FROM cells2
+) WHERE rk <= greatest(1, CAST(ceil(cnt * 0.2) AS BIGINT)) GROUP BY term
+"""
+        return f"""
+WITH {TOKS_CTE},
+t AS (SELECT tk.doc_id, tk.term, d.lang AS part
+      FROM toks tk JOIN documents d USING (doc_id)),
+part_tokens AS (SELECT part, count(*) AS part_toks FROM t GROUP BY part),
+term_part AS (SELECT term, part, count(*) AS freq FROM t GROUP BY term, part),
+fa_t AS (SELECT part_toks AS fa FROM part_tokens WHERE part = 'fr'),
+fcounts AS (SELECT term, freq AS a FROM term_part WHERE part = 'fr'),
+ftd AS (SELECT term, count(DISTINCT doc_id) AS ftd FROM t WHERE part = 'fr' GROUP BY term),
+nfd AS (SELECT count(*) AS focus_docs FROM documents WHERE lang = 'fr'),
+cells AS (
+  SELECT fc.term,
+         CAST(fc.a AS DOUBLE) AS a,
+         CAST(coalesce(tp.freq, 0) AS DOUBLE) AS b,
+         CAST(fa_t.fa AS DOUBLE) AS fa,
+         CAST(vp.part_toks AS DOUBLE) AS fb
+  FROM fcounts fc
+  CROSS JOIN (SELECT part, part_toks FROM part_tokens WHERE part <> 'fr') vp
+  LEFT JOIN term_part tp ON tp.term = fc.term AND tp.part = vp.part,
+  fa_t
+),
+cells2 AS (SELECT term, {g2signed} AS g2 FROM cells),
+agg AS ({agg_sel})
+SELECT agg.term,
+       {sql_round6("agg.raw * pow(CAST(ftd.ftd AS DOUBLE) / nfd.focus_docs, 0.3)")} AS score
+FROM agg JOIN ftd USING (term), nfd
+WHERE ftd.ftd >= 3
+ORDER BY score DESC, term ASC LIMIT 50
+"""
+
+    sqls["part_keyness_min"] = _part_keyness_sql("min")
+    sqls["part_keyness_tail"] = _part_keyness_sql("tail")
+
+    sqls["cooc_profile"] = f"""
+WITH {TOKS_CTE},
+hits AS (SELECT doc_id AS h_doc, pos AS h_pos FROM toks WHERE term = 'spark'),
+neigh AS (
+  SELECT t.doc_id, t.pos, t.term, min(abs(t.pos - h.h_pos)) AS dist
+  FROM toks t JOIN hits h
+    ON t.doc_id = h.h_doc AND abs(t.pos - h.h_pos) <= 5 AND t.pos <> h.h_pos
+  WHERE t.term <> 'spark'
+  GROUP BY t.doc_id, t.pos, t.term
+),
+per_tick AS (SELECT term, dist, count(*) AS freq FROM neigh GROUP BY term, dist),
+topterms AS (
+  SELECT term FROM (SELECT term, count(*) AS n FROM neigh GROUP BY term)
+  ORDER BY n DESC, term ASC LIMIT 20
+)
+SELECT p.term, CAST(p.dist AS BIGINT) AS dist, p.freq,
+       sum(p.freq) OVER (PARTITION BY p.term ORDER BY p.dist
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_freq
+FROM per_tick p JOIN topterms USING (term)
+ORDER BY p.term, p.dist
+"""
+
+    nodes = ", ".join(f"'{t}'" for t in COOC_NODES)
+    sqls["cooc_matrix"] = f"""
+WITH {TOKS_CTE},
+sel AS (SELECT doc_id, pos, term FROM toks WHERE term IN ({nodes})),
+nt AS (SELECT count(*) AS n FROM toks),
+marg AS (SELECT term, count(*) AS n_t FROM sel GROUP BY term),
+pairs AS (
+  SELECT x.term AS a, y.term AS b, count(*) AS n_ab
+  FROM sel x JOIN sel y
+    ON x.doc_id = y.doc_id AND x.term < y.term AND abs(x.pos - y.pos) <= 5
+  GROUP BY x.term, y.term
+)
+SELECT p.a, p.b, p.n_ab, ma.n_t AS n_a, mb.n_t AS n_b,
+       {sql_round6("ln(CAST(p.n_ab AS DOUBLE) * nt.n / (CAST(ma.n_t AS DOUBLE) * mb.n_t))")} AS pmi,
+       {sql_round6("2.0 * p.n_ab / (CAST(ma.n_t AS DOUBLE) + mb.n_t)")} AS dice,
+       {sql_round6("CAST(p.n_ab AS DOUBLE) / (ma.n_t + mb.n_t - p.n_ab)")} AS jaccard
+FROM pairs p
+JOIN marg ma ON ma.term = p.a
+JOIN marg mb ON mb.term = p.b, nt
+ORDER BY p.a, p.b
+"""
+
+    from alix_spark.lexicometry.suggest import FOLD_DST, FOLD_SRC, fold_query
+
+    qf = fold_query("que")
+    pred = (
+        f"starts_with(translate(lower(term), '{FOLD_SRC}', '{FOLD_DST}'), '{qf}')"
+        if len(qf) < 3
+        else f"contains(translate(lower(term), '{FOLD_SRC}', '{FOLD_DST}'), '{qf}')"
+    )
+    sqls["suggest_folded"] = f"""
+WITH {TOKS_CTE},
+tstats AS (SELECT term, count(*) AS cf FROM toks GROUP BY term)
+SELECT term, cf FROM tstats WHERE {pred}
+ORDER BY cf DESC, term ASC LIMIT 20
+"""
+
+    sqls["kwic"] = f"""
+WITH {TOKS_CTE},
+hits AS (SELECT doc_id, pos FROM toks WHERE term = 'spark')
+SELECT h.doc_id, h.pos,
+       coalesce(string_agg(CASE WHEN t.pos < h.pos THEN t.term END, ' ' ORDER BY t.pos)
+                FILTER (WHERE t.pos < h.pos), '') AS left_ctx,
+       coalesce(string_agg(CASE WHEN t.pos > h.pos THEN t.term END, ' ' ORDER BY t.pos)
+                FILTER (WHERE t.pos > h.pos), '') AS right_ctx
+FROM hits h JOIN toks t
+  ON t.doc_id = h.doc_id AND t.pos >= h.pos - 3 AND t.pos <= h.pos + 3
+ AND t.pos <> h.pos
+GROUP BY h.doc_id, h.pos
+ORDER BY h.doc_id, h.pos
+LIMIT 50
+"""
 
     sqls["facet_counts"] = """
 SELECT source AS label, count(*) AS docs FROM documents

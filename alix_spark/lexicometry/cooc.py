@@ -53,3 +53,105 @@ def cooc_counts(
         .orderBy(F.desc("freq"), F.asc("term"))
         .limit(top)
     )
+
+
+def cooc_profile(
+    tok: DataFrame,
+    pivot: str,
+    max_dist: int = 5,
+    top: int = 20,
+) -> DataFrame:
+    """Term × distance-tick co-occurrence profile with cumulative
+    counts (reference CoocProfile.java:1-40 + CoocProfileSnippets:
+    per-tick cumulative counts around the pivot; ticks = |Δpos|).
+
+    Returns (term, dist, freq, cum_freq) for the overall-top terms,
+    ordered (term, dist). A neighbour occurrence counts at its MINIMUM
+    distance to any pivot hit (merged-window semantics)."""
+    hits = tok.filter(F.col("term") == pivot).select(
+        F.col("doc_id").alias("h_doc"), F.col("pos").alias("h_pos")
+    )
+    neigh = (
+        tok.alias("t")
+        .join(
+            F.broadcast(hits),
+            (F.col("t.doc_id") == F.col("h_doc"))
+            & (F.abs(F.col("t.pos") - F.col("h_pos")) <= max_dist)
+            & (F.col("t.pos") != F.col("h_pos")),
+        )
+        .select(
+            "t.doc_id", "t.pos", "t.term",
+            F.abs(F.col("t.pos") - F.col("h_pos")).alias("d"),
+        )
+        .groupBy("doc_id", "pos", "term")
+        .agg(F.min("d").alias("dist"))
+        .filter(F.col("term") != pivot)
+    )
+    per_tick = neigh.groupBy("term", "dist").agg(F.count("*").alias("freq"))
+    from pyspark.sql import Window
+
+    wcum = (
+        Window.partitionBy("term").orderBy("dist")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("term")
+    ranked = per_tick.withColumn(
+        "cum_freq", F.sum("freq").over(wcum)
+    ).withColumn("total", F.sum("freq").over(wtot))
+    topterms = (
+        neigh.groupBy("term").agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("term")).limit(top).select("term")
+    )
+    return (
+        ranked.join(F.broadcast(topterms), "term")
+        .select("term", F.col("dist").cast("long").alias("dist"), "freq", "cum_freq")
+        .orderBy("term", "dist")
+    )
+
+
+def cooc_matrix(
+    tok: DataFrame,
+    terms: list[str],
+    window: int = 5,
+) -> DataFrame:
+    """Node×node co-occurrence matrix with association measures
+    (reference CoocMatSnippets.java + util/.../AssociationMeasure.java:
+    mutual-information family over cell count, marginals, and N).
+
+    Pairs (a < b) of the given node terms co-occurring within ±window
+    in the same doc; each unordered occurrence pair counts once.
+    Measures: pmi = ln(n_ab·N/(n_a·n_b)), dice = 2·n_ab/(n_a+n_b),
+    jaccard = n_ab/(n_a+n_b−n_ab)."""
+    sel = tok.filter(F.col("term").isin(terms)).select("doc_id", "pos", "term")
+    n_total = tok.count()
+    marg = sel.groupBy("term").agg(F.count("*").alias("n_t"))
+    pairs = (
+        sel.alias("x")
+        .join(
+            sel.alias("y"),
+            (F.col("x.doc_id") == F.col("y.doc_id"))
+            & (F.col("x.term") < F.col("y.term"))
+            & (F.abs(F.col("x.pos") - F.col("y.pos")) <= window),
+        )
+        .groupBy(
+            F.col("x.term").alias("a"), F.col("y.term").alias("b")
+        )
+        .agg(F.count("*").alias("n_ab"))
+    )
+    from alix_spark.util import round6
+
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    nab = F.col("n_ab").cast("double")
+    n = F.lit(float(n_total))
+    return (
+        pairs.join(F.broadcast(marg.withColumnRenamed("term", "a").withColumnRenamed("n_t", "n_a")), "a")
+        .join(F.broadcast(marg.withColumnRenamed("term", "b").withColumnRenamed("n_t", "n_b")), "b")
+        .select(
+            "a", "b", "n_ab", "n_a", "n_b",
+            round6(F.log(nab * n / (na * nb))).alias("pmi"),
+            round6(2.0 * nab / (na + nb)).alias("dice"),
+            round6(nab / (na + nb - nab)).alias("jaccard"),
+        )
+        .orderBy("a", "b")
+    )

@@ -1,0 +1,142 @@
+"""Partitioned keyness: focus part vs every other part, pairwise.
+
+Exact port of the reference's ``PartScorer.LogLikelihood`` (strict
+dominance: min of pairwise signed G², PartScorer.java:542-592) and
+``PartScorer.LogLikelihoodTail`` (mean of the worst ``ceil(0.2·n)``
+pairwise scores, :706-779 — the default scorer for date-partitioned
+keyness, web/.../OpTerms.java:130-134), including:
+
+- signed pairwise 2×2 G² with zero-cells contributing 0 and the sign
+  from rate comparison (:1286-1335)
+- parts with fewer than ``min_part_tokens`` tokens excluded (:487-489)
+- terms with ``focus_term_docs < min_focus_term_docs`` dropped (NaN,
+  :419-421)
+- final score multiplied by focus-coverage dispersion
+  ``(focusTermDocs/focusDocs)^dispersion`` (:447, :1370-1380)
+
+Spark shape: one groupBy to (term, part) counts, one to part totals,
+a broadcast join, then a per-term window to aggregate pairwise scores
+— no driver-side loops, SQL-expressible end-to-end (oracle-checked).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from alix_spark.util import round6
+
+DISPERSION = 0.3        # reference :545
+MIN_FOCUS_TERM_DOCS = 3  # reference :548
+TAIL_FRACTION = 0.2      # reference :717
+
+
+def _signed_g2():
+    """Column expr over a (focus term freq), fa (focus tokens),
+    b (part term freq), fb (part tokens) — PartScorer.signedG2."""
+    a = F.col("a").cast("double")
+    b = F.col("b").cast("double")
+    fa = F.col("fa").cast("double")
+    fb = F.col("fb").cast("double")
+    na, nb = fa - a, fb - b
+    n = fa + fb
+    t, nt = a + b, na + nb
+
+    def cell(o, e):
+        return F.when((o > 0) & (e > 0), 2.0 * o * F.log(o / e)).otherwise(0.0)
+
+    g2 = (
+        cell(a, t * fa / n)
+        + cell(b, t * fb / n)
+        + cell(na, nt * fa / n)
+        + cell(nb, nt * fb / n)
+    )
+    g2 = F.when((t <= 0) | (nt <= 0), F.lit(0.0)).otherwise(g2)
+    return F.when(a / fa >= b / fb, g2).otherwise(-g2)
+
+
+def partition_keyness(
+    tok: DataFrame,
+    doc_parts: DataFrame,
+    focus_part: str,
+    scorer: str = "tail",
+    min_part_tokens: int = 0,
+    min_focus_term_docs: int = MIN_FOCUS_TERM_DOCS,
+    dispersion: float = DISPERSION,
+    tail_fraction: float = TAIL_FRACTION,
+    top: int = 50,
+) -> DataFrame:
+    """tok: (doc_id, term) token table; doc_parts: (doc_id, part).
+
+    Returns (term, score) top-k, score desc then term asc.
+    scorer: 'min' (LogLikelihood strict dominance) or 'tail'
+    (LogLikelihoodTail, mean of worst 20%)."""
+    t = tok.join(F.broadcast(doc_parts), "doc_id")
+
+    part_tokens = t.groupBy("part").agg(F.count("*").alias("part_toks"))
+    term_part = t.groupBy("term", "part").agg(F.count("*").alias("freq"))
+
+    focus_tokens = part_tokens.filter(F.col("part") == focus_part).select(
+        F.col("part_toks").alias("fa")
+    )
+    focus_counts = (
+        term_part.filter(F.col("part") == focus_part)
+        .select("term", F.col("freq").alias("a"))
+    )
+    focus_term_docs = (
+        t.filter(F.col("part") == focus_part)
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("ftd"))
+    )
+    focus_docs_n = doc_parts.filter(F.col("part") == focus_part).count()
+
+    # every (term, non-focus part) cell, including zero cells for parts
+    # where the term is absent (cross of focus terms × valid parts)
+    valid_parts = part_tokens.filter(
+        (F.col("part") != focus_part) & (F.col("part_toks") >= min_part_tokens)
+    )
+    cells = (
+        focus_counts.crossJoin(F.broadcast(valid_parts))
+        .join(
+            term_part.withColumnRenamed("freq", "b"),
+            ["term", "part"],
+            "left",
+        )
+        .withColumn("b", F.coalesce(F.col("b"), F.lit(0)))
+        .withColumnRenamed("part_toks", "fb")
+        .crossJoin(F.broadcast(focus_tokens))
+        .withColumn("g2", _signed_g2())
+    )
+
+    w = Window.partitionBy("term").orderBy(F.asc("g2"))
+    ranked = cells.withColumn("rk", F.row_number().over(w)).withColumn(
+        "cnt", F.count("*").over(Window.partitionBy("term"))
+    )
+    if scorer == "min":
+        agg = (
+            ranked.filter(F.col("rk") == 1)
+            .select("term", F.col("g2").alias("raw"))
+        )
+    elif scorer == "tail":
+        tail_n = F.greatest(
+            F.lit(1), F.ceil(F.col("cnt") * F.lit(tail_fraction))
+        )
+        agg = (
+            ranked.filter(F.col("rk") <= tail_n)
+            .groupBy("term")
+            .agg(F.avg("g2").alias("raw"))
+        )
+    else:
+        raise KeyError(scorer)
+
+    coverage = F.pow(
+        F.col("ftd").cast("double") / F.lit(float(focus_docs_n)),
+        F.lit(dispersion),
+    )
+    return (
+        agg.join(focus_term_docs, "term")
+        .filter(F.col("ftd") >= min_focus_term_docs)
+        .select("term", round6(F.col("raw") * coverage).alias("score"))
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(top)
+    )

@@ -26,3 +26,39 @@ def suggest(tstats: DataFrame, q: str, top: int = 20) -> DataFrame:
         .orderBy(F.desc("cf"), F.asc("term"))
         .limit(top)
     )
+
+
+# explicit diacritic fold map — identical char-for-char `translate` on
+# Spark and DuckDB (the reference ASCII-folds with Lucene's
+# ASCIIFoldingFilter; this 1:1 table covers the French repertoire, with
+# the ligatures œ/æ folded to their first letter on both sides)
+FOLD_SRC = "àâäáãéèêëíìîïñóòôöõúùûüçýÿœæÀÂÄÁÃÉÈÊËÍÌÎÏÑÓÒÔÖÕÚÙÛÜÇÝŒÆ"
+FOLD_DST = "aaaaaeeeeiiiinooooouuuucyyoaAAAAAEEEEIIIINOOOOOUUUUCYOA"
+assert len(FOLD_SRC) == len(FOLD_DST)
+_FOLD_MAP = {ord(s): d for s, d in zip(FOLD_SRC, FOLD_DST)}
+
+
+def _fold_expr(col):
+    return F.lower(F.translate(col, FOLD_SRC, FOLD_DST))
+
+
+def fold_query(q: str) -> str:
+    return q.translate(_FOLD_MAP).lower()
+
+
+def suggest_folded(tstats: DataFrame, q: str, top: int = 20) -> DataFrame:
+    """Diacritic-insensitive completion (reference TermSuggest.java:1-28:
+    terms ASCII-folded at index time; query folded; prefix match for <3
+    folded chars, infix for ≥3; ranked by corpus freq)."""
+    qf = fold_query(q)
+    folded = tstats.withColumn("folded", _fold_expr(F.col("term")))
+    if len(qf) < 3:
+        pred = F.col("folded").startswith(qf)
+    else:
+        pred = F.col("folded").contains(qf)
+    return (
+        folded.filter(pred)
+        .select("term", "cf")
+        .orderBy(F.desc("cf"), F.asc("term"))
+        .limit(top)
+    )

@@ -1,0 +1,145 @@
+"""Correspondence-analysis factor map from a contingency table.
+
+Re-implements the reference's residual-SVD pipeline
+(util/.../maths/ContingencySvd.java — IPF independence fit, signed
+association residuals, SVD, axis weighting U·Σ^p, CA row-mass scaling;
+driven by web/.../OpClades.java:1-46 for term×part factor maps and by
+common/.../cli/Lucene2vec.java:1-30 for embedding exports) in numpy.
+
+Spark does what Spark is good at — the distributed contingency
+aggregation (term×part counts over billions of tokens) — and the tiny
+dense matrix (top-terms × parts, e.g. 500×20) is decomposed on the
+driver, exactly as the reference decomposes in-process after collecting
+postings counts. Residual formulas (ContingencySvd.java:630-648):
+
+    FT      = √O + √(O+1) − √(4E+1)
+    G2      = sign(O−E) · √max(0, 2(O·ln(O/E) − O + E))
+    PEARSON = (O − E)/√E
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def contingency(
+    tok: DataFrame, doc_parts: DataFrame, top_terms: int = 200
+) -> tuple[list[str], list[str], np.ndarray]:
+    """Distributed (term × part) count matrix for the most frequent
+    terms. Returns (terms, parts, observed)."""
+    t = tok.join(F.broadcast(doc_parts), "doc_id")
+    top = (
+        t.groupBy("term").agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("term")).limit(top_terms)
+    )
+    cells = (
+        t.join(F.broadcast(top.select("term")), "term")
+        .groupBy("term", "part")
+        .agg(F.count("*").alias("freq"))
+        .collect()
+    )
+    terms = sorted({r["term"] for r in cells})
+    parts = sorted({r["part"] for r in cells})
+    ti = {x: i for i, x in enumerate(terms)}
+    pi = {x: i for i, x in enumerate(parts)}
+    obs = np.zeros((len(terms), len(parts)))
+    for r in cells:
+        obs[ti[r["term"]], pi[r["part"]]] = r["freq"]
+    return terms, parts, obs
+
+
+def ipf_expectation(
+    obs: np.ndarray, iters: int = 100, tol: float = 1e-10
+) -> np.ndarray:
+    """Iterative proportional fitting of the independence model
+    (ContingencySvd.expectationIpf): expected matrix with the observed
+    row and column margins."""
+    row = obs.sum(axis=1)
+    col = obs.sum(axis=0)
+    e = np.outer(row, col) / max(obs.sum(), 1e-300)
+    for _ in range(iters):
+        rs = e.sum(axis=1)
+        e *= np.where(rs > 0, row / np.where(rs > 0, rs, 1.0), 0.0)[:, None]
+        cs = e.sum(axis=0)
+        e *= np.where(cs > 0, col / np.where(cs > 0, cs, 1.0), 0.0)[None, :]
+        if (
+            np.abs(e.sum(axis=1) - row).max() < tol
+            and np.abs(e.sum(axis=0) - col).max() < tol
+        ):
+            break
+    return e
+
+
+def residuals(obs: np.ndarray, exp: np.ndarray, assoc: str = "PEARSON") -> np.ndarray:
+    exp_safe = np.where(exp > 0, exp, 1e-300)
+    if assoc == "FT":
+        return np.sqrt(obs) + np.sqrt(obs + 1.0) - np.sqrt(4.0 * exp + 1.0)
+    if assoc == "G2":
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lg = np.where(obs > 0, obs * np.log(obs / exp_safe), 0.0)
+        dev = 2.0 * (lg - obs + exp)
+        return np.sign(obs - exp) * np.sqrt(np.maximum(dev, 0.0))
+    if assoc == "PEARSON":
+        return (obs - exp) / np.sqrt(exp_safe)
+    raise KeyError(assoc)
+
+
+def _stable_signs(u: np.ndarray) -> np.ndarray:
+    """Deterministic SVD sign convention: the largest-|value| component
+    of each left singular vector is made positive (rank-identity across
+    runs and cluster sizes — SVD signs are otherwise arbitrary)."""
+    idx = np.argmax(np.abs(u), axis=0)
+    signs = np.sign(u[idx, np.arange(u.shape[1])])
+    signs[signs == 0] = 1.0
+    return signs
+
+
+def ca_map(
+    tok: DataFrame,
+    doc_parts: DataFrame,
+    top_terms: int = 200,
+    axes: int = 2,
+    assoc: str = "PEARSON",
+    axis_power: float = 1.0,
+    row_mass_scale: bool = True,
+) -> pd.DataFrame:
+    """Full pipeline → pandas (term, x, y, …, cos2, inertia share).
+
+    axis_power: 0 → U, 0.5 → U√Σ, 1 → UΣ (weightAxes,
+    ContingencySvd.java:571)."""
+    terms, parts, obs = contingency(tok, doc_parts, top_terms)
+    exp = ipf_expectation(obs)
+    res = residuals(obs, exp, assoc)
+    u, s, _vt = np.linalg.svd(res, full_matrices=False)
+    k = min(axes, s.size)
+    signs = _stable_signs(u[:, :k])
+    coords = u[:, :k] * signs[None, :] * np.power(s[:k], axis_power)[None, :]
+    if row_mass_scale:
+        mass = obs.sum(axis=1) / max(obs.sum(), 1e-300)
+        coords = coords / np.sqrt(np.where(mass > 0, mass, 1e-300))[:, None]
+    total_inertia = float((res**2).sum())
+    axis_inertia = (s[:k] ** 2) / max(total_inertia, 1e-300)
+    # cos2: share of a row's (principal-coordinate) squared norm carried
+    # by the kept axes — computed pre-mass-scaling; the row-mass factor
+    # cancels in the ratio so it must not be applied to one side only
+    full = u * np.power(s, axis_power)[None, :]
+    cos2 = (full[:, :k] ** 2).sum(axis=1) / np.maximum(
+        (full**2).sum(axis=1), 1e-300
+    )
+    out = {"term": terms}
+    for j in range(k):
+        out[f"axis{j + 1}"] = np.round(coords[:, j], 6)
+    out["cos2"] = np.round(cos2, 6)
+    df = pd.DataFrame(out)
+    df.attrs["axis_inertia"] = axis_inertia.tolist()
+    df.attrs["parts"] = parts
+    return df
+
+
+def ca_map_df(spark, tok, doc_parts, top_terms=100, axes=2) -> DataFrame:
+    """Spark DataFrame wrapper for the driver contract."""
+    pdf = ca_map(tok, doc_parts, top_terms=top_terms, axes=axes)
+    return spark.createDataFrame(pdf)

@@ -1,0 +1,163 @@
+"""Theme term weighting: corpus- and focus-level BM25 term scores.
+
+Exact port of the reference's ``IdfTermScorer.BM25``
+(common/.../terms/IdfTermScorer.java:208-358):
+
+    idf    = ln(1 + (N − df + 0.5)/(df + 0.5)) ^ idfExp     (:243-254)
+    local  = tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))           (:256-272)
+    no focus:  score = idf · Σ_docs local                   (:311-313)
+    IRDF:      score = irdf · Σ_{focus docs} local, with
+               irdf = ln(1 + (restDocs−restDf+0.5)/(restDf+0.5))^idfExp  (:337-342)
+    MINUS:     score = idf · (focusAcc − restAcc)           (:352-353)
+
+Default idfExp = 0.9 (:227). This is the scorer behind the reference's
+"theme terms of the whole corpus" ranking (web/.../OpTerms.java:101-112)
+and the per-doc variant (TermDocScorer.BM25, TermDocScorer.java:87-202)
+used for doc-vector exports (Lucene2vec).
+
+Everything is two groupBy aggregations + column math — one shuffle,
+top-k; SQL-expressible, so every operator here is oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from alix_spark.query.bm25 import B, K1
+from alix_spark.util import round6
+
+IDF_EXP = 0.9  # reference IdfTermScorer.java:227
+
+
+def _local_expr(k1: float = K1, b: float = B) -> "F.Column":
+    tf = F.col("tf").cast("double")
+    norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    return (tf * F.lit(k1 + 1.0)) / (tf + norm)
+
+
+def theme_weights(
+    post: DataFrame,
+    dstats: DataFrame,
+    tstats: DataFrame,
+    cstats: DataFrame,
+    idf_exp: float = IDF_EXP,
+    top: int = 50,
+) -> DataFrame:
+    """Corpus theme ranking: score = idf^exp · Σ_docs local.
+
+    post (term, doc_id, tf) · dstats (doc_id, dl) · tstats (term, df)
+    · cstats (corpus_docs, avgdl). Returns (term, df, score) top-k by
+    (score desc, term asc)."""
+    acc = (
+        post.join(dstats.select("doc_id", "dl"), "doc_id")
+        .crossJoin(F.broadcast(cstats.select("corpus_docs", "avgdl")))
+        .groupBy("term")
+        .agg(F.sum(_local_expr()).alias("acc"), F.first("corpus_docs").alias("n"))
+    )
+    idf = F.pow(
+        F.log(
+            F.lit(1.0)
+            + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        ),
+        F.lit(idf_exp),
+    )
+    return (
+        acc.join(F.broadcast(tstats.select("term", "df")), "term")
+        .select("term", "df", round6(idf * F.col("acc")).alias("score"))
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(top)
+    )
+
+
+def theme_weights_focus(
+    post: DataFrame,
+    dstats: DataFrame,
+    tstats: DataFrame,
+    cstats: DataFrame,
+    focus_docs: DataFrame,
+    idf_exp: float = IDF_EXP,
+    mode: str = "irdf",
+    top: int = 50,
+) -> DataFrame:
+    """Focus-vs-rest theme ranking (OpTerms branch 2 analogue).
+
+    mode 'irdf' (reference default): rarity measured outside the focus;
+    mode 'minus': idf · (focusAcc − restAcc).
+    focus_docs: (doc_id) subset."""
+    marked = (
+        post.join(dstats.select("doc_id", "dl"), "doc_id")
+        .crossJoin(F.broadcast(cstats.select("corpus_docs", "avgdl")))
+        .join(
+            F.broadcast(focus_docs.select("doc_id").withColumn("isf", F.lit(1))),
+            "doc_id",
+            "left",
+        )
+        .withColumn("isf", F.coalesce(F.col("isf"), F.lit(0)))
+    )
+    n_focus_docs = focus_docs.count()
+    per_term = marked.groupBy("term").agg(
+        F.sum(F.when(F.col("isf") == 1, _local_expr()).otherwise(0.0)).alias("acc"),
+        F.sum(F.when(F.col("isf") == 0, _local_expr()).otherwise(0.0)).alias("other_acc"),
+        F.sum(F.col("isf")).alias("focus_df"),
+        F.first("corpus_docs").alias("n"),
+    )
+    joined = per_term.join(F.broadcast(tstats.select("term", "df")), "term")
+    if mode == "irdf":
+        rest_docs = F.col("n") - F.lit(float(n_focus_docs))
+        rest_df = F.col("df") - F.col("focus_df")
+        irdf = F.pow(
+            F.log(
+                F.lit(1.0)
+                + (rest_docs - rest_df + F.lit(0.5)) / (rest_df + F.lit(0.5))
+            ),
+            F.lit(idf_exp),
+        )
+        score = irdf * F.col("acc")
+    elif mode == "minus":
+        idf = F.pow(
+            F.log(
+                F.lit(1.0)
+                + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            ),
+            F.lit(idf_exp),
+        )
+        score = idf * (F.col("acc") - F.col("other_acc"))
+    else:
+        raise KeyError(mode)
+    return (
+        joined.filter(F.col("focus_df") > 0)
+        .select("term", round6(score).alias("score"))
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(top)
+    )
+
+
+def doc_term_weights(
+    post: DataFrame,
+    dstats: DataFrame,
+    tstats: DataFrame,
+    cstats: DataFrame,
+    idf_exp: float = 1.0,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Per-(term, doc) BM25 weight table — the reference's doc-vector
+    export path (TermDocScorer.BM25 → Lucene2vec,
+    common/.../cli/Lucene2vec.java:1-30)."""
+    idf = F.pow(
+        F.log(
+            F.lit(1.0)
+            + (F.col("corpus_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        ),
+        F.lit(idf_exp),
+    )
+    return (
+        post.join(dstats.select("doc_id", "dl"), "doc_id")
+        .join(F.broadcast(tstats.select("term", "df")), "term")
+        .crossJoin(F.broadcast(cstats.select("corpus_docs", "avgdl")))
+        .select(
+            "term", "doc_id", "tf",
+            round6(idf * _local_expr(k1, b)).alias("weight"),
+        )
+    )

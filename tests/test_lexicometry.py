@@ -1,0 +1,223 @@
+"""Lexicometry-layer tests: theme weights, partitioned keyness vs a
+pure-python reference implementation, cooc profile/matrix invariants,
+CA map properties, folded suggest, KWIC."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from alix_spark.index import simple
+from alix_spark.lexicometry import cooc, partition, suggest, svd, theme
+from alix_spark.query import kwic
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    tok = simple.tokens(docs).cache()
+    tok.count()
+    return docs, tok
+
+
+def _bm25_inputs(tok):
+    return (
+        simple.postings(tok),
+        simple.doc_stats(tok).select("doc_id", "dl"),
+        simple.term_stats(tok),
+        simple.corpus_stats(tok).select("corpus_docs", "avgdl"),
+    )
+
+
+# ---------------------------------------------------------------- theme
+
+
+def test_theme_weights_formula(spark, data):
+    """Spot-check one term against a hand-computed IdfTermScorer.BM25."""
+    docs, tok = data
+    post, dstats, tstats, cstats = _bm25_inputs(tok)
+    got = {r["term"]: r["score"]
+           for r in theme.theme_weights(post, dstats, tstats, cstats, top=1000).collect()}
+    rows = post.join(dstats, "doc_id").crossJoin(cstats).collect()
+    n = rows[0]["corpus_docs"]
+    avgdl = rows[0]["avgdl"]
+    accs: dict[str, float] = {}
+    dfs: dict[str, set] = {}
+    for r in rows:
+        local = (r["tf"] * 2.2) / (r["tf"] + 1.2 * (0.25 + 0.75 * r["dl"] / avgdl))
+        accs[r["term"]] = accs.get(r["term"], 0.0) + local
+        dfs.setdefault(r["term"], set()).add(r["doc_id"])
+    for term in list(accs)[:20]:
+        df = len(dfs[term])
+        idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5)) ** 0.9
+        want = idf * accs[term]
+        assert got[term] == pytest.approx(want, abs=2e-6)
+
+
+def test_doc_term_weights_positive(spark, data):
+    _, tok = data
+    w = theme.doc_term_weights(*_bm25_inputs(tok))
+    assert w.filter(F.col("weight") <= 0).count() == 0
+
+
+# ------------------------------------------------ partitioned keyness
+
+
+def _py_part_keyness(rows, part_tokens, focus, scorer, ftd, focus_docs,
+                     min_ftd=3, disp=0.3, tail=0.2):
+    """Pure-python PartScorer.LogLikelihood[Tail] reference."""
+    def signed_g2(a, fa, b, fb):
+        if fa <= 0 or fb <= 0:
+            return None
+        na, nb = fa - a, fb - b
+        t, nt = a + b, na + nb
+        if t <= 0 or nt <= 0:
+            return 0.0
+        n = fa + fb
+        def cell(o, e):
+            return 2.0 * o * math.log(o / e) if o > 0 and e > 0 else 0.0
+        g2 = (cell(a, t * fa / n) + cell(b, t * fb / n)
+              + cell(na, nt * fa / n) + cell(nb, nt * fb / n))
+        return g2 if a / fa >= b / fb else -g2
+
+    fa = part_tokens[focus]
+    out = {}
+    terms = {t for (t, p) in rows if p == focus}
+    for term in terms:
+        if ftd.get(term, 0) < min_ftd:
+            continue
+        a = rows.get((term, focus), 0)
+        scores = []
+        for p, fb in part_tokens.items():
+            if p == focus:
+                continue
+            g2 = signed_g2(a, fa, rows.get((term, p), 0), fb)
+            if g2 is not None:
+                scores.append(g2)
+        if not scores:
+            continue
+        if scorer == "min":
+            raw = min(scores)
+        else:
+            scores.sort()
+            k = max(1, math.ceil(len(scores) * tail))
+            raw = sum(scores[:k]) / k
+        out[term] = raw * (ftd[term] / focus_docs) ** disp
+    return out
+
+
+@pytest.mark.parametrize("scorer", ["min", "tail"])
+def test_partition_keyness_vs_python(spark, data, scorer):
+    docs, tok = data
+    parts = docs.select("doc_id", F.col("lang").alias("part"))
+    got = {r["term"]: r["score"]
+           for r in partition.partition_keyness(tok, parts, "fr", scorer=scorer, top=1000).collect()}
+    t = tok.join(parts, "doc_id")
+    rows = {(r["term"], r["part"]): r["cnt"]
+            for r in t.groupBy("term", "part").agg(F.count("*").alias("cnt")).collect()}
+    part_tokens = {r["part"]: r["cnt"]
+                   for r in t.groupBy("part").agg(F.count("*").alias("cnt")).collect()}
+    ftd = {r["term"]: r["d"]
+           for r in t.filter(F.col("part") == "fr").groupBy("term")
+           .agg(F.countDistinct("doc_id").alias("d")).collect()}
+    focus_docs = parts.filter(F.col("part") == "fr").count()
+    want = _py_part_keyness(rows, part_tokens, "fr", scorer, ftd, focus_docs)
+    want_top = dict(sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:1000])
+    assert set(got) == set(want_top)
+    for term, score in got.items():
+        assert score == pytest.approx(want_top[term], abs=2e-6)
+
+
+# ----------------------------------------------------------------- cooc
+
+
+def test_cooc_profile_cumulative(spark, data):
+    _, tok = data
+    rows = cooc.cooc_profile(tok, "select", max_dist=4, top=5).collect()
+    by_term: dict[str, list] = {}
+    for r in rows:
+        by_term.setdefault(r["term"], []).append(r)
+    for term, rs in by_term.items():
+        rs.sort(key=lambda r: r["dist"])
+        cum = 0
+        for r in rs:
+            cum += r["freq"]
+            assert r["cum_freq"] == cum
+
+
+def test_cooc_matrix_symmetric_bounds(spark, data):
+    _, tok = data
+    rows = cooc.cooc_matrix(tok, ["select", "from", "where"], window=4).collect()
+    for r in rows:
+        assert r["a"] < r["b"]
+        assert 0 < r["dice"] <= 1.0
+        assert 0 < r["jaccard"] <= r["dice"]
+        assert r["n_ab"] <= min(r["n_a"], r["n_b"]) * 9  # window multiplicity bound
+
+
+# ------------------------------------------------------------------- CA
+
+
+def test_ca_map_invariants(spark, data):
+    docs, tok = data
+    parts = docs.select("doc_id", F.col("lang").alias("part"))
+    pdf = svd.ca_map(tok, parts, top_terms=20, axes=2)
+    assert list(pdf.columns) == ["term", "axis1", "axis2", "cos2"]
+    assert ((pdf["cos2"] >= 0) & (pdf["cos2"] <= 1.0 + 1e-9)).all()
+    inertia = pdf.attrs["axis_inertia"]
+    assert 0 < sum(inertia) <= 1.0 + 1e-9
+    # determinism incl. sign convention
+    pdf2 = svd.ca_map(tok, parts, top_terms=20, axes=2)
+    assert (pdf["axis1"] == pdf2["axis1"]).all()
+
+
+def test_ipf_margins():
+    rng = np.random.default_rng(5)
+    obs = rng.integers(0, 50, size=(8, 4)).astype(float)
+    e = svd.ipf_expectation(obs)
+    assert np.allclose(e.sum(axis=1), obs.sum(axis=1), atol=1e-6)
+    assert np.allclose(e.sum(axis=0), obs.sum(axis=0), atol=1e-6)
+
+
+def test_residual_formulas():
+    obs = np.array([[4.0]])
+    exp = np.array([[2.0]])
+    assert svd.residuals(obs, exp, "PEARSON")[0, 0] == pytest.approx((4 - 2) / math.sqrt(2))
+    g2 = 2 * (4 * math.log(2) - 4 + 2)
+    assert svd.residuals(obs, exp, "G2")[0, 0] == pytest.approx(math.sqrt(g2))
+    ft = 2.0 + math.sqrt(5) - 3.0
+    assert svd.residuals(obs, exp, "FT")[0, 0] == pytest.approx(ft)
+
+
+# --------------------------------------------------------------- suggest
+
+
+def test_suggest_folded_matches_accented(spark):
+    sdf = spark.createDataFrame(
+        [("résumé", 1, 10), ("resume", 1, 5), ("été", 1, 7), ("autre", 1, 3)],
+        "term string, df long, cf long",
+    )
+    got = [r["term"] for r in suggest.suggest_folded(sdf, "resu", top=10).collect()]
+    assert got == ["résumé", "resume"]
+    got2 = [r["term"] for r in suggest.suggest_folded(sdf, "éte", top=10).collect()]
+    assert got2 == ["été"]
+
+
+# ------------------------------------------------------------------ kwic
+
+
+def test_kwic_contexts(spark):
+    sdf = spark.createDataFrame(
+        [(1, i, t) for i, t in enumerate("a b pivot c d e pivot f".split())],
+        "doc_id long, pos int, term string",
+    )
+    rows = kwic.kwic(sdf, "pivot", width=2, limit=10).collect()
+    assert [(r["doc_id"], r["pos"], r["left_ctx"], r["right_ctx"]) for r in rows] == [
+        (1, 2, "a b", "c d"),
+        (1, 6, "d e", "f"),
+    ]
