@@ -41,21 +41,32 @@ def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 
 
 def doc_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
-    """(doc_id, shingles array<string>, n_sh)."""
-    toks = df.select(F.col(id_col).alias("doc_id"), tokens_array(df, text_col).alias("__toks"))
-    parts = ", ".join(f"__toks[i + {j}]" for j in range(n))
-    # guard: Spark sequence(0, negative) DESCENDS, so short docs need an
-    # explicit empty array
-    sh = toks.select(
-        "doc_id",
-        F.expr(
-            f"IF(size(__toks) >= {n}, "
-            f"array_distinct(transform(sequence(0, size(__toks) - {n}), "
-            f"i -> concat_ws(' ', {parts}))), "
-            f"CAST(array() AS ARRAY<STRING>))"
-        ).alias("shingles"),
-    )
-    return sh.withColumn("n_sh", F.size("shingles").cast("long")).filter(F.col("n_sh") > 0)
+    """(doc_id, shingles array<string>, n_sh) — distinct word n-grams,
+    first-occurrence order.
+
+    Built in mapInPandas: Spark's higher-order array functions
+    (transform/sequence lambdas) are interpreted, not codegen'd, and
+    measured ~6x slower than the Arrow-batched python join for this
+    shape. The shingle contract (space-joined lowercase token n-grams,
+    distinct) is unchanged and shared with the DuckDB oracle."""
+    ensure_py_files(df.sparkSession)
+    toks = df.select(F.col(id_col).alias("doc_id"), tokens_array(df, text_col).alias("toks"))
+
+    def gen(it):
+        for pdf in it:
+            ids, shs, ns = [], [], []
+            for doc_id, tl in zip(pdf["doc_id"], pdf["toks"]):
+                tl = list(tl)
+                sh = list(dict.fromkeys(
+                    " ".join(tl[i : i + n]) for i in range(len(tl) - n + 1)
+                ))
+                if sh:
+                    ids.append(doc_id)
+                    shs.append(sh)
+                    ns.append(len(sh))
+            yield pd.DataFrame({"doc_id": ids, "shingles": shs, "n_sh": ns})
+
+    return toks.mapInPandas(gen, "doc_id long, shingles array<string>, n_sh long")
 
 
 def jaccard_pairs(
@@ -93,15 +104,13 @@ def jaccard_pairs(
     )
 
 
-def _hash64(arr: "np.ndarray") -> "np.ndarray":
-    """Stable 64-bit hash of an array of python strings (FNV-1a)."""
-    out = np.empty(len(arr), dtype=np.uint64)
-    for i, s in enumerate(arr):
-        h = np.uint64(0xCBF29CE484222325)
-        for c in s.encode("utf-8"):
-            h = np.uint64((int(h) ^ c) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-        out[i] = h
-    return out
+def _hash64(arr) -> "np.ndarray":
+    """Stable vectorized 64-bit hash of an array of strings.
+
+    pandas' hash_array (SipHash-based, fixed key) is deterministic
+    across processes, machines, and cluster sizes, and runs at C speed
+    over the whole array — no per-character Python."""
+    return pd.util.hash_array(np.asarray(arr, dtype=object), categorize=False)
 
 
 def minhash_signatures(
@@ -115,9 +124,13 @@ def minhash_signatures(
     parallelism (cluster-size invariant).
     """
     ensure_py_files(sh.sparkSession)
+    # permutations over p = 2^31-1: a, h < 2^31 keeps a*h+b < 2^62, so
+    # the whole (num_perm × n_shingles) outer product runs in native
+    # uint64 — no object-dtype big-int fallback
+    p31 = np.uint64((1 << 31) - 1)
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, MERSENNE61, size=num_perm, dtype=np.int64).astype(np.uint64)
-    b = rng.randint(0, MERSENNE61, size=num_perm, dtype=np.int64).astype(np.uint64)
+    a = rng.randint(1, int(p31), size=num_perm).astype(np.uint64)
+    b = rng.randint(0, int(p31), size=num_perm).astype(np.uint64)
 
     def gen(it):
         for pdf in it:
@@ -126,14 +139,8 @@ def minhash_signatures(
                 if len(shingles) == 0:
                     sigs.append([0] * num_perm)
                     continue
-                h = _hash64(shingles) % np.uint64(MERSENNE61)
-                # (num_perm, n_shingles) via object-free modular arithmetic:
-                # (a*h + b) mod p with uint64 wrap is fine because p < 2^61
-                # and python ints avoid overflow in the outer product.
-                hm = (
-                    (a[:, None].astype(object) * h[None, :].astype(object) + b[:, None].astype(object))
-                    % MERSENNE61
-                )
+                h = _hash64(shingles) % p31
+                hm = (a[:, None] * h[None, :] + b[:, None]) % p31
                 sigs.append(hm.min(axis=1).astype(np.int64).tolist())
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
 
@@ -163,7 +170,10 @@ def minhash_lsh_pairs(
     the output is deterministic (LSH only prunes the pair space).
     """
     rows = num_perm // bands
-    sh = doc_shingles(df, id_col, text_col, n)
+    # the shingle table feeds signature generation AND both sides of the
+    # candidate verification join — persist or it is computed 3x (at
+    # scale: materialize to a staging table)
+    sh = doc_shingles(df, id_col, text_col, n).persist()
     sig = minhash_signatures(sh, num_perm, seed)
     band_cols = F.explode(
         F.expr(
