@@ -1,0 +1,89 @@
+"""Structured-Streaming ingest tests: micro-batched analysis + delta
+staging + compaction equals the cold batch build bit-for-bit."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from alix_spark.analysis.chain import analyzed_tokens
+from alix_spark.corpus import webtext
+from alix_spark.index import segments
+from alix_spark.query import wand
+from alix_spark.streaming import ingest
+
+
+@pytest.fixture(scope="module")
+def dirs(tmp_path_factory):
+    base = tmp_path_factory.mktemp("stream")
+    return {
+        "source": str(base / "source"),
+        "staging": str(base / "staging"),
+        "ckpt": str(base / "ckpt"),
+        "idx_stream": str(base / "idx_stream"),
+        "idx_batch": str(base / "idx_batch"),
+    }
+
+
+def test_streaming_ingest_equals_batch_build(spark, dirs):
+    # two "crawl drops" land as separate files → separate micro-batches
+    corpus = webtext.webtext(spark, 60, seed=21, partitions=2)
+    corpus.filter(F.col("url") < "https://m").write.mode("overwrite").parquet(
+        os.path.join(dirs["source"], "drop1")
+    )
+    corpus.filter(F.col("url") >= "https://m").write.mode("overwrite").parquet(
+        os.path.join(dirs["source"], "drop2")
+    )
+    # stream over both drops (availableNow drains then stops)
+    q = ingest.start_ingest(
+        spark,
+        dirs["source"] + "/*",
+        dirs["staging"],
+        dirs["ckpt"],
+        trigger_available_now=True,
+    )
+    q.awaitTermination(300)
+
+    meta_s = ingest.compact(spark, dirs["staging"], dirs["idx_stream"], n_shards=4)
+
+    # cold batch build over the same pages
+    docs = webtext.doc_ids(corpus)
+    tok = analyzed_tokens(docs, light=True).select("doc_id", "pos", "term")
+    meta_b = segments.build_index(spark, tok, dirs["idx_batch"], n_shards=4)
+
+    assert meta_s["corpus_docs"] == meta_b["corpus_docs"] == 60
+    assert meta_s["corpus_tokens"] == meta_b["corpus_tokens"]
+
+    for terms, mode in [(["ville", "roi"], "and"), (["guerre", "paix"], "or")]:
+        a = wand.query_local(dirs["idx_stream"], terms, k=10, mode=mode)
+        b = wand.query_local(dirs["idx_batch"], terms, k=10, mode=mode)
+        assert a == b and len(a) > 0
+
+
+def test_compaction_dedups_recrawled_urls(spark, dirs, tmp_path):
+    """A url recrawled in a later batch keeps only its latest tokens."""
+    src = str(tmp_path / "src")
+    stg = str(tmp_path / "stg")
+    ck = str(tmp_path / "ck")
+    idx = str(tmp_path / "idx")
+
+    v1 = spark.createDataFrame(
+        [("https://a/1", "2024-01-01 00:00:00", b"<p>ancienne ville</p>", "x", "fr")],
+        "url string, warc_ts string, html binary, text string, lang string",
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    v2 = spark.createDataFrame(
+        [("https://a/1", "2024-02-01 00:00:00", b"<p>nouvelle guerre</p>", "x", "fr")],
+        "url string, warc_ts string, html binary, text string, lang string",
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    v1.write.parquet(os.path.join(src, "d1"))
+    v2.write.parquet(os.path.join(src, "d2"))
+
+    q = ingest.start_ingest(spark, src + "/*", stg, ck, trigger_available_now=True)
+    q.awaitTermination(300)
+    ingest.compact(spark, stg, idx, n_shards=2)
+
+    # only the recrawl's tokens survive
+    assert wand.query_local(idx, ["guerre"], k=10, mode="and")
+    assert not wand.query_local(idx, ["ville"], k=10, mode="and")
