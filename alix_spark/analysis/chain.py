@@ -64,11 +64,21 @@ def extract_text(html: str | bytes) -> str:
     return "\n".join(ln for ln in lines if ln)
 
 
-def analyze(src: str | bytes) -> list[tuple[str, int, str, str]]:
-    """Full chain on one document: ``[(term, pos, pos_tag, lemma)]``."""
+def analyze(
+    src: str | bytes, tagger_path: str | None = None
+) -> list[tuple[str, int, str, str]]:
+    """Full chain on one document: ``[(term, pos, pos_tag, lemma)]``.
+
+    ``tagger_path``: optional OpenNLP POS model (.bin) — switches the
+    POS stage to maxent inference (loaded once per process)."""
     if isinstance(src, (bytes, bytearray)):
         src = bytes(src).decode("utf-8", errors="replace")
-    return run_chain(tokenize(src))
+    tagger = None
+    if tagger_path:
+        from alix_spark.analysis.maxent import load_tagger
+
+        tagger = load_tagger(tagger_path)
+    return run_chain(tokenize(src), tagger=tagger)
 
 
 # ------------------------------------------------------- Spark operators
@@ -82,6 +92,7 @@ def analyzed_tokens(
     src_col: str = "html",
     id_type: str = "long",
     light: bool = False,
+    tagger_path: str | None = None,
 ) -> DataFrame:
     """Distributed analysis: ``(id, html) → (id, pos, term, pos_tag,
     lemma)`` exploded token table via mapInPandas (Arrow batches; the
@@ -112,7 +123,7 @@ def analyzed_tokens(
             tags: list = []
             lemmas: list = []
             for doc_id, src in zip(pdf["_id"], pdf["src"]):
-                toks = analyze(src)
+                toks = analyze(src, tagger_path=tagger_path)
                 ids.extend([doc_id] * len(toks))
                 if light:
                     for term, pos, _tag, _lemma in toks:

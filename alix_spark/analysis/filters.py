@@ -255,6 +255,59 @@ def pos_filter(toks: list[Tok]) -> list[Tok]:
     return toks
 
 
+def pos_filter_maxent(toks: list[Tok], tagger) -> list[Tok]:
+    """Maxent POS tagging with the reference's sentence-buffered
+    semantics (PosTaggingFilter.java:66-354): words buffered to a
+    sentence boundary (≤300 tokens, :69-70); boundaries fed to the
+    tagger as "."; hyphens stripped from tagger input (HYPHEN_REWRITER,
+    :97-102); the UD tag written back with ``+``→``_`` (:343) to word
+    tokens only — punctuation/number tags are never overwritten
+    (:318-321). The tagger is an
+    :class:`alix_spark.analysis.maxent.MaxentTagger` over the same
+    OpenNLP model the reference loads (FrenchAnalyzer.java:74-79)."""
+    MAX_SENT = 300
+
+    # structural tags first (same as the lexicon tagger)
+    for t in toks:
+        if t.ttype == S:
+            t.pos_tag = lx.PUNCT_SENT
+        elif t.ttype == C:
+            t.pos_tag = lx.PUNCT_CLAUSE
+        elif t.ttype == N:
+            t.pos_tag = "DIGIT"
+
+    buf: list[tuple[int, str]] = []  # (index in toks, tagger input)
+
+    def flush() -> None:
+        if not buf:
+            return
+        words = [w for _, w in buf]
+        tags = tagger.tag(words)
+        for (idx, _), tag in zip(buf, tags):
+            if toks[idx].ttype == W:
+                toks[idx].pos_tag = tag.replace("+", "_")
+        buf.clear()
+
+    for i, t in enumerate(toks):
+        if t.ttype == X:
+            continue  # skipped entirely (1→0)
+        if t.ttype in (S, B):
+            buf.append((i, "."))
+            flush()
+            continue
+        if t.ttype == C:
+            buf.append((i, t.term))
+            continue
+        if not t.term:
+            continue
+        word = t.term.replace("-", "") if t.ttype == W else t.term
+        buf.append((i, word if word else t.term))
+        if len(buf) >= MAX_SENT:
+            flush()
+    flush()
+    return toks
+
+
 # ---------------------------------------------------------------- lemma
 
 
@@ -381,14 +434,22 @@ def cleanup_filter(toks: list[Tok]) -> list[tuple[str, int, str, str]]:
     return out
 
 
-def run_chain(tokens: list[Token]) -> list[tuple[str, int, str, str]]:
-    """tokenize() output → final indexable tokens."""
+def run_chain(tokens: list[Token], tagger=None) -> list[tuple[str, int, str, str]]:
+    """tokenize() output → final indexable tokens.
+
+    ``tagger=None`` uses the deterministic lexicon tagger (goldens are
+    pinned to it, SURVEY §7 option iii); passing a
+    ``maxent.MaxentTagger`` switches to the reference's OpenNLP model
+    path (option i)."""
     toks = annotate(tokens)
     toks = boundary_filter(toks)
     toks = clitic_filter(toks)
     toks = replace_filter(toks)
     toks = uppercase_filter(toks)
-    toks = pos_filter(toks)
+    if tagger is None:
+        toks = pos_filter(toks)
+    else:
+        toks = pos_filter_maxent(toks, tagger)
     toks = lemma_filter(toks)
     toks = mwe_filter(toks)
     toks = stop_filter(toks)

@@ -1,0 +1,225 @@
+"""OpenNLP-compatible GIS maxent POS tagger (pure numpy inference).
+
+The reference tags tokens with an OpenNLP maxent model
+(``opennlp-fr-ud-gsd-pos-1.3-2.5.4.bin``, loaded in
+FrenchAnalyzer.java:74-79 and applied sentence-buffered in
+PosTaggingFilter.java:66-354). This module is SURVEY §7 hard-part #1
+**option (i)**: read the public OpenNLP binary model format and
+re-implement inference, so the SAME model file produces the same tags
+— without a JVM on the executors.
+
+Format (public Apache OpenNLP serialization — a zip holding
+``manifest.properties``, ``generator.featuregen`` and ``pos.model``;
+the latter is Java-DataOutputStream ``GIS``):
+
+    UTF "GIS" · int correctionConstant · double correctionParam ·
+    int nOutcomes · UTF outcome[i] ·
+    int nPatterns · UTF "count oid oid…"[i] ·
+    int nPredicates · UTF predName[i] (grouped by pattern) ·
+    double params (per predicate, one per outcome in its pattern)
+
+Feature generation reproduces the model's own ``generator.featuregen``
+configuration (verified against the predicate vocabulary embedded in
+the model): ``def``; ``suf=``/``pre=`` 1-4 chars (original case);
+``w=`` lowercased token in a ±2 window (``p2w= p1w= w= n1w= n2w=``);
+sentence-begin ``S=begin`` in the same window (``p1S= p2S=``);
+token-class ``wc=``/``w&c=`` (OpenNLP StringPattern classes); tag
+history ``t=`` / ``t2=`` fed by the beam decoder (beam size from the
+manifest, default 3).
+"""
+
+from __future__ import annotations
+
+import io
+import math
+import struct
+import zipfile
+from functools import lru_cache
+
+import numpy as np
+
+
+def _read_utf(b: io.BytesIO) -> str:
+    (n,) = struct.unpack(">H", b.read(2))
+    return b.read(n).decode("utf-8")
+
+
+def _read_int(b: io.BytesIO) -> int:
+    return struct.unpack(">i", b.read(4))[0]
+
+
+def _read_double(b: io.BytesIO) -> float:
+    return struct.unpack(">d", b.read(8))[0]
+
+
+class GisModel:
+    """A loaded GIS maxent model: predicate → (outcome ids, params)."""
+
+    def __init__(self, outcomes, pred_index, pred_outcomes, pred_params):
+        self.outcomes = outcomes
+        self.n_outcomes = len(outcomes)
+        self.pred_index = pred_index          # name → pid
+        self.pred_outcomes = pred_outcomes    # pid → np int array
+        self.pred_params = pred_params        # pid → np float array
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "GisModel":
+        b = io.BytesIO(data)
+        kind = _read_utf(b)
+        if kind != "GIS":
+            raise ValueError(f"unsupported maxent model type {kind!r}")
+        _read_int(b)      # correction constant (unused in modern eval)
+        _read_double(b)   # correction param (unused)
+        outcomes = [_read_utf(b) for _ in range(_read_int(b))]
+        pats = []
+        for _ in range(_read_int(b)):
+            parts = _read_utf(b).split(" ")
+            pats.append((int(parts[0]), np.array([int(x) for x in parts[1:]])))
+        n_pred = _read_int(b)
+        names = [_read_utf(b) for _ in range(n_pred)]
+        pred_outcomes: list[np.ndarray] = []
+        for count, oids in pats:
+            pred_outcomes.extend([oids] * count)
+        pred_params = []
+        for oids in pred_outcomes:
+            pred_params.append(
+                np.array([_read_double(b) for _ in range(oids.size)])
+            )
+        return cls(
+            outcomes,
+            {n: i for i, n in enumerate(names)},
+            pred_outcomes,
+            pred_params,
+        )
+
+    @classmethod
+    def load_pos_model(cls, bin_path: str) -> tuple["GisModel", int]:
+        """Load from an OpenNLP POSModel zip; returns (model, beam)."""
+        z = zipfile.ZipFile(bin_path)
+        beam = 3
+        try:
+            for line in z.read("manifest.properties").decode().splitlines():
+                if line.startswith("BeamSize="):
+                    beam = int(line.split("=", 1)[1])
+        except KeyError:
+            pass
+        return cls.from_bytes(z.read("pos.model")), beam
+
+    def eval(self, features: list[str]) -> np.ndarray:
+        """P(outcome | features): softmax over summed parameters of the
+        known predicates (unknown features contribute nothing — the
+        OpenNLP GISModel.eval contract)."""
+        sums = np.zeros(self.n_outcomes)
+        for f in features:
+            pid = self.pred_index.get(f)
+            if pid is not None:
+                sums[self.pred_outcomes[pid]] += self.pred_params[pid]
+        m = sums.max()
+        e = np.exp(sums - m)
+        return e / e.sum()
+
+
+# ---------------------------------------------------- token class (wc=)
+
+
+def _token_class(tok: str) -> str:
+    """OpenNLP FeatureGeneratorUtil.tokenFeature / StringPattern."""
+    digits = sum(c.isdigit() for c in tok)
+    letters = any(c.isalpha() for c in tok)
+    if tok and all(c.isalpha() and c.islower() for c in tok):
+        return "lc"
+    if digits == 2:
+        return "2d"
+    if digits == 4:
+        return "4d"
+    if digits > 0:
+        if letters:
+            return "an"
+        if "-" in tok:
+            return "dd"
+        if "/" in tok:
+            return "ds"
+        if "," in tok:
+            return "dc"
+        if "." in tok:
+            return "dp"
+        return "num"
+    if tok and all(c.isalpha() and c.isupper() for c in tok):
+        return "sc" if len(tok) == 1 else "ac"
+    if tok and tok[0].isupper():
+        return "ic"
+    if "." in tok:
+        return "cp"
+    return "other"
+
+
+def _affixes(tok: str, n: int = 4):
+    pre = [tok[: i + 1] for i in range(min(n, len(tok)))]
+    suf = [tok[-(i + 1):] for i in range(min(n, len(tok)))]
+    return pre, suf
+
+
+def sentence_features(tokens: list[str], i: int) -> list[str]:
+    """Position-independent features for token i (tag-history features
+    are appended by the beam decoder)."""
+    tok = tokens[i]
+    low = tok.lower()
+    feats = ["def"]
+    pre, suf = _affixes(tok)
+    feats.extend(f"suf={s}" for s in suf)
+    feats.extend(f"pre={p}" for p in pre)
+    # token window ±2, lowercased
+    feats.append(f"w={low}")
+    for d in (1, 2):
+        if i - d >= 0:
+            feats.append(f"p{d}w={tokens[i - d].lower()}")
+        if i + d < len(tokens):
+            feats.append(f"n{d}w={tokens[i + d].lower()}")
+    # sentence-begin window
+    if i == 0:
+        feats.append("S=begin")
+    for d in (1, 2):
+        if i - d == 0:
+            feats.append(f"p{d}S=begin")
+    c = _token_class(tok)
+    feats.append(f"wc={c}")
+    feats.append(f"w&c={low},{c}")
+    return feats
+
+
+class MaxentTagger:
+    """Beam-search POS decoder over a GisModel (POSTaggerME semantics)."""
+
+    def __init__(self, model: GisModel, beam: int = 3):
+        self.model = model
+        self.beam = beam
+
+    def tag(self, tokens: list[str]) -> list[str]:
+        if not tokens:
+            return []
+        beams: list[tuple[float, list[str]]] = [(0.0, [])]
+        for i in range(len(tokens)):
+            base = sentence_features(tokens, i)
+            nxt: list[tuple[float, list[str]]] = []
+            for logp, tags in beams:
+                feats = list(base)
+                if tags:
+                    feats.append(f"t={tags[-1]}")
+                    if len(tags) > 1:
+                        feats.append(f"t2={tags[-2]},{tags[-1]}")
+                probs = self.model.eval(feats)
+                top = np.argsort(-probs)[: self.beam]
+                for oid in top:
+                    p = probs[oid]
+                    if p <= 0:
+                        continue
+                    nxt.append((logp + math.log(p), tags + [self.model.outcomes[oid]]))
+            nxt.sort(key=lambda t: -t[0])
+            beams = nxt[: self.beam]
+        return beams[0][1]
+
+
+@lru_cache(maxsize=2)
+def load_tagger(bin_path: str) -> MaxentTagger:
+    model, beam = GisModel.load_pos_model(bin_path)
+    return MaxentTagger(model, beam)

@@ -1,0 +1,119 @@
+"""OpenNLP GIS maxent tagger tests (SURVEY §7 hard-part #1 option (i)).
+
+Model-dependent tests read the reference's public-format POS model and
+skip when it is absent; format/unit tests always run."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from alix_spark.analysis import maxent
+from alix_spark.analysis.chain import analyze
+from alix_spark.corpus.webtext import text_to_html
+
+MODEL = (
+    "/root/reference/fr/src/resources/com/github/oeuvres/alix/fr/"
+    "opennlp-fr-ud-gsd-pos-1.3-2.5.4.bin"
+)
+needs_model = pytest.mark.skipif(
+    not os.path.exists(MODEL), reason="OpenNLP model not available"
+)
+
+
+# ------------------------------------------------------- token classes
+
+
+@pytest.mark.parametrize(
+    "tok,cls",
+    [
+        ("ville", "lc"),
+        ("Ville", "ic"),
+        ("VILLE", "ac"),
+        ("V", "sc"),
+        ("42", "2d"),
+        ("2024", "4d"),
+        ("A4", "an"),
+        ("3-4", "2d"),     # digits()==2 precedes the hyphen branch
+        ("1-23", "dd"),
+        ("123/45", "ds"),
+        ("3,14", "dc"),
+        ("3.14", "dp"),
+        ("12345", "num"),
+        ("U.S.A.", "ic"),  # first-char-uppercase precedes the cp branch
+        ("etc.", "cp"),
+        ("—", "other"),
+    ],
+)
+def test_token_class(tok, cls):
+    assert maxent._token_class(tok) == cls
+
+
+def test_sentence_features_shape():
+    feats = maxent.sentence_features(["Le", "chat", "dort"], 0)
+    assert "def" in feats and "w=le" in feats and "S=begin" in feats
+    assert "n1w=chat" in feats and "n2w=dort" in feats
+    assert "pre=L" in feats and "pre=Le" in feats
+    assert "suf=e" in feats and "suf=Le" in feats
+    assert "wc=ic" in feats and "w&c=le,ic" in feats
+    feats2 = maxent.sentence_features(["Le", "chat", "dort"], 2)
+    assert "p1w=chat" in feats2 and "p2w=le" in feats2 and "p2S=begin" in feats2
+
+
+# --------------------------------------------------------- model-bound
+
+
+@needs_model
+def test_model_loads_and_probs_normalize():
+    model, beam = maxent.GisModel.load_pos_model(MODEL)
+    assert beam == 3
+    assert "NOUN" in model.outcomes and "PUNCT" in model.outcomes
+    p = model.eval(maxent.sentence_features(["ville"], 0))
+    assert p.shape == (len(model.outcomes),)
+    assert p.sum() == pytest.approx(1.0)
+    assert (p >= 0).all()
+
+
+@needs_model
+def test_tagging_linguistic_sanity():
+    tagger = maxent.load_tagger(MODEL)
+    tags = tagger.tag("Le chat mange la souris .".split())
+    assert tags == ["DET", "NOUN", "VERB", "DET", "NOUN", "PUNCT"]
+    tags = tagger.tag("Victor Hugo écrit des romans .".split())
+    assert tags[:2] == ["PROPN", "PROPN"]
+    assert tags[2] == "VERB"
+
+
+@needs_model
+def test_tagging_deterministic():
+    tagger = maxent.load_tagger(MODEL)
+    s = "Les grandes villes de France sont belles .".split()
+    assert tagger.tag(s) == tagger.tag(s)
+
+
+@needs_model
+def test_chain_with_maxent_tagger():
+    html = text_to_html(
+        "Titre simple\nLe roi voit la grande ville. Il aime les livres anciens."
+    )
+    out = analyze(html, tagger_path=MODEL)
+    terms = [t[0] for t in out]
+    # lemma projection driven by maxent tags still lands the canon forms
+    assert "roi" in terms and "voir" in terms and "ville" in terms
+    tags = {t[0]: t[2] for t in out}
+    assert tags["roi"] == "NOUN"
+    # chain still byte-stable run-to-run with the model
+    assert analyze(html, tagger_path=MODEL) == out
+
+
+@needs_model
+def test_pos_specific_lemma_with_maxent():
+    # "La porte" (NOUN) vs "il la porte" (VERB) homograph: maxent
+    # disambiguates where the lexicon tagger cannot
+    # (reference LemmaFilterTest.java:61-113 analogue)
+    html1 = text_to_html("T\nLa porte est grande.")
+    out1 = analyze(html1, tagger_path=MODEL)
+    tags1 = {t[0]: t[2] for t in out1}
+    assert tags1.get("porte") == "NOUN"
