@@ -104,10 +104,13 @@ _POOL_P = np.array([p for _, p in _POOLS])
 _POOL_P = _POOL_P / _POOL_P.sum()
 
 
-def _doc_text(rng: np.random.Generator) -> str:
-    """One document: 1-8 paragraphs of 1-6 sentences of 4-18 draws."""
+def _doc_text(rng: np.random.Generator, doc_scale: int = 1) -> str:
+    """One document: ``doc_scale`` × (1-8) paragraphs of 1-6 sentences
+    of 4-18 draws. ``doc_scale=1`` ≈ 100 tokens (unit-test size);
+    real Common-Crawl pages average 10-50× that — pass a larger scale
+    for representative benchmarks."""
     paragraphs = []
-    for _ in range(int(rng.integers(1, 9))):
+    for _ in range(int(rng.integers(1, 9)) * doc_scale):
         sentences = []
         for _ in range(int(rng.integers(1, 7))):
             n = int(rng.integers(4, 19))
@@ -152,7 +155,7 @@ def text_to_html(text: str) -> str:
     )
 
 
-def _gen_batch(doc_ids: np.ndarray, seed: int) -> pd.DataFrame:
+def _gen_batch(doc_ids: np.ndarray, seed: int, doc_scale: int = 1) -> pd.DataFrame:
     rows = []
     for doc_id in doc_ids:
         rng = np.random.default_rng(seed + int(doc_id) * 2654435761 % (1 << 63))
@@ -170,7 +173,7 @@ def _gen_batch(doc_ids: np.ndarray, seed: int) -> pd.DataFrame:
         ]
         title = " ".join(title_words)
         title = title[0].upper() + title[1:]
-        text = title + "\n" + _doc_text(rng)
+        text = title + "\n" + _doc_text(rng, doc_scale)
         html_s = text_to_html(text)
         rows.append(
             (url, ts.tz_localize(None), html_s.encode("utf-8"), text, lang)
@@ -184,7 +187,11 @@ SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
 
 
 def webtext(
-    spark: SparkSession, n_docs: int, seed: int = 42, partitions: int | None = None
+    spark: SparkSession,
+    n_docs: int,
+    seed: int = 42,
+    partitions: int | None = None,
+    doc_scale: int = 1,
 ) -> DataFrame:
     """Generate the synthetic corpus as a distributed DataFrame."""
     ensure_py_files(spark)
@@ -194,7 +201,7 @@ def webtext(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield _gen_batch(pdf["id"].to_numpy(), seed)
+            yield _gen_batch(pdf["id"].to_numpy(), seed, doc_scale)
 
     return base.mapInPandas(gen, schema=SCHEMA)
 

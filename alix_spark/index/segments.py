@@ -15,8 +15,9 @@ TeiIngester.java:37-40):
     postings/shard=K/   (term, block_id, n, max_doc, max_tf, block_ub,
                          doc_bytes, tf_bytes, dl_bytes)
     doc_stats/          (doc_id, dl, width, shard)
-    term_stats/         (term, df, cf)
-    term_dict/          (term, term_id)        — UTF-8 byte order
+    term_stats/         (term, df, cf, term_id)   — term_id dense in
+                        UTF-8 byte order (the TermLexicon dictionary
+                        and the stats sidecar as one table)
     corpus.json         (corpus_docs, corpus_tokens, avgdl)
     manifest/shard_K.json  (lineage + per-shard metrics)
 
@@ -237,10 +238,13 @@ def build_index(
     tok = tok.persist(StorageLevel.MEMORY_AND_DISK)
 
     dstats, tstats = _stats(tok)
-    corpus = tok.agg(
-        F.countDistinct("doc_id").alias("corpus_docs"),
-        F.count("*").alias("corpus_tokens"),
-    ).collect()[0]
+    # doc lengths drive both the corpus scalars (driver-side sums — no
+    # separate agg job) and the broadcast dl map for the encoder
+    dl_rows = dstats.select("doc_id", "dl").collect()
+    corpus = {
+        "corpus_docs": len(dl_rows),
+        "corpus_tokens": int(sum(r["dl"] for r in dl_rows)),
+    }
     avgdl = corpus["corpus_tokens"] / corpus["corpus_docs"]
 
     if todo:
@@ -249,33 +253,42 @@ def build_index(
         # hottest Zipf-head term, and keeps the applyInPandas group count
         # fixed instead of one-group-per-term (north rule: salted
         # repartitioning on term-hash).
-        aggs = [F.count("*").alias("tf")]
-        if with_positions:
-            aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
-        post = (
-            tok.filter(F.col("shard").isin(todo))
-            .groupBy("shard", "term", "doc_id")
-            .agg(*aggs)
-            .join(dstats.select("doc_id", "dl"), "doc_id")
-            .withColumn(
-                "tbucket", F.pmod(F.xxhash64("term"), F.lit(SALT_BUCKETS)).cast("int")
-            )
+        #
+        # Single-shuffle encode: RAW tokens shuffle once on the salted
+        # key; the (term, doc) roll-up happens inside the bucket with a
+        # C-level pandas groupby, and doc lengths arrive via broadcast
+        # (at 10^12 docs swap the broadcast for the dl join — the rest
+        # of the pipeline is unchanged).  Replaces the previous
+        # 3-shuffle plan (postings groupBy → dl join → bucket groupBy).
+        dl_bc = spark.sparkContext.broadcast(
+            {r["doc_id"]: r["dl"] for r in dl_rows}
+        )
+
+        salted = tok.filter(F.col("shard").isin(todo)).withColumn(
+            "tbucket", F.pmod(F.xxhash64("term"), F.lit(SALT_BUCKETS)).cast("int")
         )
 
         def encode(_key, pdf: pd.DataFrame) -> pd.DataFrame:
             rows: list[tuple] = []
+            dl = dl_bc.value
+            pdf = pdf.sort_values("pos", kind="stable")
             for (shard, term), g in pdf.groupby(["shard", "term"], sort=False):
+                docs_u, inv, tfs = np.unique(
+                    g["doc_id"].to_numpy(np.int64),
+                    return_inverse=True, return_counts=True,
+                )
                 pos_flat = None
                 if with_positions:
-                    pos_flat = np.concatenate(
-                        [np.asarray(p, dtype=np.int64) for p in g["positions"]]
-                    ) if len(g) else np.zeros(0, np.int64)
+                    # positions grouped by doc (stable doc order), each
+                    # doc's positions already ascending from the sort
+                    order = np.argsort(inv, kind="stable")
+                    pos_flat = g["pos"].to_numpy(np.int64)[order]
                 rows.extend(
                     _encode_term_group(
                         int(shard), term,
-                        g["doc_id"].to_numpy(np.int64),
-                        g["tf"].to_numpy(np.int64),
-                        g["dl"].to_numpy(np.int64),
+                        docs_u,
+                        tfs.astype(np.int64),
+                        np.array([dl[d] for d in docs_u], dtype=np.int64),
                         avgdl,
                         positions=pos_flat,
                     )
@@ -289,7 +302,7 @@ def build_index(
                 ],
             )
 
-        encoded = post.groupBy("shard", "tbucket").applyInPandas(
+        encoded = salted.groupBy("shard", "tbucket").applyInPandas(
             encode, schema=ENC_SCHEMA
         ).repartition(max(len(todo), 1), "shard")
         # ^ coalesce encoder output to ~one file per shard: query-side
@@ -330,15 +343,17 @@ def build_index(
                     f,
                 )
 
-    # stats sidecars (reference TermStats sidecar <field>.stats)
+    # stats sidecars (reference TermStats sidecar <field>.stats).
+    # term_stats carries the dense term_id (UTF-8 byte order, reference
+    # TermLexicon.java:46-53) so the dictionary and stats are ONE table
+    # and one write.
     dstats.withColumn(
         "shard", (F.col("doc_id") % F.lit(n_shards)).cast("int")
     ).write.mode("overwrite").parquet(os.path.join(index_dir, "doc_stats"))
-    tstats.write.mode("overwrite").parquet(os.path.join(index_dir, "term_stats"))
     w = Window.orderBy(F.encode(F.col("term"), "utf-8"))
-    tstats.select("term").withColumn(
+    tstats.withColumn(
         "term_id", F.row_number().over(w).cast("long")
-    ).write.mode("overwrite").parquet(os.path.join(index_dir, "term_dict"))
+    ).write.mode("overwrite").parquet(os.path.join(index_dir, "term_stats"))
     meta = {
         "corpus_docs": int(corpus["corpus_docs"]),
         "corpus_tokens": int(corpus["corpus_tokens"]),

@@ -31,6 +31,9 @@ from pyspark.sql import SparkSession  # noqa: E402
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-docs", type=int, default=20000)
+    ap.add_argument("--doc-scale", type=int, default=1,
+                    help="document size multiplier (1 ≈ 100 tokens; "
+                         "real web pages ≈ 10-50)")
     ap.add_argument("--index-dir", required=True)
     ap.add_argument("--n-shards", type=int, default=16)
     ap.add_argument("--seed", type=int, default=42)
@@ -58,7 +61,8 @@ def main() -> None:
         # landing table: persisted once, the analogue of reading the
         # input Iceberg table (generation is ingest, not index build)
         corpus = wt.webtext(
-            spark, args.n_docs, seed=args.seed, partitions=cores * 4
+            spark, args.n_docs, seed=args.seed, partitions=cores * 4,
+            doc_scale=args.doc_scale,
         ).persist(StorageLevel.MEMORY_AND_DISK)
         corpus.count()
     t_corpus = time.perf_counter() - t0

