@@ -22,10 +22,12 @@ from alix_spark import entry_queries  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: BM25 top-10 for the
-    2-term AND query over the documents table (the engine's §3.2
-    search path: postings → stats → intersection → BM25 → top-k)."""
-    return entry_queries.q_bm25_and(spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001: the full physical
+    path — compressed sharded segments (delta+varint blocks with skip
+    data) queried by block-max WAND, BM25 top-10 for the 2-term AND
+    query (SURVEY §3.2: term resolution → pruned postings read →
+    intersection → BM25 → top-k)."""
+    return entry_queries.q_bm25_wand_and(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -436,6 +436,34 @@ def q_kwic(spark, sf_dir):
     return kwic_mod.kwic(_tok(spark, sf_dir), "spark", width=3, limit=50)
 
 
+SNIPPET_TERMS = ["hash", "join"]
+
+
+def q_snippet_topk(spark, sf_dir):
+    """Top-10 snippet windows around query matches, scored by the sum
+    of theme weights of distinct window terms (SnippetScorer.ThemeWords
+    + TopSnippetCollector)."""
+    from alix_spark.lexicometry import theme
+    from alix_spark.query import snippets
+
+    w = theme.theme_weights(*_bm25_inputs(spark, sf_dir), top=100000)
+    return snippets.snippet_topk(
+        _tok(spark, sf_dir), w, SNIPPET_TERMS, width=5, k=10
+    )
+
+
+def q_term_embeddings(spark, sf_dir):
+    """Lucene2vec-style term embeddings: G2-residual SVD, U*sqrt(Sigma),
+    unit rows (rows-only: SVD is not SQL-expressible; deterministic via
+    the stable sign convention)."""
+    from alix_spark.lexicometry import svd as svd_mod
+
+    pdf = svd_mod.embedding_export(
+        _tok(spark, sf_dir), _doc_parts(spark, sf_dir), top_terms=31, dim=4
+    )
+    return spark.createDataFrame(pdf)
+
+
 def q_ca_map(spark, sf_dir):
     """Correspondence-analysis factor map (OpClades/ContingencySvd:
     IPF residuals → SVD → principal coords; rows-only — SVD is not
@@ -570,6 +598,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_folded": q_suggest_folded,
         "kwic": q_kwic,
         "ca_map": q_ca_map,
+        "snippet_topk": q_snippet_topk,
+        "term_embeddings": q_term_embeddings,
         "suggest": q_suggest,
         "dedup_exact": q_dedup_exact,
         "dedup_jaccard": q_dedup_jaccard,
@@ -931,6 +961,37 @@ FROM hits h JOIN toks t
 GROUP BY h.doc_id, h.pos
 ORDER BY h.doc_id, h.pos
 LIMIT 50
+"""
+
+    snip_terms = ", ".join(f"'{t}'" for t in sorted(set(SNIPPET_TERMS)))
+    sqls["snippet_topk"] = f"""
+WITH {TOKS_CTE},
+dstats AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+cstats AS (SELECT count(DISTINCT doc_id) AS n,
+                  count(*) * 1.0 / count(DISTINCT doc_id) AS avgdl FROM toks),
+tstats AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+post AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
+acc AS (
+  SELECT p.term, sum((p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / c.avgdl))) AS acc
+  FROM post p JOIN dstats d USING (doc_id), cstats c GROUP BY p.term
+),
+weights AS (
+  SELECT a.term,
+         {sql_round6("pow(ln(1.0 + (c.n - t.df + 0.5) / (t.df + 0.5)), 0.9) * a.acc")} AS w
+  FROM acc a JOIN tstats t USING (term), cstats c
+),
+hits AS (SELECT doc_id AS h_doc, pos AS h_pos FROM toks
+         WHERE term IN ({snip_terms})),
+wterms AS (
+  SELECT DISTINCT h.h_doc AS doc_id, h.h_pos AS pos, t.term
+  FROM hits h JOIN toks t
+    ON t.doc_id = h.h_doc AND t.pos >= h.h_pos - 5 AND t.pos <= h.h_pos + 5
+)
+SELECT doc_id, pos, count(*) AS n_terms, {sql_round6("sum(w.w)")} AS score
+FROM wterms JOIN weights w USING (term)
+GROUP BY doc_id, pos
+ORDER BY score DESC, doc_id ASC, pos ASC
+LIMIT 10
 """
 
     sqls["facet_counts"] = """

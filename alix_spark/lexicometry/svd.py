@@ -143,3 +143,31 @@ def ca_map_df(spark, tok, doc_parts, top_terms=100, axes=2) -> DataFrame:
     """Spark DataFrame wrapper for the driver contract."""
     pdf = ca_map(tok, doc_parts, top_terms=top_terms, axes=axes)
     return spark.createDataFrame(pdf)
+
+
+def embedding_export(
+    tok: DataFrame,
+    doc_parts: DataFrame,
+    top_terms: int = 200,
+    dim: int = 8,
+    assoc: str = "G2",
+) -> pd.DataFrame:
+    """Word2vec-style term embeddings from the residual SVD — the
+    reference's Lucene2vec export (common/.../cli/Lucene2vec.java:1-30:
+    term×doc G² residuals → SVD → w2v vectors; here the ``U·√Σ``
+    axis weighting the docblock recommends for embedding reads,
+    ContingencySvd.java:571). Returns pandas (term, v0..v{dim-1}),
+    rows unit-normalized (downstream readers rank by dot product)."""
+    terms, _parts, obs = contingency(tok, doc_parts, top_terms)
+    exp = ipf_expectation(obs)
+    res = residuals(obs, exp, assoc)
+    u, s, _vt = np.linalg.svd(res, full_matrices=False)
+    k = min(dim, s.size)
+    signs = _stable_signs(u[:, :k])
+    vecs = u[:, :k] * signs[None, :] * np.sqrt(s[:k])[None, :]
+    norms = np.sqrt((vecs**2).sum(axis=1))
+    vecs = vecs / np.where(norms > 0, norms, 1.0)[:, None]
+    out = {"term": terms}
+    for j in range(k):
+        out[f"v{j}"] = np.round(vecs[:, j], 6)
+    return pd.DataFrame(out)

@@ -1,0 +1,68 @@
+"""Snippet extraction and ranking around query matches.
+
+Reference: span matches are merged into snippet windows
+(DocSnippets.java:47-80), each window is scored by the sum of
+corpus-level theme weights of the DISTINCT terms it contains
+(SnippetScorer.ThemeWords — common/.../snippets/SnippetScorer.java:1-60,
+weights = TermStats.termWeights with the BM25 idf-exponent scorer,
+OpResults.java:98-101), and the best windows across all docs are kept
+by a global top-K (TopSnippetCollector.java:28).
+
+Spark shape: match positions broadcast into a positional band join of
+the token table (the rail window, TermRail.java:34-97); the per-window
+score is one groupBy over distinct (window, term) with a broadcast
+weights join; the global top-K is orderBy().limit() with the
+(score desc, doc asc, pos asc) tie-break."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from alix_spark.util import round6
+
+
+def snippet_topk(
+    tok: DataFrame,
+    weights: DataFrame,
+    query_terms: list[str],
+    width: int = 5,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k snippet windows for the query terms.
+
+    tok:     (doc_id, pos, term) token table
+    weights: (term, score) corpus theme weights
+             (lexicometry.theme.theme_weights output)
+    Returns (doc_id, pos, n_terms, score): window center (the match
+    position), distinct scored terms in the ±width window, and the
+    theme-weight sum; ordered score desc, doc_id asc, pos asc."""
+    hits = tok.filter(F.col("term").isin(sorted(set(query_terms)))).select(
+        F.col("doc_id").alias("h_doc"), F.col("pos").alias("h_pos")
+    )
+    window_terms = (
+        tok.alias("t")
+        .join(
+            F.broadcast(hits),
+            (F.col("t.doc_id") == F.col("h_doc"))
+            & (F.col("t.pos") >= F.col("h_pos") - width)
+            & (F.col("t.pos") <= F.col("h_pos") + width),
+        )
+        .select(
+            F.col("h_doc").alias("doc_id"),
+            F.col("h_pos").alias("pos"),
+            F.col("t.term").alias("term"),
+        )
+        .distinct()  # each distinct term counts once per window (ThemeWords)
+    )
+    scored = (
+        window_terms.join(F.broadcast(weights.select("term", "score")), "term")
+        .groupBy("doc_id", "pos")
+        .agg(
+            F.count("*").alias("n_terms"),
+            round6(F.sum("score")).alias("score"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("score"), F.asc("doc_id"), F.asc("pos")
+    ).limit(k)
