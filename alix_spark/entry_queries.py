@@ -153,7 +153,9 @@ def _wand_index(spark, sf_dir: str) -> str:
     import os
     import tempfile
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    from alix_spark.index.segments import FORMAT_VERSION
+
+    key = hashlib.md5(f"{sf_dir}:{FORMAT_VERSION}".encode()).hexdigest()[:10]
     idx = _WAND_IDX_CACHE.get(sf_dir) or os.path.join(
         tempfile.gettempdir(), f"alix_wand_idx_{key}"
     )
@@ -234,7 +236,8 @@ def q_webtext_wand_fr(spark, sf_dir):
     from alix_spark.corpus import webtext as wt
     from alix_spark.query import wand as wand_mod
 
-    idx = os.path.join(tempfile.gettempdir(), "alix_wand_idx_webtext120")
+    from alix_spark.index.segments import FORMAT_VERSION as _FV
+    idx = os.path.join(tempfile.gettempdir(), f"alix_wand_idx_webtext120_{_FV}")
     if not os.path.exists(os.path.join(idx, "corpus.json")):
         corpus = wt.doc_ids(wt.webtext(spark, 120, seed=42))
         tok = analyzed_tokens(corpus).select("doc_id", "pos", "term")

@@ -51,6 +51,7 @@ from alix_spark.util import ensure_py_files
 
 BLOCK = 128
 SALT_BUCKETS = 64
+FORMAT_VERSION = "delta-varint-v2"  # v2: positions channel, merged term_stats+dict
 
 
 # ------------------------------------------------------------- varint
@@ -338,7 +339,7 @@ def build_index(
                         "n_blocks": r["n_blocks"],
                         "n_shards": n_shards,
                         "block_size": BLOCK,
-                        "format": "delta-varint-v1",
+                        "format": FORMAT_VERSION,
                     },
                     f,
                 )

@@ -167,7 +167,7 @@ def test_index_manifests_and_meta(built_index):
     for s in range(4):
         with open(segments._manifest_path(idx, s)) as f:
             m = json.load(f)
-        assert m["format"] == "delta-varint-v1"
+        assert m["format"] == segments.FORMAT_VERSION
         total_postings += m["n_postings"]
     assert total_postings > 0
 

@@ -84,9 +84,9 @@ def test_wildcard_expansion_cap():
 
 def test_phrase_topk_matches_dataframe_matcher(spark, built):
     idx, tok = built
-    ph = wand.phrase_topk(spark, idx, ["group", "by"], slop=0, ordered=True, k=1000).collect()
-    t1 = tok.filter(F.col("term") == "group").select("doc_id", F.col("pos").alias("p1"))
-    t2 = tok.filter(F.col("term") == "by").select("doc_id", F.col("pos").alias("p2"))
+    ph = wand.phrase_topk(spark, idx, ["order", "fast"], slop=0, ordered=True, k=1000).collect()
+    t1 = tok.filter(F.col("term") == "order").select("doc_id", F.col("pos").alias("p1"))
+    t2 = tok.filter(F.col("term") == "fast").select("doc_id", F.col("pos").alias("p2"))
     want = {
         r["doc_id"]
         for r in t1.join(t2, "doc_id").filter(F.col("p2") == F.col("p1") + 1)
@@ -100,9 +100,9 @@ def test_phrase_topk_matches_dataframe_matcher(spark, built):
 
 def test_near_unordered_matches_dataframe(spark, built):
     idx, tok = built
-    near = wand.phrase_topk(spark, idx, ["order", "by"], slop=2, ordered=False, k=1000).collect()
-    t1 = tok.filter(F.col("term") == "order").select("doc_id", F.col("pos").alias("p1"))
-    t2 = tok.filter(F.col("term") == "by").select("doc_id", F.col("pos").alias("p2"))
+    near = wand.phrase_topk(spark, idx, ["window", "join"], slop=2, ordered=False, k=1000).collect()
+    t1 = tok.filter(F.col("term") == "window").select("doc_id", F.col("pos").alias("p1"))
+    t2 = tok.filter(F.col("term") == "join").select("doc_id", F.col("pos").alias("p2"))
     want = {
         r["doc_id"]
         for r in t1.join(t2, "doc_id").filter(F.abs(F.col("p2") - F.col("p1")) <= 3)
@@ -113,7 +113,7 @@ def test_near_unordered_matches_dataframe(spark, built):
 
 def test_phrase_missing_term_empty(spark, built):
     idx, _ = built
-    assert wand.phrase_topk(spark, idx, ["group", "zzzz"], k=10).count() == 0
+    assert wand.phrase_topk(spark, idx, ["order", "zzzz"], k=10).count() == 0
 
 
 # ------------------------------------------------------- fast path

@@ -1,0 +1,58 @@
+"""SQL table-function surface tests (alix_bm25 / alix_phrase /
+alix_suggest UDTFs vs the underlying engines)."""
+
+from __future__ import annotations
+
+import pytest
+
+from alix_spark import sql_api
+from alix_spark.index import segments, simple
+from alix_spark.query import wand
+
+
+@pytest.fixture(scope="module")
+def sql_index(spark, tmp_path_factory):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tok = simple.tokens(docs)
+    idx = str(tmp_path_factory.mktemp("sqlidx") / "ix")
+    segments.build_index(spark, tok, idx, n_shards=4)
+    sql_api.register(spark)
+    return idx
+
+
+def test_sql_bm25_matches_engine(spark, sql_index):
+    got = [
+        (r["doc_id"], r["score"])
+        for r in spark.sql(
+            f"SELECT * FROM alix_bm25('{sql_index}', 'hash,join', 10, 'and')"
+        ).collect()
+    ]
+    want = wand.query_local(sql_index, ["hash", "join"], k=10, mode="and")
+    assert got == want and len(got) == 10
+
+
+def test_sql_phrase(spark, sql_index):
+    rows = spark.sql(
+        f"SELECT * FROM alix_phrase('{sql_index}', 'order,fast', 0, 100)"
+    ).collect()
+    assert len(rows) > 0
+    tfs = [r["tf"] for r in rows]
+    assert tfs == sorted(tfs, reverse=True)
+
+
+def test_sql_suggest(spark, sql_index):
+    rows = spark.sql(
+        f"SELECT * FROM alix_suggest('{sql_index}', 'sc', 5)"
+    ).collect()
+    assert all(r["term"].startswith("sc") for r in rows)
+    cfs = [r["cf"] for r in rows]
+    assert cfs == sorted(cfs, reverse=True)
+
+
+def test_sql_unknown_terms_empty(spark, sql_index):
+    assert (
+        spark.sql(
+            f"SELECT * FROM alix_bm25('{sql_index}', 'zzzz', 10, 'and')"
+        ).count()
+        == 0
+    )
