@@ -515,6 +515,16 @@ def q_ann_cosine(spark, sf_dir):
     return similarity.cosine_topk(emb, queries, k=5)
 
 
+def q_ann_ivf(spark, sf_dir):
+    # rows-only (seeded k-means centroids are not SQL-expressible);
+    # recall vs exact + full-probe==exact asserted in tests
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return similarity.ann_ivf_topk(emb, queries, k=5, n_lists=8, nprobe=4)
+
+
 def q_ann_lsh(spark, sf_dir):
     # rows-only check (bucketing is seeded-numpy); recall vs exact is
     # asserted in tests/test_textops.py
@@ -609,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "ann_cosine": q_ann_cosine,
+        "ann_ivf": q_ann_ivf,
         "ann_lsh": q_ann_lsh,
         "lang_id": q_lang_id,
         "quality": q_quality,

@@ -1,0 +1,80 @@
+"""ANN similarity tests: exact baseline invariants, LSH and IVF recall
+vs the exact scorer, and determinism across parallelism."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from alix_spark.textops import similarity
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF}/embeddings.parquet")
+    return df.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
+    ).persist()
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+
+
+def _hits(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["q_id"], []).append(r["vec_id"])
+    return out
+
+
+def test_exact_topk_shape(emb, queries):
+    hits = _hits(similarity.cosine_topk(emb, queries, k=10))
+    assert len(hits) == 8
+    assert all(len(v) == 10 for v in hits.values())
+
+
+def test_ivf_recall_vs_exact(emb, queries):
+    exact = _hits(similarity.cosine_topk(emb, queries, k=10))
+    approx = _hits(
+        similarity.ann_ivf_topk(emb, queries, k=10, n_lists=8, nprobe=4)
+    )
+    recalls = [
+        len(set(approx.get(q, [])) & set(exact[q])) / 10 for q in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.6  # nprobe=4 of 8 lists
+
+
+def test_ivf_full_probe_equals_exact(emb, queries):
+    """Probing every list = brute force (sanity: IVF only prunes)."""
+    exact = _hits(similarity.cosine_topk(emb, queries, k=5))
+    full = _hits(
+        similarity.ann_ivf_topk(emb, queries, k=5, n_lists=8, nprobe=8)
+    )
+    assert full == exact
+
+
+def test_lsh_recall_vs_exact(emb, queries):
+    exact = _hits(similarity.cosine_topk(emb, queries, k=10))
+    approx = _hits(
+        similarity.ann_lsh_topk(emb, queries, k=10, n_planes=4)
+    )
+    recalls = [
+        len(set(approx.get(q, [])) & set(exact[q])) / 10 for q in exact
+    ]
+    # synthetic embeddings are near-uniform — the worst case for
+    # data-oblivious hyperplane LSH (single bucket, no multiprobe);
+    # the data-adaptive IVF above reaches ≥0.6 on the same vectors
+    assert sum(recalls) / len(recalls) >= 0.1
+
+
+def test_ivf_deterministic(emb, queries):
+    a = similarity.ann_ivf_topk(emb, queries, k=5, n_lists=8, nprobe=2).collect()
+    b = similarity.ann_ivf_topk(emb, queries, k=5, n_lists=8, nprobe=2).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
