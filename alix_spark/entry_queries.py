@@ -560,6 +560,16 @@ def q_multimodal_meta(spark, sf_dir):
     ).orderBy("media_id")
 
 
+def q_multimodal_image_pipeline(spark, sf_dir):
+    """decode(stub) -> 8x8 block-mean resize -> unit embedding; md5 of
+    the pooled raster per media row (rows-only, deterministic)."""
+    media = multimodal.as_media_table(_docs(spark, sf_dir))
+    resized = multimodal.resize_images(multimodal.decode_image(media), size=8)
+    return resized.select(
+        "media_id", "width", "height", F.md5(F.col("pixels")).alias("pixels_md5")
+    ).orderBy("media_id")
+
+
 def q_multimodal_features(spark, sf_dir):
     # rows-only: stubbed decode produces deterministic fake features
     media = multimodal.as_media_table(_docs(spark, sf_dir))
@@ -627,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
+        "multimodal_image_pipeline": q_multimodal_image_pipeline,
     }
 
 

@@ -84,3 +84,135 @@ def decode_features(
         ]
     )
     return media.mapInPandas(gen, schema)
+
+
+# ----------------------------------------------------- image pipeline
+
+IMAGE_META_SCHEMA = (
+    "media_id long, width int, height int, channels int, pixels binary"
+)
+
+
+def decode_image(media: DataFrame, real_decode: bool = False) -> DataFrame:
+    """binary payload → decoded raster (media_id, width, height,
+    channels, pixels) via mapInPandas.
+
+    The codec itself is STUBBED (no PIL/libjpeg in this container —
+    ``real_decode=True`` raises at the integration point); the stub
+    derives a deterministic fake raster from the payload bytes so every
+    downstream stage (resize, embedding, batching, partitioning) runs
+    on real Spark plumbing with stable outputs."""
+    if real_decode:
+        raise NotImplementedError("plug PIL.Image.open here on a real cluster")
+    ensure_py_files(media.sparkSession)
+
+    def gen(it):
+        for pdf in it:
+            w_, h_, c_, px = [], [], [], []
+            for buf in pdf["media"]:
+                arr = np.frombuffer(bytes(buf), dtype=np.uint8)
+                # fake decode: payload bytes tiled into a 32x32x3 raster
+                side = 32
+                need = side * side * 3
+                tiled = np.resize(arr if arr.size else np.zeros(1, np.uint8), need)
+                w_.append(side)
+                h_.append(side)
+                c_.append(3)
+                px.append(tiled.tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"], "width": w_, "height": h_,
+                    "channels": c_, "pixels": px,
+                }
+            )
+
+    return media.mapInPandas(gen, IMAGE_META_SCHEMA)
+
+
+def resize_images(decoded: DataFrame, size: int = 8) -> DataFrame:
+    """Raster → size×size via block-mean pooling (pure numpy — this
+    stage is real, not stubbed). Returns (media_id, width, height,
+    channels, pixels)."""
+    ensure_py_files(decoded.sparkSession)
+
+    def gen(it):
+        for pdf in it:
+            out = []
+            for _, r in pdf.iterrows():
+                a = np.frombuffer(bytes(r["pixels"]), dtype=np.uint8).reshape(
+                    r["height"], r["width"], r["channels"]
+                )
+                fh, fw = r["height"] // size, r["width"] // size
+                pooled = (
+                    a[: fh * size, : fw * size]
+                    .reshape(size, fh, size, fw, r["channels"])
+                    .mean(axis=(1, 3))
+                    .astype(np.uint8)
+                )
+                out.append(
+                    (r["media_id"], size, size, int(r["channels"]), pooled.tobytes())
+                )
+            yield pd.DataFrame(
+                out, columns=["media_id", "width", "height", "channels", "pixels"]
+            )
+
+    return decoded.mapInPandas(gen, IMAGE_META_SCHEMA)
+
+
+def frame_sample(
+    media: DataFrame, n_frames: int = 4, real_decode: bool = False
+) -> DataFrame:
+    """Video payload → evenly-spaced frame rasters
+    (media_id, frame_idx, width, height, channels, pixels) — one output
+    row per sampled frame (the mapInPandas 1→N fan-out shape). Decode
+    stubbed like :func:`decode_image`; frame extraction points are the
+    real plumbing (even spacing over the payload)."""
+    if real_decode:
+        raise NotImplementedError("plug ffmpeg/pyav here on a real cluster")
+    ensure_py_files(media.sparkSession)
+    schema = (
+        "media_id long, frame_idx int, width int, height int, "
+        "channels int, pixels binary"
+    )
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for mid, buf in zip(pdf["media_id"], pdf["media"]):
+                arr = np.frombuffer(bytes(buf), dtype=np.uint8)
+                if arr.size == 0:
+                    continue
+                side, need = 16, 16 * 16 * 3
+                starts = np.linspace(0, max(arr.size - need, 0), n_frames).astype(int)
+                for fi, s in enumerate(starts):
+                    frame = np.resize(arr[s : s + need], need)
+                    rows.append((mid, fi, side, side, 3, frame.tobytes()))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "width", "height",
+                         "channels", "pixels"],
+            )
+
+    return media.mapInPandas(gen, schema)
+
+
+def image_embedding(resized: DataFrame, dim: int = 16) -> DataFrame:
+    """Pooled raster → unit-norm embedding vector (channel-wise pixel
+    moments — a deterministic stand-in for a CNN forward pass; the
+    Spark shape is identical). Returns (media_id, embedding)."""
+    ensure_py_files(resized.sparkSession)
+
+    def gen(it):
+        for pdf in it:
+            ids, vecs = [], []
+            for _, r in pdf.iterrows():
+                a = np.frombuffer(bytes(r["pixels"]), dtype=np.uint8).astype(np.float64)
+                a = np.resize(a, dim)
+                n = np.linalg.norm(a)
+                vecs.append((a / n if n > 0 else a).round(6).tolist())
+                ids.append(r["media_id"])
+            yield pd.DataFrame({"media_id": ids, "embedding": vecs})
+
+    return resized.mapInPandas(
+        gen, "media_id long, embedding array<double>"
+    )
