@@ -160,6 +160,29 @@ def _merge_dots(toks: list[Token]) -> list[Token]:
     return out
 
 
-def tokenize(src: str) -> list[Token]:
-    """Full tokenizer: scan + dotted-abbreviation resolution."""
+def tokenize(src: str, include_zone: tuple[str, str, str] | None = None) -> list[Token]:
+    """Full tokenizer: scan + dotted-abbreviation resolution.
+
+    ``include_zone=(tag, attr, value)`` restricts word emission to the
+    content of elements matching ``<tag … attr="value">`` — the
+    reference's INCLUDE zone mode (MarkupZoneFilter.java:30-80; the
+    observation-field analyzers use ``@data-tei-type="observation"``
+    INCLUDE, FrenchAnalyzer.java:413-421). Outside-zone content is
+    blanked with offsets preserved, like the EXCLUDE zones."""
+    if include_zone is not None:
+        src = _mask_outside_zones(src, *include_zone)
     return _merge_dots(_scan(src))
+
+
+def _mask_outside_zones(src: str, tag: str, attr: str, value: str) -> str:
+    """Blank everything outside elements matching the attribute test
+    (same-length masking keeps offsets valid). Non-nested elements."""
+    rx = re.compile(
+        rf"<{tag}\b[^>]*\b{re.escape(attr)}\s*=\s*\"{re.escape(value)}\"[^>]*>"
+        rf".*?</{tag}\s*>",
+        re.IGNORECASE | re.DOTALL,
+    )
+    out = [" "] * len(src)
+    for m in rx.finditer(src):
+        out[m.start() : m.end()] = src[m.start() : m.end()]
+    return "".join(out)

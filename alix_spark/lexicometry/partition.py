@@ -29,6 +29,29 @@ from alix_spark.util import round6
 DISPERSION = 0.3        # reference :545
 MIN_FOCUS_TERM_DOCS = 3  # reference :548
 TAIL_FRACTION = 0.2      # reference :717
+MAX_PARTS = 128          # reference Partition.java byte map bound
+
+
+def parts_from_numeric(
+    df: DataFrame,
+    col: str,
+    bounds: list,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, part) from a numeric column and range boundaries —
+    the reference's ``Partition.build`` (common/.../terms/
+    Partition.java:60-330: docId→part byte map from numeric field
+    ranges, ≤128 parts). ``bounds = [b1, b2, …]`` yields parts
+    ``"<b1"``, ``"[b1,b2)"``, …, ``">=bn"``."""
+    if len(bounds) + 1 > MAX_PARTS:
+        raise ValueError(f"at most {MAX_PARTS} parts (reference byte map)")
+    expr = F.when(F.col(col) < bounds[0], F.lit(f"<{bounds[0]}"))
+    for lo, hi in zip(bounds, bounds[1:]):
+        expr = expr.when(
+            (F.col(col) >= lo) & (F.col(col) < hi), F.lit(f"[{lo},{hi})")
+        )
+    expr = expr.otherwise(F.lit(f">={bounds[-1]}"))
+    return df.select(F.col(id_col).alias("doc_id"), expr.alias("part"))
 
 
 def _signed_g2():

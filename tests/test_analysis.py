@@ -250,3 +250,14 @@ def test_extract_entities():
 def test_analyze_bytes_input():
     out = analyze("le roi parle".encode("utf-8"))
     assert [t[0] for t in out] == ["roi", "parler"]
+
+
+def test_include_zone_tokenization():
+    # reference MarkupZoneFilter INCLUDE mode (obs fields,
+    # FrenchAnalyzer.java:413-421)
+    src = ('<p>hors zone</p>'
+           '<div data-tei-type="observation">le roi parle</div>'
+           '<p>aussi hors</p>')
+    toks = [t.term for t in tokenize(src, include_zone=("div", "data-tei-type", "observation"))
+            if t.ttype == "W"]
+    assert toks == ["le", "roi", "parle"]

@@ -221,3 +221,21 @@ def test_kwic_contexts(spark):
         (1, 2, "a b", "c d"),
         (1, 6, "d e", "f"),
     ]
+
+
+def test_parts_from_numeric(spark):
+    docs = spark.createDataFrame(
+        [(1, 1850), (2, 1901), (3, 1950), (4, 2000)], "doc_id long, year int"
+    )
+    parts = {r["doc_id"]: r["part"]
+             for r in partition.parts_from_numeric(docs, "year", [1900, 1950]).collect()}
+    assert parts == {1: "<1900", 2: "[1900,1950)", 3: ">=1950", 4: ">=1950"}
+
+
+def test_partition_keyness_over_numeric_parts(spark, data):
+    docs, tok = data
+    parts = partition.parts_from_numeric(docs, "n_chars", [1000, 3000])
+    focus = parts.filter(F.col("part") == "<1000").limit(1).collect()
+    if focus:
+        out = partition.partition_keyness(tok, parts, "<1000", scorer="tail", top=5)
+        assert out.count() <= 5

@@ -61,3 +61,25 @@ def test_embedding_export_properties(spark, data):
     # deterministic
     pdf2 = svd.embedding_export(tok, parts, top_terms=20, dim=4)
     assert (pdf.to_numpy() == pdf2.to_numpy()).all()
+
+
+# ------------------------------------------------------------- hilite
+
+
+def test_hilite_surface_and_lemma():
+    from alix_spark.query.snippets import hilite
+
+    src = "Le roi aime les villes anciennes."
+    # query by lemma "ville" highlights surface "villes"
+    out = hilite(src, ["ville", "roi"])
+    assert "<mark>roi</mark>" in out
+    assert "<mark>villes</mark>" in out
+    assert "aime" in out and "<mark>aime" not in out
+
+
+def test_hilite_preserves_text():
+    from alix_spark.query.snippets import hilite
+
+    src = "<p>La guerre et la paix.</p>"
+    out = hilite(src, ["guerre"])
+    assert out.replace("<mark>", "").replace("</mark>", "") == src
