@@ -335,6 +335,17 @@ def lemma_filter(toks: list[Tok]) -> list[Tok]:
 # ------------------------------------------------------------------ mwe
 
 
+# first-token index over the MWE table: the common case (a token that
+# starts no known expression) costs one dict lookup instead of probing
+# every window length (the reference's token-ordinal automaton plays
+# the same role, MweFilter.java:82-130)
+_MWE_BY_FIRST: dict[str, list[tuple[int, tuple, tuple]]] = {}
+for _key, _val in lx.MWE.items():
+    _MWE_BY_FIRST.setdefault(_key[0], []).append((len(_key), _key, _val))
+for _cands in _MWE_BY_FIRST.values():
+    _cands.sort(key=lambda c: -c[0])  # longest first (maximal munch)
+
+
 def mwe_filter(toks: list[Tok]) -> list[Tok]:
     """Maximal-munch multi-word-expression compounding over two parallel
     paths — surface forms and lemmas (lemma falls back to form); longest
@@ -349,19 +360,30 @@ def mwe_filter(toks: list[Tok]) -> list[Tok]:
             out.append(t)
             i += 1
             continue
+        low = t.term.lower()
+        lem = (t.lemma or t.term).lower()
+        cands = _MWE_BY_FIRST.get(low)
+        if lem != low:
+            lc = _MWE_BY_FIRST.get(lem)
+            if lc:
+                cands = (cands or []) + lc
+                cands.sort(key=lambda c: -c[0])
         best = None  # (length, canonical, tag)
-        for length in range(min(lx.MWE_MAX_LEN, n - i), 1, -1):
-            window = toks[i : i + length]
-            if any(w.ttype != W or not w.term for w in window):
-                continue
-            form_key = tuple(w.term.lower() for w in window)
-            hit = lx.MWE.get(form_key)
-            if hit is None:
-                lemma_key = tuple((w.lemma or w.term).lower() for w in window)
-                hit = lx.MWE.get(lemma_key)
-            if hit is not None:
-                best = (length, hit[0], hit[1])
-                break  # longest-first scan: first hit is maximal
+        if cands:
+            for length in sorted({c[0] for c in cands}, reverse=True):
+                if i + length > n:
+                    continue
+                window = toks[i : i + length]
+                if any(w.ttype != W or not w.term for w in window):
+                    continue
+                form_key = tuple(w.term.lower() for w in window)
+                hit = lx.MWE.get(form_key)
+                if hit is None:
+                    lemma_key = tuple((w.lemma or w.term).lower() for w in window)
+                    hit = lx.MWE.get(lemma_key)
+                if hit is not None:
+                    best = (length, hit[0], hit[1])
+                    break
         if best is None:
             out.append(t)
             i += 1

@@ -75,9 +75,14 @@ _UPPER_SEG_RE = re.compile(r"^-?[^\W\d_]{1,3}$")
 
 
 def _norm_word(raw: str) -> str:
-    t = _ENT_RE.sub(lambda m: _ENT[m.group(0)], raw)
-    t = t.replace("’", "'").replace("­", "")
-    return t[:MAX_TOKEN_LEN]
+    t = raw
+    if "&" in t:
+        t = _ENT_RE.sub(lambda m: _ENT[m.group(0)], t)
+    if "’" in t:
+        t = t.replace("’", "'")
+    if "­" in t:
+        t = t.replace("­", "")
+    return t if len(t) <= MAX_TOKEN_LEN else t[:MAX_TOKEN_LEN]
 
 
 def _scan(src: str) -> list[Token]:
