@@ -49,10 +49,12 @@ HEADLINE = [
 ]
 
 COLLECT = {"bm25_wand_and", "bm25_wand_or", "phrase_wand", "bm25_and"}
-# realistic page sizes for the probe: 12k docs × doc_scale 10 ≈ 950
-# analyzed tokens/doc (Common-Crawl-ish) — the chain dominates, as it
-# would at web scale; canonical evidence + controls live in BENCH.md
-SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "12000"))
+# realistic page sizes for the probe: doc_scale 10 ≈ 950 analyzed
+# tokens/doc (Common-Crawl-ish) — the chain dominates, as it would at
+# web scale. 6k docs keeps the whole bench under ~5 min; the canonical
+# larger-scale evidence + controls live in BENCH.md (12k-doc runs via
+# scripts/scaling_bench.py).
+SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "6000"))
 SCALING_DOC_SCALE = int(os.environ.get("SPARK_GRAFT_SCALING_DOC_SCALE", "10"))
 
 
@@ -136,7 +138,18 @@ def main() -> None:
         "webtext_index_docs_per_sec": webtext_dps,
         "bm25_p50_ms": round(statistics.median(wand_lat) * 1000.0, 2),
         "bm25_serving_p50_ms": round(statistics.median(lat) * 1000.0, 2),
-        "scaling": scaling,
+        # small in-bench smoke probe — single-shot timings on a shared
+        # box with 50-100% run variance; NOT the scaling evidence
+        "scaling_probe_small": scaling,
+        # canonical N-vs-4N evidence: interleaved best-of-N via
+        # spark-submit (scripts/scaling_bench.py), with the
+        # multiprocessing hardware-ceiling control — see BENCH.md
+        "scaling_reference": {
+            "see": "BENCH.md",
+            "full_build_efficiency_measured_range": [0.24, 0.84],
+            "chain_stage_efficiency": 0.77,
+            "multiprocessing_ceiling_4_to_16": 0.90,
+        },
     }
     print(json.dumps(out))
 
