@@ -219,30 +219,11 @@ def url_ranks(corpus: DataFrame) -> DataFrame:
     ONLY (parallel global sort over skinny rows — the wide html payload
     never enters the sort), then partition-local row_number offset by
     the preceding partitions' counts — every stage parallel, identical
-    ids at any parallelism (asserted in tests)."""
-    from pyspark.sql import Window
+    ids at any parallelism (asserted in tests). Shared implementation:
+    util.dense_ranks (also used for the index term dictionary)."""
+    from alix_spark.util import dense_ranks
 
-    spark = corpus.sparkSession
-    parts = max(spark.sparkContext.defaultParallelism, 2)
-    urls = corpus.select("url")
-    ranged = urls.repartitionByRange(parts, F.col("url")).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    counts = ranged.groupBy("_pid").count().collect()
-    offsets = {}
-    acc = 1  # 1-based ids (0 = absent-doc sentinel, TermLexicon style)
-    for r in sorted(counts, key=lambda r: r["_pid"]):
-        offsets[r["_pid"]] = acc
-        acc += r["count"]
-    off_df = spark.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
-    )
-    w = Window.partitionBy("_pid").orderBy("url")
-    return (
-        ranged.withColumn("_rn", F.row_number().over(w).cast("long"))
-        .join(F.broadcast(off_df), "_pid")
-        .select("url", (F.col("_off") + F.col("_rn") - F.lit(1)).alias("doc_id"))
-    )
+    return dense_ranks(corpus, "url", "doc_id")
 
 
 def doc_ids(corpus: DataFrame) -> DataFrame:

@@ -93,6 +93,9 @@ class AlixEngine:
         return self._tok
 
     def vocabulary(self) -> set[str]:
+        """Full term set on the driver — demo/test convenience only; the
+        search path resolves terms with pushdown lookups instead
+        (at a web-scale vocabulary this collect is the wrong tool)."""
         if self._vocab is None:
             ts = self.spark.read.parquet(os.path.join(self.index_dir, "term_stats"))
             self._vocab = {r["term"] for r in ts.select("term").collect()}
@@ -100,31 +103,74 @@ class AlixEngine:
 
     # ----------------------------------------------------------- search
 
+    def _member(self, term: str) -> bool:
+        """Dictionary membership via pyarrow predicate pushdown on the
+        term_stats parquet — reads only matching rows, never the
+        vocabulary (reference resolves terms against the TermsEnum the
+        same way, SpanQueryParser.java:482-518)."""
+        import pyarrow.dataset as ds
+
+        dset = ds.dataset(os.path.join(self.index_dir, "term_stats"))
+        t = dset.to_table(columns=["term"], filter=ds.field("term") == term)
+        return t.num_rows > 0
+
+    def _expand(self, pattern: str) -> list[str]:
+        """Wildcard expansion, capped at 256 (SpanQueryParser.java:52).
+        The leading literal prefix bounds the dictionary scan to a
+        byte range (the TermsEnum seek analogue); a pattern with no
+        prefix scans the skinny term column only."""
+        import re as _re
+
+        import pyarrow.dataset as ds
+
+        prefix = ""
+        for ch in pattern:
+            if ch in "*?":
+                break
+            prefix += ch
+        dset = ds.dataset(os.path.join(self.index_dir, "term_stats"))
+        flt = None
+        if prefix:
+            hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+            flt = (ds.field("term") >= prefix) & (ds.field("term") < hi)
+        terms = dset.to_table(columns=["term"], filter=flt)["term"].to_pylist()
+        rx = _re.compile(
+            "^" + "".join(
+                ".*" if c == "*" else "." if c == "?" else _re.escape(c)
+                for c in pattern
+            ) + "$"
+        )
+        out = [t for t in sorted(terms) if rx.match(t)]
+        return out[: parser.MAX_EXPANSIONS]
+
     def search(self, q: str, k: int = 10) -> list[tuple[int, float]]:
-        """Parsed query → BM25 top-k (serving path). Bare terms AND;
-        wildcards expand; a quoted phrase routes to the positional
-        matcher; OR groups use disjunctive WAND."""
-        clauses = parser.resolve(parser.parse(q), self.vocabulary())
+        """Parsed query → BM25 top-k (serving path). Clause-wise
+        semantics (reference BooleanQuery-of-spans, OpResults.java:
+        248-257): AND across clauses, disjunction inside ``( … )``
+        groups, positional match for quoted phrases, wildcards
+        expanded; score = Σ clause BM25 contributions. Homogeneous
+        queries take the pruned fast paths (WAND / phrase matcher)."""
+        clauses = parser.resolve_with(
+            parser.parse(q), self._member, self._expand
+        )
         if not clauses:
             return []
-        phrase = [c for c in clauses if isinstance(c, parser.PhraseClause)]
-        if phrase and len(clauses) == 1:
+        if all(isinstance(c, parser.TermClause) for c in clauses):
+            return wand.query_local(
+                self.index_dir, [c.term for c in clauses], k=k, mode="and"
+            )
+        if len(clauses) == 1 and isinstance(clauses[0], parser.OrClause):
+            return wand.query_local(
+                self.index_dir, clauses[0].terms, k=k, mode="or"
+            )
+        if len(clauses) == 1 and isinstance(clauses[0], parser.PhraseClause):
+            ph = clauses[0]
             rows = wand.phrase_topk(
-                self.spark, self.index_dir, phrase[0].terms,
-                slop=phrase[0].slop, ordered=phrase[0].ordered, k=k,
+                self.spark, self.index_dir, ph.terms,
+                slop=ph.slop, ordered=ph.ordered, k=k,
             ).collect()
             return [(r["doc_id"], r["score"]) for r in rows]
-        terms: list[str] = []
-        mode = "and"
-        for c in clauses:
-            if isinstance(c, parser.TermClause):
-                terms.append(c.term)
-            elif isinstance(c, parser.OrClause):
-                terms.extend(c.terms)
-                mode = "or" if len(clauses) == 1 else mode
-            elif isinstance(c, parser.PhraseClause):
-                terms.extend(c.terms)
-        return wand.query_local(self.index_dir, terms, k=k, mode=mode)
+        return wand.query_local_mixed(self.index_dir, clauses, k=k)
 
     def concordance(self, term: str, width: int = 5, limit: int = 100) -> DataFrame:
         """KWIC lines (reference OpResults concordance view)."""

@@ -327,15 +327,21 @@ def q_facet_counts(spark, sf_dir):
 
 def q_time_histogram(spark, sf_dir):
     # sum over decimal(18,2) is exact → bit-identical across engines and
-    # accumulation orders (double sums are order-sensitive)
+    # accumulation orders (double sums are order-sensitive). Day
+    # granularity: the synthetic events span one month, so a (y, m)
+    # histogram had a single bucket — a near-vacuous oracle (VERDICT r1)
     ev = _events(spark, sf_dir)
     return (
-        ev.groupBy(F.year("ts").cast("long").alias("y"), F.month("ts").cast("long").alias("m"))
+        ev.groupBy(
+            F.year("ts").cast("long").alias("y"),
+            F.month("ts").cast("long").alias("m"),
+            F.dayofmonth("ts").cast("long").alias("d"),
+        )
         .agg(
             F.count("*").alias("docs"),
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
         )
-        .orderBy("y", "m")
+        .orderBy("y", "m", "d")
     )
 
 
@@ -449,7 +455,9 @@ def q_snippet_topk(spark, sf_dir):
     from alix_spark.lexicometry import theme
     from alix_spark.query import snippets
 
-    w = theme.theme_weights(*_bm25_inputs(spark, sf_dir), top=100000)
+    # unbounded weight vector — the DuckDB oracle's weights CTE has no
+    # LIMIT, so neither may the Spark side (ADVICE r1)
+    w = theme.theme_weights(*_bm25_inputs(spark, sf_dir), top=None)
     return snippets.snippet_topk(
         _tok(spark, sf_dir), w, SNIPPET_TERMS, width=5, k=10
     )
@@ -487,7 +495,17 @@ def q_suggest(spark, sf_dir):
 
 
 def q_dedup_exact(spark, sf_dir):
-    return dedup.exact_dup_groups(_docs(spark, sf_dir))
+    # the synthetic corpus has no exact duplicates, so the raw query
+    # matched on 0 rows — a vacuous oracle (VERDICT r1). Seed
+    # deterministic duplicates (every 50th doc re-crawled under a new
+    # id) identically on both sides so the operator is exercised.
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    seeded = docs.unionAll(
+        docs.filter(F.col("doc_id") % 50 == 0).select(
+            (F.col("doc_id") + F.lit(1000000)).alias("doc_id"), "text"
+        )
+    )
+    return dedup.exact_dup_groups(seeded)
 
 
 def q_dedup_jaccard(spark, sf_dir):
@@ -929,8 +947,9 @@ topterms AS (
   ORDER BY n DESC, term ASC LIMIT 20
 )
 SELECT p.term, CAST(p.dist AS BIGINT) AS dist, p.freq,
-       sum(p.freq) OVER (PARTITION BY p.term ORDER BY p.dist
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_freq
+       CAST(sum(p.freq) OVER (PARTITION BY p.term ORDER BY p.dist
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_freq
 FROM per_tick p JOIN topterms USING (term)
 ORDER BY p.term, p.dist
 """
@@ -1025,9 +1044,9 @@ GROUP BY source ORDER BY docs DESC, label ASC
 """
 
     sqls["time_histogram"] = """
-SELECT year(ts) AS y, month(ts) AS m, count(*) AS docs,
+SELECT year(ts) AS y, month(ts) AS m, day(ts) AS d, count(*) AS docs,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
-FROM events GROUP BY y, m ORDER BY y, m
+FROM events GROUP BY y, m, d ORDER BY y, m, d
 """
 
     sqls["events_by_type"] = """
@@ -1060,8 +1079,13 @@ ORDER BY cf DESC, term ASC LIMIT 20
 """
 
     sqls["dedup_exact"] = """
+WITH seeded AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+)
 SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS first_doc
-FROM documents GROUP BY md5(text) HAVING count(*) > 1 ORDER BY text_hash
+FROM seeded GROUP BY md5(text) HAVING count(*) > 1 ORDER BY text_hash
 """
 
     sqls["dedup_jaccard"] = """

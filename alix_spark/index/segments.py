@@ -43,11 +43,11 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from alix_spark.query.bm25 import B, K1
-from alix_spark.util import ensure_py_files
+from alix_spark.util import dense_ranks, ensure_py_files
 
 BLOCK = 128
 SALT_BUCKETS = 64
@@ -204,6 +204,7 @@ def build_index(
     n_shards: int = 16,
     resume: bool = False,
     with_positions: bool = True,
+    dl_broadcast_max: int = 2_000_000,
 ) -> dict:
     """Build (or resume) the sharded compressed index from a token table
     ``(doc_id, pos, term)``.
@@ -239,12 +240,14 @@ def build_index(
     tok = tok.persist(StorageLevel.MEMORY_AND_DISK)
 
     dstats, tstats = _stats(tok)
-    # doc lengths drive both the corpus scalars (driver-side sums — no
-    # separate agg job) and the broadcast dl map for the encoder
-    dl_rows = dstats.select("doc_id", "dl").collect()
+    # corpus scalars via a 1-row agg — never collect the full dl column
+    # to the driver (at 10^12 docs that is a driver OOM)
+    crow = dstats.agg(
+        F.count("*").alias("docs"), F.sum("dl").alias("tokens")
+    ).collect()[0]
     corpus = {
-        "corpus_docs": len(dl_rows),
-        "corpus_tokens": int(sum(r["dl"] for r in dl_rows)),
+        "corpus_docs": int(crow["docs"]),
+        "corpus_tokens": int(crow["tokens"]),
     }
     avgdl = corpus["corpus_tokens"] / corpus["corpus_docs"]
 
@@ -257,26 +260,37 @@ def build_index(
         #
         # Single-shuffle encode: RAW tokens shuffle once on the salted
         # key; the (term, doc) roll-up happens inside the bucket with a
-        # C-level pandas groupby, and doc lengths arrive via broadcast
-        # (at 10^12 docs swap the broadcast for the dl join — the rest
-        # of the pipeline is unchanged).  Replaces the previous
-        # 3-shuffle plan (postings groupBy → dl join → bucket groupBy).
-        dl_bc = spark.sparkContext.broadcast(
-            {r["doc_id"]: r["dl"] for r in dl_rows}
-        )
+        # C-level pandas groupby. Doc lengths reach the encoder by one
+        # of two paths, switched on corpus size:
+        #   · ≤ dl_broadcast_max docs — a broadcast python dict (no
+        #     extra shuffle, the fast path for every sandbox corpus);
+        #   · above it — a shuffle join of the skinny (doc_id, dl) table
+        #     onto the token stream before the encode groupBy, so the
+        #     driver never materializes the dl map (10^12-doc path).
+        # Both paths produce bit-identical blocks (asserted in tests).
+        dl_join = corpus["corpus_docs"] > dl_broadcast_max
+        dl_bc = None
+        if not dl_join:
+            dl_bc = spark.sparkContext.broadcast(
+                {r["doc_id"]: r["dl"]
+                 for r in dstats.select("doc_id", "dl").collect()}
+            )
 
         salted = tok.filter(F.col("shard").isin(todo)).withColumn(
             "tbucket", F.pmod(F.xxhash64("term"), F.lit(SALT_BUCKETS)).cast("int")
         )
+        if dl_join:
+            salted = salted.join(dstats.select("doc_id", "dl"), "doc_id")
 
         def encode(_key, pdf: pd.DataFrame) -> pd.DataFrame:
             rows: list[tuple] = []
-            dl = dl_bc.value
+            dl = dl_bc.value if dl_bc is not None else None
             pdf = pdf.sort_values("pos", kind="stable")
             for (shard, term), g in pdf.groupby(["shard", "term"], sort=False):
-                docs_u, inv, tfs = np.unique(
+                docs_u, first_idx, inv, tfs = np.unique(
                     g["doc_id"].to_numpy(np.int64),
-                    return_inverse=True, return_counts=True,
+                    return_index=True, return_inverse=True,
+                    return_counts=True,
                 )
                 pos_flat = None
                 if with_positions:
@@ -284,12 +298,16 @@ def build_index(
                     # doc's positions already ascending from the sort
                     order = np.argsort(inv, kind="stable")
                     pos_flat = g["pos"].to_numpy(np.int64)[order]
+                if dl is not None:
+                    dls = np.array([dl[d] for d in docs_u], dtype=np.int64)
+                else:
+                    dls = g["dl"].to_numpy(np.int64)[first_idx]
                 rows.extend(
                     _encode_term_group(
                         int(shard), term,
                         docs_u,
                         tfs.astype(np.int64),
-                        np.array([dl[d] for d in docs_u], dtype=np.int64),
+                        dls,
                         avgdl,
                         positions=pos_flat,
                     )
@@ -351,10 +369,15 @@ def build_index(
     dstats.withColumn(
         "shard", (F.col("doc_id") % F.lit(n_shards)).cast("int")
     ).write.mode("overwrite").parquet(os.path.join(index_dir, "doc_stats"))
-    w = Window.orderBy(F.encode(F.col("term"), "utf-8"))
-    tstats.withColumn(
-        "term_id", F.row_number().over(w).cast("long")
-    ).write.mode("overwrite").parquet(os.path.join(index_dir, "term_stats"))
+    # dense term_id in UTF-8 byte order WITHOUT a global single-partition
+    # window (the whole vocabulary through one task): range-partitioned
+    # parallel rank, identical ids at any parallelism (util.dense_ranks)
+    tids = dense_ranks(
+        tstats, "term", "term_id", order_expr=F.encode(F.col("term"), "utf-8")
+    )
+    tstats.join(tids, "term").write.mode("overwrite").parquet(
+        os.path.join(index_dir, "term_stats")
+    )
     meta = {
         "corpus_docs": int(corpus["corpus_docs"]),
         "corpus_tokens": int(corpus["corpus_tokens"]),

@@ -42,7 +42,11 @@ def parts_from_numeric(
     the reference's ``Partition.build`` (common/.../terms/
     Partition.java:60-330: docId→part byte map from numeric field
     ranges, ≤128 parts). ``bounds = [b1, b2, …]`` yields parts
-    ``"<b1"``, ``"[b1,b2)"``, …, ``">=bn"``."""
+    ``"<b1"``, ``"[b1,b2)"``, …, ``">=bn"``.
+
+    Docs with a NULL value are EXCLUDED, like the reference's byte map
+    rejecting unassigned docs (``NO_PART = -1``) — not silently routed
+    into the top range part (ADVICE r1)."""
     if len(bounds) + 1 > MAX_PARTS:
         raise ValueError(f"at most {MAX_PARTS} parts (reference byte map)")
     expr = F.when(F.col(col) < bounds[0], F.lit(f"<{bounds[0]}"))
@@ -51,7 +55,9 @@ def parts_from_numeric(
             (F.col(col) >= lo) & (F.col(col) < hi), F.lit(f"[{lo},{hi})")
         )
     expr = expr.otherwise(F.lit(f">={bounds[-1]}"))
-    return df.select(F.col(id_col).alias("doc_id"), expr.alias("part"))
+    return df.filter(F.col(col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"), expr.alias("part")
+    )
 
 
 def _signed_g2():

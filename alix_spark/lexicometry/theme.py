@@ -42,13 +42,14 @@ def theme_weights(
     tstats: DataFrame,
     cstats: DataFrame,
     idf_exp: float = IDF_EXP,
-    top: int = 50,
+    top: int | None = 50,
 ) -> DataFrame:
     """Corpus theme ranking: score = idf^exp · Σ_docs local.
 
     post (term, doc_id, tf) · dstats (doc_id, dl) · tstats (term, df)
     · cstats (corpus_docs, avgdl). Returns (term, df, score) top-k by
-    (score desc, term asc)."""
+    (score desc, term asc); ``top=None`` = the full unbounded weight
+    vector (TermStats.termWeights covers the whole vocabulary)."""
     acc = (
         post.join(dstats.select("doc_id", "dl"), "doc_id")
         .crossJoin(F.broadcast(cstats.select("corpus_docs", "avgdl")))
@@ -62,12 +63,12 @@ def theme_weights(
         ),
         F.lit(idf_exp),
     )
-    return (
+    ranked = (
         acc.join(F.broadcast(tstats.select("term", "df")), "term")
         .select("term", "df", round6(idf * F.col("acc")).alias("score"))
         .orderBy(F.desc("score"), F.asc("term"))
-        .limit(top)
     )
+    return ranked if top is None else ranked.limit(top)
 
 
 def theme_weights_focus(

@@ -107,31 +107,42 @@ def expand_wildcard(pattern: str, vocabulary: list[str]) -> list[str]:
     return out
 
 
-def resolve(
-    clauses: list[Clause], vocabulary: set[str] | list[str]
-) -> list[Clause]:
+def resolve_with(clauses: list[Clause], member, expand) -> list[Clause]:
     """Drop terms not in the index (reference :510-513); expand
-    wildcards; drop empty clauses."""
-    vset = set(vocabulary)
-    vlist = sorted(vset)
+    wildcards; drop empty clauses.
+
+    ``member(term) -> bool`` and ``expand(pattern) -> list[str]`` decide
+    against the dictionary — a set for small indexes, a pushdown lookup
+    (engine._IndexDict) at web-scale vocabularies."""
     out: list[Clause] = []
     for c in clauses:
         if isinstance(c, TermClause):
-            if c.term in vset:
+            if member(c.term):
                 out.append(c)
         elif isinstance(c, OrClause):
-            kept = [t for t in c.terms if t in vset]
+            kept = [t for t in c.terms if member(t)]
             if len(kept) == 1:
                 out.append(TermClause(kept[0]))  # single-clause collapse
             elif kept:
                 out.append(OrClause(kept))
         elif isinstance(c, PhraseClause):
-            if all(t in vset for t in c.terms):
+            if all(member(t) for t in c.terms):
                 out.append(c)
         elif isinstance(c, WildcardClause):
-            hits = expand_wildcard(c.pattern, vlist)
+            hits = expand(c.pattern)
             if len(hits) == 1:
                 out.append(TermClause(hits[0]))
             elif hits:
                 out.append(OrClause(hits))
     return out
+
+
+def resolve(
+    clauses: list[Clause], vocabulary: set[str] | list[str]
+) -> list[Clause]:
+    """resolve_with over an in-memory vocabulary set."""
+    vset = set(vocabulary)
+    vlist = sorted(vset)
+    return resolve_with(
+        clauses, vset.__contains__, lambda p: expand_wildcard(p, vlist)
+    )

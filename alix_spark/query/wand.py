@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from alix_spark.index.segments import read_meta, varint_decode
+from alix_spark.index.segments import decode_block, read_meta, varint_decode
 from alix_spark.query.bm25 import B, K1
 from alix_spark.util import ensure_py_files, round6
 
@@ -123,6 +123,13 @@ def wand_shard_topk(
     mode 'or': classic WAND threshold pruning.
     mode 'and': conjunction — pivot is always the max cursor doc.
     Returns k best by (score desc, doc_id asc).
+
+    Scores enter the heap floor-rounded to 6 dp (the contract's round6
+    domain) so the k-boundary tie-break (doc_id asc) is decided on the
+    same values the oracle compares: two docs whose raw scores differ
+    only past 6 dp are a rounded tie, and the smaller doc_id must win
+    even if its raw score is the lower one (reference TopArray.java
+    tie rule, applied post-rounding by the driver contract).
     """
     heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of kept
     n_terms = len(cursors)
@@ -159,6 +166,12 @@ def wand_shard_topk(
             if pivot < 0:
                 break  # no doc can beat θ
             pivot_doc = live[pivot].doc()
+            # extend the pivot over cursors parked on the same doc: their
+            # contributions are part of pivot_doc's full score, so they
+            # must be inside the block-max bound or the prune below can
+            # skip a true top-k doc (tie-extension)
+            while pivot + 1 < len(live) and live[pivot + 1].doc() == pivot_doc:
+                pivot += 1
             # block-max refinement: Σ current-block UBs of cursors at/before pivot
             bm = 0.0
             for c in live[: pivot + 1]:
@@ -180,6 +193,8 @@ def wand_shard_topk(
         score = 0.0
         for c in sel:
             score += c.score(avgdl)
+        # prune/tie-break in the oracle's rounded domain (round6)
+        score = math.floor(score * 1e6 + 0.5) / 1e6
         item = (score, -pivot_doc)
         if len(heap) < k:
             heapq.heappush(heap, item)
@@ -351,15 +366,15 @@ def phrase_topk(
              "dl": [h[2] for h in hits]}
         )
 
+    # exact phrase df via a broadcast 1-row count joined back onto the
+    # match set. A Window.partitionBy(lit(1)) would funnel every match
+    # through ONE task (fatal for a common phrase at web scale); the
+    # match set is persisted so the matching job runs once, not twice.
     matches = post.groupBy("shard").applyInPandas(
         run_shard, schema="doc_id long, tf long, dl long"
-    )
-    # exact phrase df via a global count window over the (tiny) match
-    # set — one pass, no recompute of the matching job
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(F.lit(1))
-    withdf = matches.withColumn("df", F.count("*").over(w))
+    ).persist()
+    dfc = matches.agg(F.count("*").alias("df"))
+    withdf = matches.crossJoin(F.broadcast(dfc))
     idf = F.log(
         F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
     )
@@ -386,34 +401,19 @@ def query_local(
     No Spark job — this is the reference's query-node model (a single
     process over the frozen index, LuceneIndex.java:36-43); the Spark
     executor path (wand_topk) covers cluster-wide fan-out."""
-    import pyarrow.dataset as ds
-
     terms = sorted(set(terms))
     meta = read_meta(index_dir)
     avgdl = float(meta["avgdl"])
     n_docs = int(meta["corpus_docs"])
 
-    key = index_dir
-    if key not in _LOCAL_CACHE:
-        tstats = ds.dataset(os.path.join(index_dir, "term_stats")).to_table(
-            columns=["term", "df"]
-        )
-        dfmap = dict(zip(tstats["term"].to_pylist(), tstats["df"].to_pylist()))
-        dset = ds.dataset(
-            os.path.join(index_dir, "postings"), partitioning="hive"
-        )
-        _LOCAL_CACHE[key] = (dfmap, dset)
-    dfmap, dset = _LOCAL_CACHE[key]
-
+    pdf, dfmap, _ = _load_blocks(index_dir, terms)
     idf = {
         t: math.log(1.0 + (n_docs - dfmap[t] + 0.5) / (dfmap[t] + 0.5))
         for t in terms if t in dfmap
     }
     if not idf or (mode == "and" and len(idf) < len(terms)):
         return []
-
-    tbl = dset.to_table(filter=ds.field("term").isin(list(idf)))
-    pdf = tbl.to_pandas()
+    pdf = pdf[pdf["term"].isin(idf)]
     results: list[tuple[int, float]] = []
     for _shard, g in pdf.groupby("shard", sort=False):
         cursors = [
@@ -426,3 +426,125 @@ def query_local(
     results = [(d, math.floor(s * 1e6 + 0.5) / 1e6) for d, s in results]
     results.sort(key=lambda t: (-t[1], t[0]))
     return results[:k]
+
+
+def _load_blocks(index_dir: str, terms: list[str]) -> pd.DataFrame:
+    """Serving-path block fetch: the query terms' rows only, via pyarrow
+    predicate pushdown on the term column (cached dataset handle)."""
+    import pyarrow.dataset as ds
+
+    meta = read_meta(index_dir)
+    key = index_dir
+    if key not in _LOCAL_CACHE:
+        tstats = ds.dataset(os.path.join(index_dir, "term_stats")).to_table(
+            columns=["term", "df"]
+        )
+        dfmap = dict(zip(tstats["term"].to_pylist(), tstats["df"].to_pylist()))
+        dset = ds.dataset(
+            os.path.join(index_dir, "postings"), partitioning="hive"
+        )
+        _LOCAL_CACHE[key] = (dfmap, dset)
+    dfmap, dset = _LOCAL_CACHE[key]
+    pdf = dset.to_table(filter=ds.field("term").isin(terms)).to_pandas()
+    return pdf, dfmap, meta
+
+
+def _term_score_map(blocks: pd.DataFrame, idf: float, avgdl: float) -> dict[int, float]:
+    """doc → BM25 contribution for one term (all blocks decoded)."""
+    out: dict[int, float] = {}
+    for _, row in blocks.iterrows():
+        docs, tfs, dls = decode_block(row)
+        norm = K1 * (1.0 - B + B * dls.astype(np.float64) / avgdl)
+        s = idf * (tfs * (K1 + 1.0)) / (tfs + norm)
+        for d, v in zip(docs.tolist(), s.tolist()):
+            out[d] = v  # a doc appears once per term
+    return out
+
+
+def _phrase_score_map(
+    blocks: pd.DataFrame, terms: list[str], slop: int, ordered: bool,
+    n_docs: int, avgdl: float,
+) -> dict[int, float]:
+    """doc → BM25 contribution of a phrase clause, scored as one
+    synthetic term (tf = match count, df = matching docs) — same
+    semantics as phrase_topk, evaluated on the serving node."""
+    matches: list[tuple[int, int, int]] = []
+    for _shard, g in blocks.groupby("shard", sort=False):
+        tb = {t: tg for t, tg in g.groupby("term", sort=False)}
+        if len(tb) < len(set(terms)):
+            continue
+        matches.extend(_phrase_match_docs(tb, terms, slop, ordered))
+    if not matches:
+        return {}
+    df = len(matches)  # doc-sharded: shards are disjoint doc sets
+    idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+    out = {}
+    for doc, tf, dl in matches:
+        norm = K1 * (1.0 - B + B * dl / avgdl)
+        out[doc] = idf * (tf * (K1 + 1.0)) / (tf + norm)
+    return out
+
+
+def query_local_mixed(index_dir: str, clauses, k: int = 10) -> list[tuple[int, float]]:
+    """Clause-wise serving-path evaluation of a mixed query: AND across
+    clauses, disjunction inside OR groups, positional phrases — the
+    reference's BooleanQuery-of-spans shape (MUST-joined clause scores,
+    OpResults.java:248-257) instead of flattening everything into one
+    conjunctive term bag.
+
+    Each clause yields a doc→score map; a doc qualifies iff every
+    clause matched it, and its score is the Σ of clause contributions
+    (round6 domain, tie-break doc_id asc)."""
+    from alix_spark.query import parser
+
+    meta = read_meta(index_dir)
+    avgdl = float(meta["avgdl"])
+    n_docs = int(meta["corpus_docs"])
+
+    need: set[str] = set()
+    for c in clauses:
+        if isinstance(c, parser.TermClause):
+            need.add(c.term)
+        elif isinstance(c, (parser.OrClause, parser.PhraseClause)):
+            need.update(c.terms)
+    if not need or not clauses:
+        return []
+    blocks, dfmap, _ = _load_blocks(index_dir, sorted(need))
+    by_term = {t: g for t, g in blocks.groupby("term", sort=False)}
+
+    def idf_of(t: str) -> float:
+        d = dfmap.get(t, 0)
+        return math.log(1.0 + (n_docs - d + 0.5) / (d + 0.5))
+
+    maps: list[dict[int, float]] = []
+    for c in clauses:
+        if isinstance(c, parser.TermClause):
+            g = by_term.get(c.term)
+            m = _term_score_map(g, idf_of(c.term), avgdl) if g is not None else {}
+        elif isinstance(c, parser.OrClause):
+            m = {}
+            for t in c.terms:
+                g = by_term.get(t)
+                if g is None:
+                    continue
+                for d, v in _term_score_map(g, idf_of(t), avgdl).items():
+                    m[d] = m.get(d, 0.0) + v
+        elif isinstance(c, parser.PhraseClause):
+            sub = blocks[blocks["term"].isin(c.terms)]
+            m = _phrase_score_map(sub, c.terms, c.slop, c.ordered, n_docs, avgdl)
+        else:
+            m = {}
+        if not m:
+            return []  # a MUST clause with no matches empties the AND
+        maps.append(m)
+
+    maps.sort(key=len)
+    common = set(maps[0])
+    for m in maps[1:]:
+        common &= set(m)
+    scored = [
+        (d, math.floor(sum(m[d] for m in maps) * 1e6 + 0.5) / 1e6)
+        for d in common
+    ]
+    scored.sort(key=lambda t: (-t[1], t[0]))
+    return scored[:k]

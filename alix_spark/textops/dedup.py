@@ -75,16 +75,33 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (doc_a < doc_b, jac >= t).
 
     Shape: explode distinct shingles, equi-join on shingle (candidate
-    pairs share >=1 shingle — at scale, rare shingles keep this sparse;
-    hot shingles can be dropped by a df-cap filter), then
-    jac = |A∩B| / (|A| + |B| - |A∩B|).
+    pairs share >=1 shingle — at scale, rare shingles keep this
+    sparse), then jac = |A∩B| / (|A| + |B| - |A∩B|).
+
+    ``max_shingle_df`` (the web-scale guard): shingles appearing in
+    more than that many docs are dropped BEFORE the equi-join — a
+    stop-phrase shingle ("all rights reserved …") otherwise produces a
+    quadratic candidate blow-up on its bucket. With the cap the result
+    is a documented approximation: intersections count capped shingles
+    out (jac becomes a lower bound), and pairs sharing ONLY ubiquitous
+    shingles are not candidates — the standard stop-shingle trade.
+    Default None = exact (the oracle-matched contract setting).
     """
     sh = doc_shingles(df, id_col, text_col, n)
     ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("sh"))
+    if max_shingle_df is not None:
+        hot = (
+            ex.groupBy("sh")
+            .agg(F.count("*").alias("sdf"))
+            .filter(F.col("sdf") > max_shingle_df)
+            .select("sh")
+        )
+        ex = ex.join(F.broadcast(hot), "sh", "left_anti")
     a = ex.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), "sh")
     b = ex.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"), "sh")
     inter = (

@@ -47,6 +47,63 @@ def ensure_py_files(spark: SparkSession) -> None:
     sc._alix_pyfiles_added = True
 
 
+def dense_ranks(df, key: str, out: str, order_expr: Column | None = None):
+    """Deterministic dense 1-based ranks of ``key`` — without a global
+    single-partition window.
+
+    Scale shape (reference TermLexicon.java:46-53 dense-id semantics,
+    re-expressed distributed): range-partition the skinny key column
+    (parallel global sort), partition-local ``row_number``, then offset
+    each partition by the preceding partitions' row counts — every stage
+    parallel, ids identical at any parallelism. ``order_expr`` defaults
+    to the key itself; pass ``F.encode(col, 'utf-8')`` for UTF-8 byte
+    order.
+
+    Returns a DataFrame ``(key, out)``.
+
+    Determinism note: ``repartitionByRange`` samples its bounds with an
+    RDD-id-dependent seed, so two *separate actions* over the same plan
+    may cut ranges differently. The counts job therefore also collects
+    each range's max key, and the rank job re-derives the bucket from
+    those **frozen** bounds (broadcast range lookup) instead of
+    re-running the sampler — the two jobs can never disagree.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    if order_expr is None:
+        order_expr = F.col(key)
+    parts = max(spark.sparkContext.defaultParallelism, 2)
+    keyed = df.select(key).withColumn("_ord", order_expr)
+    ranged = keyed.repartitionByRange(parts, F.col("_ord")).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    stats = ranged.groupBy("_pid").agg(
+        F.count("*").alias("n"), F.max("_ord").alias("hi")
+    ).collect()
+    stats = sorted((r for r in stats if r["n"] > 0), key=lambda r: r["_pid"])
+    offsets = []
+    acc = 1  # 1-based ids (0 = absent sentinel, TermLexicon style)
+    for r in stats:
+        offsets.append(acc)
+        acc += r["n"]
+    # frozen contiguous ranges: bucket b holds keys ≤ hi[b] (and > hi[b-1])
+    bounds = [r["hi"] for r in stats]
+    bucket = F.lit(len(bounds) - 1)
+    for b in range(len(bounds) - 2, -1, -1):
+        bucket = F.when(F.col("_ord") <= F.lit(bounds[b]), F.lit(b)).otherwise(bucket)
+    off_df = spark.createDataFrame(
+        list(enumerate(offsets)), "_b int, _off long"
+    )
+    w = Window.partitionBy("_b").orderBy("_ord")
+    return (
+        keyed.withColumn("_b", bucket.cast("int"))
+        .withColumn("_rn", F.row_number().over(w).cast("long"))
+        .join(F.broadcast(off_df), "_b")
+        .select(key, (F.col("_off") + F.col("_rn") - F.lit(1)).alias(out))
+    )
+
+
 def round6(c: Column) -> Column:
     return F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
 

@@ -1,0 +1,63 @@
+"""Dedup operator tests: hot-shingle df-cap (the web-scale candidate
+bound) and cross-tier consistency on a corpus with seeded duplicates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from alix_spark.textops import dedup
+
+
+@pytest.fixture(scope="module")
+def hot_corpus(spark):
+    """8 docs, every one carrying the same boilerplate trigram run
+    ("all rights reserved worldwide notice"); docs 0/1 and 2/3 are true
+    near-duplicates beyond the boilerplate."""
+    boiler = "all rights reserved worldwide notice"
+    rows = [
+        (0, f"{boiler} alpha beta gamma delta epsilon zeta"),
+        (1, f"{boiler} alpha beta gamma delta epsilon eta"),
+        (2, f"{boiler} red orange yellow green blue indigo"),
+        (3, f"{boiler} red orange yellow green blue violet"),
+        (4, f"{boiler} one unique sentence four five six"),
+        (5, f"{boiler} seven eight nine ten eleven twelve"),
+        (6, f"{boiler} lorem ipsum dolor sit amet consectetur"),
+        (7, f"{boiler} quick brown fox jumps over dog"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_hot_shingle_cap_bounds_candidates(spark, hot_corpus):
+    """With threshold=0 every candidate pair surfaces. Uncapped, the
+    boilerplate shingle makes ALL C(8,2)=28 pairs candidates (the
+    quadratic blow-up); with max_shingle_df=2 only pairs sharing a
+    non-ubiquitous shingle survive the join."""
+    uncapped = dedup.jaccard_pairs(hot_corpus, threshold=0.0).collect()
+    assert len(uncapped) == 28
+    capped = dedup.jaccard_pairs(
+        hot_corpus, threshold=0.0, max_shingle_df=2
+    ).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in capped}
+    assert got == {(0, 1), (2, 3)}
+
+
+def test_hot_shingle_cap_keeps_true_near_dups(spark, hot_corpus):
+    """The true near-dup pairs stay above a working threshold with the
+    cap on (their overlap lives in the rare shingles)."""
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.jaccard_pairs(
+            hot_corpus, threshold=0.3, max_shingle_df=2
+        ).collect()
+    }
+    assert (0, 1) in pairs and (2, 3) in pairs
+
+
+def test_cap_none_is_exact(spark, hot_corpus):
+    """Default (no cap) is the exact oracle-matched semantics: jac
+    computed over the full shingle sets."""
+    rows = dedup.jaccard_pairs(hot_corpus, threshold=0.5).collect()
+    for r in rows:
+        assert 0.5 <= r["jac"] <= 1.0
+    assert {(r["doc_a"], r["doc_b"]) for r in rows} >= {(0, 1), (2, 3)}

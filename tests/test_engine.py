@@ -44,6 +44,71 @@ def test_search_unknown(engine):
     assert engine.search("zzzzz") == []
 
 
+def _brute_mixed(engine, clause_termsets, k=10):
+    """Doc-level oracle for clause-wise search: AND of clauses, score =
+    Σ clause BM25 contributions, computed from the token table."""
+    import math
+
+    from alix_spark.query.bm25 import B, K1
+
+    tok = engine.tokens().select("doc_id", "pos", "term")
+    rows = tok.collect()
+    dl = {}
+    tf: dict[tuple[int, str], int] = {}
+    for r in rows:
+        dl[r["doc_id"]] = dl.get(r["doc_id"], 0) + 1
+        tf[(r["doc_id"], r["term"])] = tf.get((r["doc_id"], r["term"]), 0) + 1
+    n_docs = len(dl)
+    avgdl = sum(dl.values()) / n_docs
+    df: dict[str, int] = {}
+    for (_, t) in tf:
+        df[t] = df.get(t, 0) + 1
+
+    def bm25(d, t):
+        if (d, t) not in tf:
+            return None
+        idf = math.log(1 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+        f = tf[(d, t)]
+        return idf * f * (K1 + 1) / (f + K1 * (1 - B + B * dl[d] / avgdl))
+
+    out = []
+    for d in dl:
+        total = 0.0
+        ok = True
+        for terms in clause_termsets:
+            contrib = [bm25(d, t) for t in terms]
+            contrib = [c for c in contrib if c is not None]
+            if not contrib:
+                ok = False
+                break
+            total += sum(contrib)
+        if ok:
+            out.append((d, __import__("math").floor(total * 1e6 + 0.5) / 1e6))
+    out.sort(key=lambda t: (-t[1], t[0]))
+    return out[:k]
+
+
+def test_search_mixed_term_plus_or_group(engine):
+    """ADVICE r1: mixed queries must run clause-wise — a term AND an OR
+    group, scored as Σ clause contributions, not flattened into one
+    conjunctive bag."""
+    got = engine.search("homme (guerre paix)")
+    want = _brute_mixed(engine, [["homme"], ["guerre", "paix"]])
+    assert got == want
+    assert len(got) > 0
+
+
+def test_search_mixed_wildcard_and_term(engine):
+    """The module docstring's own example shape: wildcard + bare term.
+    The wildcard OR group must not require every expansion to co-occur."""
+    got = engine.search("homme v*")
+    expansions = engine._expand("v*")
+    assert len(expansions) > 1  # ville, vie, …: a real multi-term group
+    want = _brute_mixed(engine, [["homme"], expansions])
+    assert got == want
+    assert len(got) > 0
+
+
 def test_concordance(engine):
     rows = engine.concordance("ville", width=3, limit=10).collect()
     assert 0 < len(rows) <= 10

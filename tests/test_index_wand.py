@@ -118,6 +118,77 @@ def test_block_encoding_roundtrip():
     assert (np.concatenate(got_dls) == dls).all()
 
 
+# ----------------------------------------------- WAND kernel fuzzing
+
+
+ENC_COLS = ["shard", "term", "block_id", "n", "max_doc", "max_tf",
+            "block_ub", "doc_bytes", "tf_bytes", "dl_bytes", "pos_bytes"]
+
+
+def _mk_cursor(idf, docs, tfs, dls, avgdl):
+    import pandas as pd
+
+    rows = segments._encode_term_group(0, "t", docs, tfs, dls, avgdl)
+    return wand._Cursor(idf, pd.DataFrame(rows, columns=ENC_COLS))
+
+
+def _brute_py(posting_sets, idfs, avgdl, k, mode):
+    import math
+
+    from alix_spark.query.bm25 import B, K1
+
+    scores: dict[int, float] = {}
+    hits: dict[int, int] = {}
+    for (docs, tfs, dls), idf in zip(posting_sets, idfs):
+        for d, tf, dl in zip(docs, tfs, dls):
+            norm = K1 * (1.0 - B + B * dl / avgdl)
+            scores[d] = scores.get(d, 0.0) + idf * tf * (K1 + 1.0) / (tf + norm)
+            hits[d] = hits.get(d, 0) + 1
+    items = [
+        (math.floor(s * 1e6 + 0.5) / 1e6, d)
+        for d, s in scores.items()
+        if mode == "or" or hits[d] == len(posting_sets)
+    ]
+    items.sort(key=lambda t: (-t[0], t[1]))
+    return [(d, s) for s, d in items[:k]]
+
+
+@pytest.mark.parametrize("mode", ["or", "and"])
+def test_wand_kernel_fuzz_vs_bruteforce(mode):
+    """1,500 random posting sets per mode: wand_shard_topk must be
+    rank- AND score-identical to brute-force BM25 in the round6 domain.
+    Catches the or-mode pivot tie-extension bug (ADVICE r1: cursors
+    parked on the pivot doc excluded from the block-max bound) and
+    k-boundary ties decided on unrounded scores."""
+    import math
+
+    rng = np.random.default_rng(20260817)
+    for trial in range(1500):
+        n_terms = int(rng.integers(1, 5))
+        universe = int(rng.integers(20, 400))
+        dls_all = rng.integers(5, 300, size=universe + 1).astype(np.int64)
+        posting_sets, idfs, cursors = [], [], []
+        for _ in range(n_terms):
+            df_t = int(rng.integers(1, universe + 1))
+            docs = np.sort(
+                rng.choice(universe + 1, size=df_t, replace=False)
+            ).astype(np.int64)
+            tfs = rng.integers(1, 25, size=df_t).astype(np.int64)
+            dls = dls_all[docs]
+            posting_sets.append((docs, tfs, dls))
+            idf = math.log(1.0 + (universe - df_t + 0.5) / (df_t + 0.5))
+            idfs.append(max(idf, 0.01))
+        avgdl = float(dls_all.mean())
+        k = int(rng.choice([1, 3, 10]))
+        cursors = [
+            _mk_cursor(idf, d, t, dl, avgdl)
+            for (d, t, dl), idf in zip(posting_sets, idfs)
+        ]
+        got = wand.wand_shard_topk(cursors, k, avgdl, mode=mode)
+        want = _brute_py(posting_sets, idfs, avgdl, k, mode)
+        assert got == want, f"trial {trial}: {got} != {want}"
+
+
 # --------------------------------------------------- index + WAND e2e
 
 
@@ -157,6 +228,50 @@ def test_wand_rank_identical_to_bruteforce(spark, built_index, terms, mode):
     w = [(r["doc_id"], r["score"]) for r in wand.wand_topk(spark, idx, terms, mode=mode).collect()]
     b = [(r["doc_id"], r["score"]) for r in _brute(tok, terms, mode).collect()]
     assert w == b
+
+
+def test_dl_join_path_bit_identical(spark, built_index, tmp_path):
+    """The 10^12-doc dl path (shuffle join instead of driver broadcast)
+    must produce a bit-identical index: same encoded posting blocks,
+    same term_ids, same stats."""
+    idx, tok = built_index
+    idx2 = str(tmp_path / "ix_join")
+    segments.build_index(spark, tok, idx2, n_shards=4, dl_broadcast_max=0)
+
+    def canon(d, table, keys):
+        rows = [tuple(r) for r in spark.read.parquet(f"{d}/{table}").collect()]
+        return sorted(rows, key=lambda t: tuple(str(x) for x in t))
+
+    for table in ["postings", "doc_stats", "term_stats"]:
+        a = canon(idx, table, None)
+        b = canon(idx2, table, None)
+        assert a == b, table
+    assert segments.read_meta(idx)["avgdl"] == segments.read_meta(idx2)["avgdl"]
+
+
+def test_dense_ranks_matches_global_window(spark):
+    """util.dense_ranks (range-partitioned parallel rank) must equal the
+    single-task global row_number it replaces, at any parallelism."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from alix_spark.util import dense_ranks
+
+    terms = [f"t{i:03d}" for i in range(97)] + ["é", "a", "zz", "Z", "0"]
+    df = spark.createDataFrame([(t,) for t in terms], "term string").repartition(7)
+    order = F.encode(F.col("term"), "utf-8")
+    got = {
+        r["term"]: r["term_id"]
+        for r in dense_ranks(df, "term", "term_id", order_expr=order).collect()
+    }
+    want = {
+        r["term"]: r["term_id"]
+        for r in df.withColumn(
+            "term_id",
+            F.row_number().over(Window.orderBy(order)).cast("long"),
+        ).collect()
+    }
+    assert got == want
 
 
 def test_index_manifests_and_meta(built_index):

@@ -225,10 +225,13 @@ def test_kwic_contexts(spark):
 
 def test_parts_from_numeric(spark):
     docs = spark.createDataFrame(
-        [(1, 1850), (2, 1901), (3, 1950), (4, 2000)], "doc_id long, year int"
+        [(1, 1850), (2, 1901), (3, 1950), (4, 2000), (5, None)],
+        "doc_id long, year int",
     )
     parts = {r["doc_id"]: r["part"]
              for r in partition.parts_from_numeric(docs, "year", [1900, 1950]).collect()}
+    # doc 5 (NULL year) excluded, like the reference's NO_PART — never
+    # silently classified into the top range part (ADVICE r1)
     assert parts == {1: "<1900", 2: "[1900,1950)", 3: ">=1950", 4: ">=1950"}
 
 
