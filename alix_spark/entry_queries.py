@@ -513,12 +513,14 @@ def q_dedup_jaccard(spark, sf_dir):
 
 
 def q_dedup_minhash(spark, sf_dir):
-    # rows-only check (seeded numpy hashing is not SQL-expressible)
+    # fully oracle-checked: md5-based shingle hashing + literal
+    # permutation constants make the banded LSH SQL-expressible
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.08)
 
 
 def q_dedup_simhash(spark, sf_dir):
-    # rows-only check
+    # fully oracle-checked: 60-bit md5-based fingerprints are
+    # reproducible in SQL (bit ops + weighted per-bit sums)
     return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=12)
 
 
@@ -544,8 +546,9 @@ def q_ann_ivf(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
-    # rows-only check (bucketing is seeded-numpy); recall vs exact is
-    # asserted in tests/test_textops.py
+    # fully oracle-checked: ±1 md5-derived hyperplanes are embedded as
+    # literals in the oracle SQL, so buckets and the within-bucket
+    # exact-cosine top-k reproduce bit-for-bit in DuckDB
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
@@ -1112,6 +1115,104 @@ FROM inter WHERE floor((i * 1.0 / (na + nb - i)) * 1000000.0 + 0.5) / 1000000.0 
 ORDER BY doc_a, doc_b
 """
 
+    # banded MinHash LSH, exactly as the Spark side computes it: the
+    # md5-60bit shingle hash and the literal permutation constants
+    # (dedup.minhash_perms, same seed) are shared, so signatures,
+    # band buckets, candidates, and the Jaccard-verified output are
+    # all bit-identical across engines.
+    a_mh, b_mh = dedup.minhash_perms(64, 42)
+    perm_rows = ", ".join(
+        f"({i}, {int(a_mh[i])}, {int(b_mh[i])})" for i in range(64)
+    )
+    sqls["dedup_minhash"] = f"""
+WITH sh0 AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(l) - 2, 0)),
+           i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS shingles
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS l
+        FROM documents)
+),
+sh AS (SELECT doc_id, shingles, len(shingles) AS n_sh FROM sh0 WHERE len(shingles) > 0),
+hx AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647 AS h
+  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+),
+perms(i, a, b) AS (VALUES {perm_rows}),
+sigs AS (
+  SELECT hx.doc_id, p.i, min((p.a * hx.h + p.b) % 2147483647) AS sig
+  FROM hx, perms p GROUP BY hx.doc_id, p.i
+),
+bands AS (
+  SELECT doc_id, i // 4 AS band,
+         string_agg(CAST(sig AS VARCHAR), ',' ORDER BY i) AS key
+  FROM sigs GROUP BY doc_id, i // 4
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+  WHERE x.doc_id < y.doc_id
+),
+v AS (
+  SELECT doc_a, doc_b,
+         len(list_intersect(sa.shingles, sb.shingles)) AS i,
+         sa.n_sh AS na, sb.n_sh AS nb
+  FROM cand JOIN sh sa ON sa.doc_id = cand.doc_a
+            JOIN sh sb ON sb.doc_id = cand.doc_b
+)
+SELECT doc_a, doc_b,
+       {sql_round6("i * 1.0 / (na + nb - i)")} AS jac
+FROM v WHERE {sql_round6("i * 1.0 / (na + nb - i)")} >= 0.08
+ORDER BY doc_a, doc_b
+"""
+
+    # 60-bit md5 SimHash, chunk-blocked, exactly as the Spark side:
+    # per-token md5-60bit hash, per-bit tf-weighted sums, fingerprint
+    # bit b set iff the signed sum is > 0, candidates = pairs sharing
+    # one of four 15-bit chunks, verified by bit_count(xor).
+    sqls["dedup_simhash"] = f"""
+WITH {TOKS_CTE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+h AS (
+  SELECT doc_id, tf,
+         CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) AS hv
+  FROM tf
+),
+bitsum AS (
+  SELECT doc_id, b.bit,
+         sum(CASE WHEN (hv >> b.bit) & 1 = 1 THEN tf ELSE -tf END) AS v
+  FROM h, (SELECT unnest(generate_series(0, 59)) AS bit) b
+  GROUP BY doc_id, b.bit
+),
+fp0 AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM bitsum GROUP BY doc_id
+),
+fp AS (
+  SELECT d.doc_id, coalesce(fp0.simhash, 0) AS simhash
+  FROM documents d LEFT JOIN fp0 USING (doc_id)
+),
+chunks AS (
+  SELECT doc_id, simhash, c.c AS chunk,
+         (simhash >> (c.c * 15)) & 32767 AS key
+  FROM fp, (VALUES (0), (1), (2), (3)) c(c)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         x.simhash AS ha, y.simhash AS hb
+  FROM chunks x JOIN chunks y ON x.chunk = y.chunk AND x.key = y.key
+  WHERE x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(ha, hb)) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 12
+ORDER BY doc_a, doc_b
+"""
+
     sqls["ann_cosine"] = """
 WITH emb AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -1125,6 +1226,58 @@ scored AS (
                / (sqrt(list_sum(list_transform(e, x -> x * x)))
                   * sqrt(list_sum(list_transform(qe, x -> x * x))))) * 1000000.0 + 0.5) / 1000000.0 AS cos
   FROM emb, q WHERE emb.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT q_id, vec_id, cos,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
+"""
+
+    # bucketed ANN with the SAME ±1 hyperplanes as the Spark side
+    # (similarity.lsh_planes, md5-derived, embedded as literals):
+    # bucket = sign pattern, candidates share the query's bucket,
+    # exact cosine within bucket.
+    _planes = similarity.lsh_planes(n_planes=8, dim=64, seed=42)
+    _plane_rows = ", ".join(
+        "({}, [{}])".format(
+            j, ", ".join(str(int(v)) for v in _planes[j])
+        )
+        for j in range(_planes.shape[0])
+    )
+    sqls["ann_lsh"] = f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+planes(j, s) AS (VALUES {_plane_rows}),
+dots AS (
+  SELECT emb.vec_id, p.j,
+         list_sum(list_transform(generate_series(1, len(emb.e)),
+                                 i -> emb.e[i] * p.s[i])) AS dot
+  FROM emb, planes p
+),
+buckets AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+              AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id
+),
+q AS (SELECT vec_id AS q_id, e AS qe FROM emb WHERE vec_id < 5),
+cand AS (
+  SELECT q.q_id, b2.vec_id, q.qe
+  FROM q JOIN buckets qb ON qb.vec_id = q.q_id
+         JOIN buckets b2 ON b2.bucket = qb.bucket
+  WHERE b2.vec_id <> q.q_id
+),
+scored AS (
+  SELECT c.q_id, c.vec_id,
+         floor((list_sum(list_transform(generate_series(1, len(emb.e)),
+                                        i -> emb.e[i] * c.qe[i]))
+               / (sqrt(list_sum(list_transform(emb.e, x -> x * x)))
+                  * sqrt(list_sum(list_transform(c.qe, x -> x * x))))) * 1000000.0 + 0.5) / 1000000.0 AS cos
+  FROM cand c JOIN emb ON emb.vec_id = c.vec_id
 ),
 ranked AS (
   SELECT q_id, vec_id, cos,

@@ -240,6 +240,12 @@ def build_index(
     tok = tok.persist(StorageLevel.MEMORY_AND_DISK)
 
     dstats, tstats = _stats(tok)
+    # the small per-doc / per-term aggregates each feed several
+    # downstream jobs (corpus scalars, dl channel, sidecar writes,
+    # term_id ranks) — persist them so the 10^9-row token table is
+    # scanned once per aggregate, not once per consumer
+    dstats = dstats.persist(StorageLevel.MEMORY_AND_DISK)
+    tstats = tstats.persist(StorageLevel.MEMORY_AND_DISK)
     # corpus scalars via a 1-row agg — never collect the full dl column
     # to the driver (at 10^12 docs that is a driver OOM)
     crow = dstats.agg(
@@ -321,11 +327,15 @@ def build_index(
                 ],
             )
 
+        # write tasks: at least one per shard, scaled up to the
+        # cluster's parallelism via the salt bucket as secondary key —
+        # a 16-shard layout must not cap a 32-core (or 1000-executor)
+        # write at 16 tasks. Files per shard stay bounded
+        # (≤ cores/shards), so query-side listing is still O(shards).
+        n_write = max(len(todo), spark.sparkContext.defaultParallelism)
         encoded = salted.groupBy("shard", "tbucket").applyInPandas(
             encode, schema=ENC_SCHEMA
-        ).repartition(max(len(todo), 1), "shard")
-        # ^ coalesce encoder output to ~one file per shard: query-side
-        # parquet listing cost stays O(shards), not O(encode tasks)
+        ).repartition(n_write, "shard", "term")
         # dynamic partition overwrite: replaces exactly the shards being
         # (re)built — a half-written shard from a crashed run is cleanly
         # rewritten, completed shards are untouched (the Iceberg
@@ -366,18 +376,33 @@ def build_index(
     # term_stats carries the dense term_id (UTF-8 byte order, reference
     # TermLexicon.java:46-53) so the dictionary and stats are ONE table
     # and one write.
+    # sidecar writes sized to their data, not to the core count: these
+    # tables are thousands-to-millions of skinny rows — 32 write tasks
+    # of 400 rows each is pure fixed cost (task scheduling anti-scales
+    # with parallelism on small jobs)
+    def _size_parts(n_rows: int, per_part: int = 2_000_000) -> int:
+        return max(1, min(
+            spark.sparkContext.defaultParallelism, n_rows // per_part + 1
+        ))
+
+    d_parts = _size_parts(corpus["corpus_docs"])
     dstats.withColumn(
         "shard", (F.col("doc_id") % F.lit(n_shards)).cast("int")
-    ).write.mode("overwrite").parquet(os.path.join(index_dir, "doc_stats"))
+    ).repartition(d_parts).write.mode("overwrite").parquet(
+        os.path.join(index_dir, "doc_stats")
+    )
     # dense term_id in UTF-8 byte order WITHOUT a global single-partition
     # window (the whole vocabulary through one task): range-partitioned
     # parallel rank, identical ids at any parallelism (util.dense_ranks)
+    n_terms = tstats.count()
+    t_parts = _size_parts(n_terms, per_part=500_000)
     tids = dense_ranks(
-        tstats, "term", "term_id", order_expr=F.encode(F.col("term"), "utf-8")
+        tstats, "term", "term_id",
+        order_expr=F.encode(F.col("term"), "utf-8"), parts=t_parts,
     )
-    tstats.join(tids, "term").write.mode("overwrite").parquet(
-        os.path.join(index_dir, "term_stats")
-    )
+    tstats.join(tids, "term").repartition(t_parts).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(index_dir, "term_stats"))
     meta = {
         "corpus_docs": int(corpus["corpus_docs"]),
         "corpus_tokens": int(corpus["corpus_tokens"]),
@@ -389,6 +414,8 @@ def build_index(
     with open(os.path.join(index_dir, "corpus.json"), "w") as f:
         json.dump(meta, f)
     tok.unpersist()
+    dstats.unpersist()
+    tstats.unpersist()
     return meta
 
 

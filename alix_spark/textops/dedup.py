@@ -130,14 +130,49 @@ def _hash64(arr) -> "np.ndarray":
     return pd.util.hash_array(np.asarray(arr, dtype=object), categorize=False)
 
 
+def _md5_hash60(strings) -> "np.ndarray":
+    """Deterministic 60-bit hash = first 15 hex chars of md5, as uint64.
+
+    Chosen over SipHash because BOTH engines of the correctness
+    contract can compute it: Spark ``conv(substr(md5(s),1,15),16,10)``
+    and DuckDB ``CAST('0x' || substr(md5(s),1,15) AS BIGINT)`` — which
+    makes MinHash/SimHash signatures (and therefore the LSH dedup
+    output) exactly oracle-checkable in SQL. 60 bits keeps every value
+    inside a signed 64-bit integer on both sides."""
+    import hashlib
+
+    n = len(strings)
+    out = np.empty(n, dtype=np.uint64)
+    for i, s in enumerate(strings):
+        out[i] = int.from_bytes(
+            hashlib.md5(s.encode("utf-8")).digest()[:8], "big"
+        ) >> 4
+    return out
+
+
+def minhash_perms(num_perm: int = 64, seed: int = 42):
+    """The seeded permutation constants h_i(x) = (a_i·x + b_i) mod p31.
+
+    Exposed so the DuckDB oracle SQL can embed the SAME constants as
+    literals — signatures must agree bit-for-bit across engines."""
+    p31 = (1 << 31) - 1
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, p31, size=num_perm).astype(np.uint64)
+    b = rng.randint(0, p31, size=num_perm).astype(np.uint64)
+    return a, b
+
+
 def minhash_signatures(
     sh: DataFrame, num_perm: int = 64, seed: int = 42
 ) -> DataFrame:
     """(doc_id, sig array<long>) MinHash signatures via vectorized numpy
     inside mapInPandas (Arrow batches; no per-row Python UDF).
 
-    Permutations h_i(x) = (a_i * x + b_i) mod p (p = 2^61-1), a/b drawn
-    from a seeded generator so signatures are identical at any
+    Shingle hash = md5-60bit (``_md5_hash60``) so the signatures — and
+    the whole banded-LSH dedup output — are reproducible in ANSI SQL
+    and oracle-checked by the driver contract, not just rows-only.
+    Permutations h_i(x) = (a_i * x + b_i) mod p31, a/b from a seeded
+    generator (``minhash_perms``) so signatures are identical at any
     parallelism (cluster-size invariant).
     """
     ensure_py_files(sh.sparkSession)
@@ -145,9 +180,7 @@ def minhash_signatures(
     # the whole (num_perm × n_shingles) outer product runs in native
     # uint64 — no object-dtype big-int fallback
     p31 = np.uint64((1 << 31) - 1)
-    rng = np.random.RandomState(seed)
-    a = rng.randint(1, int(p31), size=num_perm).astype(np.uint64)
-    b = rng.randint(0, int(p31), size=num_perm).astype(np.uint64)
+    a, b = minhash_perms(num_perm, seed)
 
     def gen(it):
         for pdf in it:
@@ -156,7 +189,7 @@ def minhash_signatures(
                 if len(shingles) == 0:
                     sigs.append([0] * num_perm)
                     continue
-                h = _hash64(shingles) % p31
+                h = _md5_hash60(shingles) % p31
                 hm = (a[:, None] * h[None, :] + b[:, None]) % p31
                 sigs.append(hm.min(axis=1).astype(np.int64).tolist())
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
@@ -223,15 +256,24 @@ def minhash_lsh_pairs(
     return v.select("doc_a", "doc_b", "jac").orderBy("doc_a", "doc_b")
 
 
+SIMHASH_BITS = 60  # md5-60bit token hash → SQL-expressible oracle
+
+
 def simhash_fingerprints(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(doc_id, simhash) 64-bit SimHash over token FNV hashes weighted
-    by tf — vectorized numpy in mapInPandas."""
+    """(doc_id, simhash) 60-bit SimHash over md5-hashed tokens weighted
+    by tf — vectorized numpy in mapInPandas.
+
+    60 bits (not 64) so the token hash is the shared ``_md5_hash60``
+    and the fingerprint — hence the whole near-dup pair output — is
+    bit-identical to the DuckDB oracle SQL; everything stays inside a
+    signed 64-bit integer on both engines."""
     ensure_py_files(df.sparkSession)
     toks = df.select(F.col(id_col).alias("doc_id"), tokens_array(df, text_col).alias("toks"))
 
     def gen(it):
+        nb = SIMHASH_BITS
         for pdf in it:
             fps = []
             for tl in pdf["toks"]:
@@ -239,14 +281,12 @@ def simhash_fingerprints(
                     fps.append(0)
                     continue
                 vals, counts = np.unique(np.asarray(tl, dtype=object), return_counts=True)
-                h = _hash64(vals)
-                bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+                h = _md5_hash60(vals)
+                bits = ((h[:, None] >> np.arange(nb, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
                     np.int64
                 )
                 v = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
-                fp = int((np.uint64(1) << np.arange(64, dtype=np.uint64))[v > 0].sum())
-                # store as signed 64-bit
-                fps.append(fp - (1 << 64) if fp >= (1 << 63) else fp)
+                fps.append(int((np.uint64(1) << np.arange(nb, dtype=np.uint64))[v > 0].sum()))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": pd.array(fps, dtype="int64")})
 
     schema = T.StructType(
@@ -266,7 +306,7 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash_a, simhash_b) <= max_hamming.
 
-    Scale path: block on 16-bit chunks (pigeonhole — any pair within
+    Scale path: block on 15-bit chunks (pigeonhole — any pair within
     Hamming<=3 shares at least one of 4 chunks exactly), join per chunk,
     verify with bit_count. Avoids the O(n²) cross join.
     """
@@ -277,7 +317,7 @@ def simhash_pairs(
         F.explode(
             F.expr(
                 "transform(sequence(0, 3), "
-                "c -> struct(c as chunk, shiftright(simhash, c * 16) & 65535 as key))"
+                "c -> struct(c as chunk, shiftright(simhash, c * 15) & 32767 as key))"
             )
         ).alias("ck"),
     ).select("doc_id", "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))

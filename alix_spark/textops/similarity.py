@@ -64,6 +64,26 @@ def cosine_topk(
     )
 
 
+def lsh_planes(n_planes: int = 16, dim: int = 64, seed: int = 42) -> np.ndarray:
+    """±1 (Rademacher) hyperplanes derived from md5(seed:plane:dim).
+
+    Sign random projection is a valid LSH family for cosine with ±1
+    entries, and — unlike gaussian draws — each entry is reproducible
+    in ANSI SQL, so the bucketed ANN output is oracle-checkable by the
+    driver contract (the constants are embedded as literals in the
+    oracle query)."""
+    import hashlib
+
+    p = np.empty((n_planes, dim), dtype=np.float64)
+    for j in range(n_planes):
+        for d in range(dim):
+            hv = int.from_bytes(
+                hashlib.md5(f"{seed}:{j}:{d}".encode()).digest()[:8], "big"
+            )
+            p[j, d] = 1.0 if hv & 1 else -1.0
+    return p
+
+
 def lsh_signatures(
     emb: DataFrame,
     n_planes: int = 16,
@@ -72,11 +92,10 @@ def lsh_signatures(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(vec_id, bucket) — sign pattern against seeded random hyperplanes,
+    """(vec_id, bucket) — sign pattern against seeded ±1 hyperplanes,
     vectorized numpy over Arrow batches."""
     ensure_py_files(emb.sparkSession)
-    rng = np.random.RandomState(seed)
-    planes = rng.normal(size=(n_planes, dim))
+    planes = lsh_planes(n_planes, dim, seed)
 
     def gen(it):
         for pdf in it:

@@ -47,7 +47,10 @@ def ensure_py_files(spark: SparkSession) -> None:
     sc._alix_pyfiles_added = True
 
 
-def dense_ranks(df, key: str, out: str, order_expr: Column | None = None):
+def dense_ranks(
+    df, key: str, out: str, order_expr: Column | None = None,
+    parts: int | None = None,
+):
     """Deterministic dense 1-based ranks of ``key`` — without a global
     single-partition window.
 
@@ -73,7 +76,11 @@ def dense_ranks(df, key: str, out: str, order_expr: Column | None = None):
     spark = df.sparkSession
     if order_expr is None:
         order_expr = F.col(key)
-    parts = max(spark.sparkContext.defaultParallelism, 2)
+    if parts is None:
+        parts = max(spark.sparkContext.defaultParallelism, 2)
+    # ``parts``: callers that know the key cardinality should size this
+    # (≈1 range per few hundred k keys) — 32 three-stage range tasks
+    # over a 50k-term dictionary is pure scheduling overhead
     keyed = df.select(key).withColumn("_ord", order_expr)
     ranged = keyed.repartitionByRange(parts, F.col("_ord")).withColumn(
         "_pid", F.spark_partition_id()

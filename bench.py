@@ -13,10 +13,15 @@ Fields keyed to BASELINE.json's metric:
                                   synthetic webtext corpus
 - ``bm25_p50_ms``             Spark fan-out BM25-WAND top-10 latency
 - ``bm25_serving_p50_ms``     pyarrow serving-path WAND latency (warm)
-- ``scaling``                 two-parallelism index-build probe
-                              (local[4] vs local[16]; the full
-                              spark-submit run is scripts/scaling_bench.py
-                              → BENCH.md)
+- ``scaling``                 the N-vs-4N criterion, measured here:
+                              full-pipeline index build at local[8] vs
+                              local[32] in clean spark-submit JVMs,
+                              interleaved best-of-3 (this box shows
+                              50-100% run variance), WITH the
+                              pure-multiprocessing hardware-ceiling
+                              control measured in the same run — the
+                              efficiency number ships with its own
+                              control (scripts/mp_ceiling.py).
 """
 
 from __future__ import annotations
@@ -51,31 +56,49 @@ HEADLINE = [
 COLLECT = {"bm25_wand_and", "bm25_wand_or", "phrase_wand", "bm25_and"}
 # realistic page sizes for the probe: doc_scale 10 ≈ 950 analyzed
 # tokens/doc (Common-Crawl-ish) — the chain dominates, as it would at
-# web scale. 6k docs keeps the whole bench under ~5 min; the canonical
-# larger-scale evidence + controls live in BENCH.md (12k-doc runs via
-# scripts/scaling_bench.py).
-SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "6000"))
+# web scale. 12k docs amortizes fixed per-job overhead so the measured
+# ratio reflects the pipeline, not stage-scheduling constants.
+SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "12000"))
 SCALING_DOC_SCALE = int(os.environ.get("SPARK_GRAFT_SCALING_DOC_SCALE", "10"))
+SCALING_N = int(os.environ.get("SPARK_GRAFT_SCALING_N", "8"))
+SCALING_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3"))
 
 
 def _scaling_probe(n_docs: int) -> dict:
-    """Full-pipeline index build at local[4] vs local[16], each run in
-    its own spark-submit JVM, interleaved best-of-N (the sandbox shows
-    50-100% run-to-run wall variance; best-of measures the engine)."""
+    """The north-rule N-vs-4N criterion: full-pipeline index build at
+    local[8] vs local[32], each run in its own spark-submit JVM,
+    interleaved best-of-3 (the sandbox shows 50-100% run-to-run wall
+    variance; best-of measures the engine, not the noise), plus the
+    pure-multiprocessing hardware ceiling for the SAME 8→32 pair
+    measured in the same bench run — 4× the threads on one box does
+    not buy 4× the memory bandwidth, so the raw ratio must be read
+    against the ceiling (a real 4N-executor cluster multiplies those
+    resources; the threads-on-one-box pair cannot)."""
+    from scripts.mp_ceiling import mp_ceiling
     from scripts.scaling_bench import run_pair
 
-    repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "1"))
-    small, large, _runs = run_pair(4, n_docs, repeats, SCALING_DOC_SCALE)
+    n = SCALING_N
+    small, large, runs = run_pair(n, n_docs, SCALING_REPEATS, SCALING_DOC_SCALE)
+    eff = large["docs_per_sec"] / (4.0 * small["docs_per_sec"])
+    ceil = mp_ceiling(n)
     return {
         "n_docs": n_docs,
         "doc_scale": SCALING_DOC_SCALE,
-        "repeats": repeats,
-        "docs_per_sec_4c": small["docs_per_sec"],
-        "docs_per_sec_16c": large["docs_per_sec"],
-        "efficiency_4_to_16": round(
-            large["docs_per_sec"] / (4.0 * small["docs_per_sec"]), 4
+        "repeats": SCALING_REPEATS,
+        "protocol": "interleaved best-of per parallelism, clean spark-submit JVMs",
+        "cores_N": n,
+        "cores_4N": 4 * n,
+        "docs_per_sec_N": small["docs_per_sec"],
+        "docs_per_sec_4N": large["docs_per_sec"],
+        "efficiency": round(eff, 4),
+        "machine_ceiling_control": ceil,
+        "efficiency_vs_machine_ceiling": round(
+            eff / ceil["ceiling_efficiency"], 4
         ),
-        "serving_p50_ms_16c": large["bm25_wand_p50_ms"],
+        "all_runs": [
+            {"cores": m["cores"], "build_sec": m["build_sec"]} for m in runs
+        ],
+        "serving_p50_ms_4N": large["bm25_wand_p50_ms"],
     }
 
 
@@ -119,7 +142,7 @@ def main() -> None:
     # two-parallelism full-pipeline probe in clean subprocess JVMs
     try:
         scaling = _scaling_probe(SCALING_DOCS)
-        webtext_dps = scaling["docs_per_sec_16c"]
+        webtext_dps = scaling["docs_per_sec_4N"]
     except Exception as e:  # pragma: no cover — probe must not sink the bench
         scaling = {"error": str(e)[:200]}
         webtext_dps = None
@@ -138,18 +161,11 @@ def main() -> None:
         "webtext_index_docs_per_sec": webtext_dps,
         "bm25_p50_ms": round(statistics.median(wand_lat) * 1000.0, 2),
         "bm25_serving_p50_ms": round(statistics.median(lat) * 1000.0, 2),
-        # small in-bench smoke probe — single-shot timings on a shared
-        # box with 50-100% run variance; NOT the scaling evidence
-        "scaling_probe_small": scaling,
-        # canonical N-vs-4N evidence: interleaved best-of-N via
-        # spark-submit (scripts/scaling_bench.py), with the
-        # multiprocessing hardware-ceiling control — see BENCH.md
-        "scaling_reference": {
-            "see": "BENCH.md",
-            "full_build_efficiency_measured_range": [0.24, 0.84],
-            "chain_stage_efficiency": 0.77,
-            "multiprocessing_ceiling_4_to_16": 0.90,
-        },
+        # canonical N-vs-4N evidence (BASELINE.md ≥0.8 criterion):
+        # interleaved best-of-3 spark-submit builds at local[8]/local[32]
+        # + the measured hardware ceiling of this box for the same pair.
+        # Variance context and per-stage analysis: BENCH.md.
+        "scaling": scaling,
     }
     print(json.dumps(out))
 
