@@ -443,6 +443,19 @@ def cleanup_filter(toks: list[Tok]) -> list[tuple[str, int, str, str]]:
         term = t.lemma if t.lemma else t.term
         if len(term) == 1 and t.pos_tag not in _KEEP_1CHAR_POS and "mwe" not in t.flags:
             continue  # collapse (reference :251-291 skip())
+        if (
+            len(term) == 2
+            and term[-1] in ("'", "’", ".")
+            and "mwe" not in t.flags
+        ):
+            continue  # collapse: a' / C. variables (reference skip() :278-283)
+        if (
+            len(term) >= 2
+            and term[-1].isdigit()
+            and not term[-2].isdigit()
+            and "mwe" not in t.flags
+        ):
+            continue  # collapse: abc4-style labels (reference skip() :285-287)
         if "mwe" not in t.flags and (
             term[0].isdigit()
             or term[-1].isdigit()

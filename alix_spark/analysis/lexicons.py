@@ -207,13 +207,36 @@ STOPWORDS = frozenset(
 
 # ----------------------------------------------------- dot abbreviations
 
-# tokens that legitimately end with a dot (reference brevidots.csv +
-# MarkupTokenizer.java:414-546 brevidot detection)
+# configured dotted abbreviations whose final dot stays attached — the
+# reference's brevidots set, loaded CASE-INSENSITIVELY
+# (FrenchLexicons.buildBrevidots: CharArraySet(300, true) over
+# fr/src/resources/.../brevidots.csv; consumed by
+# MarkupTokenizer.isBrevidot, MarkupTokenizer.java:414-434). Stored
+# lowercase; membership tests lowercase the probe. Structural
+# brevidots (single initials, U.S.A.-style dotted abbreviations,
+# J.-J. hyphenated initial chains) are detected by shape in
+# tokenizer._is_brevidot, not listed here. Multiword entries of the
+# source file (e.g. "loc. cit.") are inert — a token never contains a
+# space — and are omitted.
 BREVIDOTS = frozenset(
     {
-        "etc.", "cf.", "p.", "pp.", "chap.", "vol.", "éd.", "fig.",
-        "M.", "MM.", "Mme.", "Mlle.", "Dr.", "St.", "Ste.",
-        "art.", "no.", "t.", "v.", "ms.", "sq.", "ibid.", "op.", "loc.",
+        "&c.", "&amp;c.", "act.", "ap.", "arch.", "art.", "aug.",
+        "av.", "avr.", "c.-à-d.", "categ.", "catég.", "cf.", "ch.",
+        "chap.", "cit.", "cl.", "coll.", "confér.", "conch.", "cpt.",
+        "dec.", "déc.", "def.", "déf.", "dist.", "dr.", "ed.", "éd.",
+        "educ.", "éduc.", "eq.", "éq.", "etc.", "ex.", "exp.",
+        "expér.", "fam.", "fasc.", "fev.", "fevr.", "fig.", "fol.",
+        "fr.", "fréq.", "gen.", "hab.", "hist.", "ib.", "ibid.",
+        "id.", "introd.", "j.-cl.", "jan.", "janv.", "journ.",
+        "juil.", "juill.", "liv.", "loc.", "me.", "melle.", "mich.",
+        "mlle.", "mm.", "moy.", "mr.", "ms.", "ncpt.", "nov.",
+        "obs.", "oct.", "op.", "pag.", "ph.", "phr.", "pl.", "pp.",
+        "p.p.", "pr.", "probl.", "prop.", "prs.", "p.s.", "ps.",
+        "psych.", "psychol.", "pt.", "quest.", "rech.", "rev.",
+        "sc.", "sect.", "sept.", "séq.", "sq.", "sqq.", "st.",
+        "suppl.", "tabl.", "techn.", "tel.", "tél.", "telep.",
+        "téleph.", "télép.", "téléph.", "teleph.", "trad.", "vol.",
+        "voy.",
     }
 )
 

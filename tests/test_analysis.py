@@ -88,6 +88,124 @@ def test_max_token_len():
     assert len(raw(long)[0]) == 256
 
 
+# ------------------------------------- trailing-dot lookahead cascade
+# Ported from the reference's MarkupTokenizerDemo cases
+# (test/src/main/.../MarkupTokenizerDemo.java), adapted to the default
+# brevidots.csv set; semantics per MarkupTokenizer.java:260-288
+# (detachDots cascade) and :877-929 (resolveDottedSequence).
+
+DEMO_BREVI = frozenset(
+    t.lower() for t in ["Confer.", "Dr.", "etc.", "larg.", "Var.", "Stud."]
+)
+
+
+def demo(s):
+    return [t.term for t in tokenize(s, brevidots=DEMO_BREVI)]
+
+
+def test_block_tag_ends_sentence_before_lowercase_block():
+    assert demo('de l\'enfant.</p>\n<aside id="f"><p>Source :')[:4] == [
+        "de", "l'enfant", ".", "</p>",
+    ]
+
+
+def test_opening_block_tag_in_mixed_content():
+    assert demo("<div>intro enfant.<p>suite en bas de casse") == [
+        "<div>", "intro", "enfant", ".", "<p>", "suite", "en", "bas", "de", "casse",
+    ]
+
+
+def test_unknown_abbrevs_at_block_end_detach_cascading():
+    # rightmost detaches; bare "Soc" is uppercase evidence for "Bull."
+    assert demo("in Bull. Soc.</p>") == ["in", "Bull", ".", "Soc", ".", "</p>"]
+
+
+def test_dotted_sequence_resolved_by_number():
+    # "abrév." detaches on the digit; bare "abrév" is lowercase, so the
+    # cascade stops and "BAD." keeps its dot
+    assert demo("BAD. abrév. 1914 — ex: larg. 12 cm") == [
+        "BAD.", "abrév", ".", "1914", "—", "ex", ":", "larg.", "12", "cm",
+    ]
+
+
+def test_inline_tags_transparent_to_lookahead():
+    assert demo("var. <i>parva</i> Moq. qu’on") == [
+        "var.", "<i>", "parva", "</i>", "Moq.", "qu'on",
+    ]
+
+
+def test_comma_keeps_uncertain_dotted_sequence():
+    assert demo("in Bull. Qs.,") == ["in", "Bull.", "Qs.", ","]
+
+
+def test_comma_keeps_long_dotted_sequence():
+    assert demo("in Bull. Soc. neuch. sc. nat.,") == [
+        "in", "Bull.", "Soc.", "neuch.", "sc.", "nat.", ",",
+    ]
+
+
+def test_configured_brevidot_after_sentence_boundary():
+    # "Var." is configured: not a candidate, but uppercase evidence
+    assert demo("La Sauge et Cornaux. Var. ventricosa") == [
+        "La", "Sauge", "et", "Cornaux", ".", "Var.", "ventricosa",
+    ]
+
+
+def test_configured_brevidot_before_uppercase_name():
+    assert demo("Confer. Macy Foundat.,") == ["Confer.", "Macy", "Foundat.", ","]
+
+
+def test_configured_brevidot_before_number():
+    assert demo("larg. 12 cm") == ["larg.", "12", "cm"]
+
+
+def test_configured_and_structural_brevidots():
+    assert demo("Dr. Martin cite J.-J. Rousseau.") == [
+        "Dr.", "Martin", "cite", "J.-J.", "Rousseau", ".",
+    ]
+
+
+def test_spaced_dot_already_sentence_punct():
+    assert demo("abrév . Suivante") == ["abrév", ".", "Suivante"]
+
+
+def test_detached_dot_merges_with_adjacent_punct():
+    assert demo("Phrase.?! Suite") == ["Phrase", ".?!", "Suite"]
+
+
+def test_end_of_input_detaches_with_cascade():
+    # detachDots at EOF: "Qs." detaches; bare "Qs" is uppercase
+    # evidence, so "Bull." detaches too (MarkupTokenizer.java:271-279)
+    assert demo("Bull. Qs.") == ["Bull", ".", "Qs", "."]
+
+
+def test_configured_brevidot_at_end_of_input():
+    assert demo("etc.") == ["etc."]
+
+
+def test_lowercase_evidence_keeps_dot_attached():
+    # before a lowercase word the dot reads as an abbreviation dot
+    assert demo("conformément. sans indice") == ["conformément.", "sans", "indice"]
+
+
+def test_number_dangling_separator_attached_before_tag():
+    # readNumber historical quirk (:628-637)
+    assert demo("p. 12.</p>") == ["p.", "12.", "</p>"]
+    assert demo("p. 12. Suite") == ["p.", "12", ".", "Suite"]
+
+
+def test_brevidot_hyphen_chain_joins():
+    assert demo("c.-à-d. ceci")[0] == "c.-à-d."
+
+
+def test_default_brevidots_are_reference_csv():
+    # production set: case-insensitive configured entries
+    assert raw("chap. 12") == ["chap.", "12"]
+    assert raw("Chap. 12") == ["Chap.", "12"]
+    # "Mme." is NOT in the reference csv: resolved by context
+    assert raw("Mme. Dupont") == ["Mme", ".", "Dupont"]
+
+
 # --------------------------------------------------------- clitic split
 
 
