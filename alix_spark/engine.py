@@ -42,6 +42,20 @@ from alix_spark.query import kwic as kwic_mod
 from alix_spark.query import parser, wand
 
 
+def _fold_clause(c, fold):
+    """Apply a term-folding function to every term of a parsed clause
+    (wildcard patterns fold too — the expansions run on folded terms)."""
+    if isinstance(c, parser.TermClause):
+        return parser.TermClause(fold(c.term))
+    if isinstance(c, parser.OrClause):
+        return parser.OrClause([fold(t) for t in c.terms])
+    if isinstance(c, parser.PhraseClause):
+        return parser.PhraseClause([fold(t) for t in c.terms], c.slop, c.ordered)
+    if isinstance(c, parser.WildcardClause):
+        return parser.WildcardClause(fold(c.pattern))
+    return c
+
+
 class AlixEngine:
     """A frozen index + its source corpus, queryable."""
 
@@ -52,6 +66,15 @@ class AlixEngine:
         self.corpus = corpus
         self._tok: DataFrame | None = None
         self._vocab: set[str] | None = None
+        # Hunspell sidecar (reference HunspellCompiler output next to
+        # the index): when present, query terms resolve roots-first
+        self._hunspell = None
+        dic = os.path.join(index_dir, "hunspell", "text.dic")
+        aff = os.path.join(index_dir, "hunspell", "text.aff")
+        if os.path.exists(dic) and os.path.exists(aff):
+            from alix_spark.query.hunspell import Hunspell
+
+            self._hunspell = Hunspell.load(aff, dic)
 
     # ------------------------------------------------------------ build
 
@@ -64,16 +87,40 @@ class AlixEngine:
         n_shards: int = 16,
         tagger_path: str | None = None,
         resume: bool = False,
+        ascii_variant: bool = False,
     ) -> "AlixEngine":
         """Corpus table (input_hint schema) → analysis chain →
-        compressed sharded index → engine handle."""
+        compressed sharded index → engine handle.
+
+        ``ascii_variant=True`` additionally indexes the SAME analyzed
+        content under ``<index_dir>_ascii`` with diacritics folded —
+        the reference's derived TEXT field (``<name>_ascii``,
+        AlixLuceneConsumer.java:185-204 re-index with the ``*_ascii``
+        analyzer route, FrenchAnalyzer.java:326-333). Folding is one
+        JVM-side ``translate`` over the already-analyzed token table,
+        so the chain runs once for both fields."""
+        from pyspark.storagelevel import StorageLevel
+
         tok_url = analyzed_tokens(
             corpus, id_col="url", id_type="string", light=True,
             tagger_path=tagger_path,
         )
         ids = url_ranks(corpus)
         tok = tok_url.join(ids, "url").select("doc_id", "pos", "term")
+        if ascii_variant:
+            tok = tok.persist(StorageLevel.MEMORY_AND_DISK)
         segments.build_index(spark, tok, index_dir, n_shards=n_shards, resume=resume)
+        if ascii_variant:
+            from alix_spark.lexicometry.suggest import FOLD_DST, FOLD_SRC
+
+            folded = tok.withColumn(
+                "term", F.translate("term", FOLD_SRC, FOLD_DST)
+            )
+            segments.build_index(
+                spark, folded, index_dir + "_ascii", n_shards=n_shards,
+                resume=resume,
+            )
+            tok.unpersist()
         return cls(spark, index_dir, corpus)
 
     # ---------------------------------------------------- token access
@@ -103,18 +150,20 @@ class AlixEngine:
 
     # ----------------------------------------------------------- search
 
-    def _member(self, term: str) -> bool:
+    def _member(self, term: str, index_dir: str | None = None) -> bool:
         """Dictionary membership via pyarrow predicate pushdown on the
         term_stats parquet — reads only matching rows, never the
         vocabulary (reference resolves terms against the TermsEnum the
         same way, SpanQueryParser.java:482-518)."""
         import pyarrow.dataset as ds
 
-        dset = ds.dataset(os.path.join(self.index_dir, "term_stats"))
+        dset = ds.dataset(
+            os.path.join(index_dir or self.index_dir, "term_stats")
+        )
         t = dset.to_table(columns=["term"], filter=ds.field("term") == term)
         return t.num_rows > 0
 
-    def _expand(self, pattern: str) -> list[str]:
+    def _expand(self, pattern: str, index_dir: str | None = None) -> list[str]:
         """Wildcard expansion, capped at 256 (SpanQueryParser.java:52).
         The leading literal prefix bounds the dictionary scan to a
         byte range (the TermsEnum seek analogue); a pattern with no
@@ -128,7 +177,9 @@ class AlixEngine:
             if ch in "*?":
                 break
             prefix += ch
-        dset = ds.dataset(os.path.join(self.index_dir, "term_stats"))
+        dset = ds.dataset(
+            os.path.join(index_dir or self.index_dir, "term_stats")
+        )
         flt = None
         if prefix:
             hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
@@ -143,34 +194,49 @@ class AlixEngine:
         out = [t for t in sorted(terms) if rx.match(t)]
         return out[: parser.MAX_EXPANSIONS]
 
-    def search(self, q: str, k: int = 10) -> list[tuple[int, float]]:
+    def search(self, q: str, k: int = 10, ascii: bool = False) -> list[tuple[int, float]]:
         """Parsed query → BM25 top-k (serving path). Clause-wise
         semantics (reference BooleanQuery-of-spans, OpResults.java:
         248-257): AND across clauses, disjunction inside ``( … )``
         groups, positional match for quoted phrases, wildcards
         expanded; score = Σ clause BM25 contributions. Homogeneous
-        queries take the pruned fast paths (WAND / phrase matcher)."""
+        queries take the pruned fast paths (WAND / phrase matcher).
+
+        ``ascii=True`` runs the query against the derived
+        ``<index_dir>_ascii`` field with diacritics folded on both the
+        query terms and the index — accent-insensitive search, the
+        reference's ``*_ascii`` route (FrenchAnalyzer.java:326-333)."""
+        idx = self.index_dir + "_ascii" if ascii else self.index_dir
+        clauses = parser.parse(q)
+        if ascii:
+            from alix_spark.lexicometry.suggest import fold_query
+
+            clauses = [_fold_clause(c, fold_query) for c in clauses]
+            roots = None  # the Hunspell sidecar is in the unfolded field
+        else:
+            roots = self._hunspell.roots if self._hunspell is not None else None
         clauses = parser.resolve_with(
-            parser.parse(q), self._member, self._expand
+            clauses,
+            lambda t: self._member(t, idx),
+            lambda p: self._expand(p, idx),
+            roots=roots,
         )
         if not clauses:
             return []
         if all(isinstance(c, parser.TermClause) for c in clauses):
             return wand.query_local(
-                self.index_dir, [c.term for c in clauses], k=k, mode="and"
+                idx, [c.term for c in clauses], k=k, mode="and"
             )
         if len(clauses) == 1 and isinstance(clauses[0], parser.OrClause):
-            return wand.query_local(
-                self.index_dir, clauses[0].terms, k=k, mode="or"
-            )
+            return wand.query_local(idx, clauses[0].terms, k=k, mode="or")
         if len(clauses) == 1 and isinstance(clauses[0], parser.PhraseClause):
             ph = clauses[0]
             rows = wand.phrase_topk(
-                self.spark, self.index_dir, ph.terms,
+                self.spark, idx, ph.terms,
                 slop=ph.slop, ordered=ph.ordered, k=k,
             ).collect()
             return [(r["doc_id"], r["score"]) for r in rows]
-        return wand.query_local_mixed(self.index_dir, clauses, k=k)
+        return wand.query_local_mixed(idx, clauses, k=k)
 
     def concordance(self, term: str, width: int = 5, limit: int = 100) -> DataFrame:
         """KWIC lines (reference OpResults concordance view)."""

@@ -141,6 +141,37 @@ def q_bm25_or(spark, sf_dir):
     )
 
 
+def _alt_sim(spark, sf_dir, sim):
+    """Alternate doc-scoring similarities (reference §2.6 experiments:
+    SimilarityChi2/SimilarityG/SimilarityFreq — negative scores mark
+    repulsed docs)."""
+    from alix_spark.query import similarities
+
+    tok = _tok(spark, sf_dir)
+    return similarities.alt_topk(
+        simple.postings(tok),
+        simple.doc_stats(tok).select("doc_id", "dl"),
+        simple.term_stats(tok),
+        simple.corpus_stats(tok),
+        BM25_AND_TERMS,
+        sim=sim,
+        k=10,
+        mode="and",
+    )
+
+
+def q_sim_chi2(spark, sf_dir):
+    return _alt_sim(spark, sf_dir, "chi2")
+
+
+def q_sim_g(spark, sf_dir):
+    return _alt_sim(spark, sf_dir, "g")
+
+
+def q_sim_freq(spark, sf_dir):
+    return _alt_sim(spark, sf_dir, "freq")
+
+
 # --------------------------------------- WAND over the compressed index
 
 _WAND_IDX_CACHE: dict[str, str] = {}
@@ -617,6 +648,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_or": q_bm25_or,
         "bm25_wand_and": q_bm25_wand_and,
         "bm25_wand_or": q_bm25_wand_or,
+        "sim_chi2": q_sim_chi2,
+        "sim_g": q_sim_g,
+        "sim_freq": q_sim_freq,
         "phrase_wand": q_phrase_wand,
         "webtext_extract": q_webtext_extract,
         "webtext_term_stats": q_webtext_term_stats,
@@ -759,6 +793,12 @@ SELECT count(DISTINCT doc_id) AS corpus_docs,
 FROM toks
 """
 
+    from alix_spark.query import similarities as _sims
+
+    for _sim in _sims.SIMS:
+        sqls[f"sim_{_sim}"] = _sims.alt_oracle_sql(
+            BM25_AND_TERMS, _sim, k=10, mode="and"
+        )
     sqls["bm25_and"] = bm25.bm25_oracle_sql(BM25_AND_TERMS, k=10, mode="and")
     sqls["bm25_single"] = bm25.bm25_oracle_sql(BM25_SINGLE_TERM, k=10, mode="and")
     sqls["bm25_or"] = bm25.bm25_oracle_sql(BM25_OR_TERMS, k=10, mode="or")

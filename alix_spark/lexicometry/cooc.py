@@ -16,6 +16,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# above this many pivot occurrences the hits side is no longer "tiny":
+# broadcasting it would ship a stop-word-grade match set to every
+# executor — fall back to a shuffle band-join and let AQE plan it
+MAX_BROADCAST_HITS = 2_000_000
+
+
+def _hits_side(tok: DataFrame, pivot: str):
+    """Pivot occurrences, broadcast only while genuinely small."""
+    hits = tok.filter(F.col("term") == pivot).select(
+        F.col("doc_id").alias("h_doc"), F.col("pos").alias("h_pos")
+    )
+    n = hits.count()
+    return F.broadcast(hits) if n <= MAX_BROADCAST_HITS else hits
+
 
 def cooc_counts(
     tok: DataFrame,
@@ -31,13 +45,11 @@ def cooc_counts(
     (doc_id, pos) of the neighbour so each token occurrence counts at
     most once (merged-snippet semantics, TopCoocSnippets.java:58-80).
     """
-    hits = tok.filter(F.col("term") == pivot).select(
-        F.col("doc_id").alias("h_doc"), F.col("pos").alias("h_pos")
-    )
+    hits = _hits_side(tok, pivot)
     neigh = (
         tok.alias("t")
         .join(
-            F.broadcast(hits),
+            hits,
             (F.col("t.doc_id") == F.col("h_doc"))
             & (F.col("t.pos") >= F.col("h_pos") - left)
             & (F.col("t.pos") <= F.col("h_pos") + right)
@@ -68,13 +80,11 @@ def cooc_profile(
     Returns (term, dist, freq, cum_freq) for the overall-top terms,
     ordered (term, dist). A neighbour occurrence counts at its MINIMUM
     distance to any pivot hit (merged-window semantics)."""
-    hits = tok.filter(F.col("term") == pivot).select(
-        F.col("doc_id").alias("h_doc"), F.col("pos").alias("h_pos")
-    )
+    hits = _hits_side(tok, pivot)
     neigh = (
         tok.alias("t")
         .join(
-            F.broadcast(hits),
+            hits,
             (F.col("t.doc_id") == F.col("h_doc"))
             & (F.abs(F.col("t.pos") - F.col("h_pos")) <= max_dist)
             & (F.col("t.pos") != F.col("h_pos")),

@@ -87,6 +87,60 @@ def residuals(obs: np.ndarray, exp: np.ndarray, assoc: str = "PEARSON") -> np.nd
     raise KeyError(assoc)
 
 
+def randomized_svd(
+    a: np.ndarray,
+    k: int,
+    oversamples: int = 20,
+    power_iterations: int = 4,
+    seed: int = 42,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Halko–Martinsson–Tropp randomized truncated SVD — the
+    reference's big-matrix path (util/.../maths/RandomizedSvd.java:
+    49-125; defaults oversamples=20, power iterations=4 from :52-55).
+
+    Range finder: Y = A·Ω with a seeded Gaussian Ω (k+p columns),
+    orthonormalized; ``power_iterations`` subspace-iteration passes
+    with re-orthonormalization sharpen the captured range for slowly
+    decaying spectra; the small (k+p)-column projection B = Qᵀ·A is
+    decomposed exactly and lifted back. Deterministic for a fixed seed
+    (cluster-size-invariant, same contract as the exact path).
+
+    Returns (u, s, vt) truncated to ``k``.
+    """
+    m, n = a.shape
+    limit = min(m, n)
+    k = min(k, limit)
+    sample = min(k + oversamples, limit)
+    rng = np.random.RandomState(seed)
+    omega = rng.standard_normal((n, sample))
+    y = a @ omega
+    q, _ = np.linalg.qr(y)
+    for _ in range(power_iterations):
+        z, _ = np.linalg.qr(a.T @ q)
+        q, _ = np.linalg.qr(a @ z)
+    b = q.T @ a
+    ub, s, vt = np.linalg.svd(b, full_matrices=False)
+    u = q @ ub
+    return u[:, :k], s[:k], vt[:k]
+
+
+# above this row count the exact LAPACK SVD of the residual matrix is
+# no longer cheap driver-side work — switch to the randomized range
+# finder (the reference flips to RandomizedSvd for its big term×doc
+# CA maps for the same reason)
+RANDOMIZED_SVD_MIN_ROWS = 2000
+
+
+def _residual_svd(res: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """(u, s) of the residual matrix: exact for small matrices,
+    randomized (seeded, deterministic) for large ones."""
+    if min(res.shape) <= RANDOMIZED_SVD_MIN_ROWS:
+        u, s, _vt = np.linalg.svd(res, full_matrices=False)
+        return u, s
+    u, s, _vt = randomized_svd(res, k=min(k + 16, min(res.shape)))
+    return u, s
+
+
 def _stable_signs(u: np.ndarray) -> np.ndarray:
     """Deterministic SVD sign convention: the largest-|value| component
     of each left singular vector is made positive (rank-identity across
@@ -113,7 +167,7 @@ def ca_map(
     terms, parts, obs = contingency(tok, doc_parts, top_terms)
     exp = ipf_expectation(obs)
     res = residuals(obs, exp, assoc)
-    u, s, _vt = np.linalg.svd(res, full_matrices=False)
+    u, s = _residual_svd(res, axes)
     k = min(axes, s.size)
     signs = _stable_signs(u[:, :k])
     coords = u[:, :k] * signs[None, :] * np.power(s[:k], axis_power)[None, :]
@@ -161,7 +215,7 @@ def embedding_export(
     terms, _parts, obs = contingency(tok, doc_parts, top_terms)
     exp = ipf_expectation(obs)
     res = residuals(obs, exp, assoc)
-    u, s, _vt = np.linalg.svd(res, full_matrices=False)
+    u, s = _residual_svd(res, dim)
     k = min(dim, s.size)
     signs = _stable_signs(u[:, :k])
     vecs = u[:, :k] * signs[None, :] * np.sqrt(s[:k])[None, :]

@@ -107,20 +107,40 @@ def expand_wildcard(pattern: str, vocabulary: list[str]) -> list[str]:
     return out
 
 
-def resolve_with(clauses: list[Clause], member, expand) -> list[Clause]:
+def resolve_with(clauses: list[Clause], member, expand, roots=None) -> list[Clause]:
     """Drop terms not in the index (reference :510-513); expand
     wildcards; drop empty clauses.
 
     ``member(term) -> bool`` and ``expand(pattern) -> list[str]`` decide
     against the dictionary — a set for small indexes, a pushdown lookup
-    (engine._IndexDict) at web-scale vocabularies."""
+    (engine._IndexDict) at web-scale vocabularies.
+
+    ``roots(term) -> list[str]`` (optional): Hunspell root lookup —
+    indexed roots are PREFERRED over the surface form, becoming a
+    disjunction; the surface form is tried only when no indexed root
+    exists (reference SpanQueryParser.spanTerm, :482-518)."""
+
+    def term_alts(t: str) -> list[str]:
+        if roots is not None:
+            kept = [r for r in roots(t) if member(r)]
+            if kept:
+                return kept
+        return [t] if member(t) else []
+
     out: list[Clause] = []
     for c in clauses:
         if isinstance(c, TermClause):
-            if member(c.term):
-                out.append(c)
+            alts = term_alts(c.term)
+            if len(alts) == 1:
+                out.append(TermClause(alts[0]))
+            elif alts:
+                out.append(OrClause(alts))
         elif isinstance(c, OrClause):
-            kept = [t for t in c.terms if member(t)]
+            kept: list[str] = []
+            for t in c.terms:
+                for a in term_alts(t):
+                    if a not in kept:
+                        kept.append(a)
             if len(kept) == 1:
                 out.append(TermClause(kept[0]))  # single-clause collapse
             elif kept:

@@ -141,3 +141,20 @@ def test_clades(engine):
 def test_suggest(engine):
     rows = engine.suggest("vil").collect()
     assert any(r["term"] == "ville" for r in rows)
+
+
+def test_ascii_variant_field(spark, tmp_path):
+    """Derived *_ascii TEXT field (reference AlixLuceneConsumer.java:
+    185-204): same analyzed content re-indexed with diacritics folded;
+    accent-insensitive queries hit it."""
+    from alix_spark.corpus import webtext
+
+    corpus = webtext.webtext(spark, 60, seed=29, partitions=4).persist()
+    corpus.count()
+    idx = str(tmp_path / "ix")
+    eng = AlixEngine.build(spark, corpus, idx, n_shards=4, ascii_variant=True)
+    want = eng.search("liberté")  # accented term in the main field
+    got = eng.search("liberte", ascii=True)
+    assert want and [d for d, _ in got] == [d for d, _ in want]
+    # folded and unfolded spellings are the same term in the ascii field
+    assert eng.search("liberté", ascii=True) == got

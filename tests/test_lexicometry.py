@@ -242,3 +242,50 @@ def test_partition_keyness_over_numeric_parts(spark, data):
     if focus:
         out = partition.partition_keyness(tok, parts, "<1000", scorer="tail", top=5)
         assert out.count() <= 5
+
+
+# ------------------------------------------------------ randomized SVD
+
+
+def test_randomized_svd_matches_exact_on_decaying_spectrum():
+    """Halko randomized SVD (reference RandomizedSvd.java defaults:
+    oversamples 20, 4 power iterations) must recover the leading
+    singular values and subspace of a decaying-spectrum matrix."""
+    rng = np.random.RandomState(7)
+    m, n, k = 500, 80, 8
+    u0, _ = np.linalg.qr(rng.standard_normal((m, n)))
+    v0, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    s0 = np.power(0.7, np.arange(n)) * 100.0
+    a = (u0 * s0[None, :]) @ v0.T
+    ue, se, _ = np.linalg.svd(a, full_matrices=False)
+    ur, sr, _ = svd.randomized_svd(a, k)
+    assert np.allclose(sr, se[:k], rtol=1e-8)
+    # subspace agreement: projections coincide up to sign
+    for j in range(k):
+        assert abs(abs(ur[:, j] @ ue[:, j]) - 1.0) < 1e-8
+
+
+def test_randomized_svd_deterministic():
+    rng = np.random.RandomState(3)
+    a = rng.standard_normal((300, 50))
+    u1, s1, v1 = svd.randomized_svd(a, 5)
+    u2, s2, v2 = svd.randomized_svd(a, 5)
+    assert (u1 == u2).all() and (s1 == s2).all() and (v1 == v2).all()
+
+
+def test_residual_svd_switches_paths():
+    rng = np.random.RandomState(5)
+    small = rng.standard_normal((40, 10))
+    us, ss = svd._residual_svd(small, 4)
+    ue, se, _ = np.linalg.svd(small, full_matrices=False)
+    assert np.allclose(ss, se)
+    # decaying spectrum (the CA-residual shape): the randomized path
+    # must agree with exact on the leading axes
+    m = svd.RANDOMIZED_SVD_MIN_ROWS + 10
+    u0, _ = np.linalg.qr(rng.standard_normal((m, 30)))
+    v0, _ = np.linalg.qr(rng.standard_normal((2001, 30)))
+    s0 = np.power(0.5, np.arange(30)) * 50.0
+    big = (u0 * s0[None, :]) @ v0.T
+    ub, sb = svd._residual_svd(big, 4)
+    _, se2, _ = np.linalg.svd(big, full_matrices=False)
+    assert np.allclose(sb[:4], se2[:4], rtol=1e-6)

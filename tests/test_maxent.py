@@ -117,3 +117,95 @@ def test_pos_specific_lemma_with_maxent():
     out1 = analyze(html1, tagger_path=MODEL)
     tags1 = {t[0]: t[2] for t in out1}
     assert tags1.get("porte") == "NOUN"
+
+
+# -------------------------------------- synthetic OpenNLP model fixture
+# Built byte-for-byte in the public OpenNLP serialization (zip with
+# manifest.properties + pos.model, GIS DataOutputStream layout), so the
+# reader, eval softmax, and beam decoder are validated end-to-end with
+# hand-computable weights — the closest available check to tag-identity
+# with OpenNLP in a sandbox without the real model binary.
+
+import io
+import struct
+import zipfile
+
+
+def _utf(s: str) -> bytes:
+    b = s.encode("utf-8")
+    return struct.pack(">H", len(b)) + b
+
+
+def _build_gis_bytes(outcomes, patterns, pred_names, pred_params) -> bytes:
+    out = io.BytesIO()
+    out.write(_utf("GIS"))
+    out.write(struct.pack(">i", 1))       # correction constant
+    out.write(struct.pack(">d", 0.0))     # correction param
+    out.write(struct.pack(">i", len(outcomes)))
+    for o in outcomes:
+        out.write(_utf(o))
+    out.write(struct.pack(">i", len(patterns)))
+    for count, oids in patterns:
+        out.write(_utf(" ".join([str(count)] + [str(i) for i in oids])))
+    out.write(struct.pack(">i", len(pred_names)))
+    for n in pred_names:
+        out.write(_utf(n))
+    for params in pred_params:
+        for p in params:
+            out.write(struct.pack(">d", p))
+    return out.getvalue()
+
+
+@pytest.fixture()
+def toy_model(tmp_path):
+    outcomes = ["NOUN", "DET"]
+    # one pattern: every predicate parameterizes both outcomes
+    pred = {
+        "def": [0.0, 0.0],
+        "w=le": [0.0, 2.0],      # strongly DET
+        "w=chat": [2.0, 0.0],    # strongly NOUN
+        "t=DET": [1.5, 0.0],     # after a DET, prefer NOUN
+    }
+    names = list(pred)
+    patterns = [(len(names), [0, 1])]
+    data = _build_gis_bytes(outcomes, patterns, names, [pred[n] for n in names])
+    path = tmp_path / "toy-pos.bin"
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("manifest.properties", "BeamSize=3\n")
+        z.writestr("pos.model", data)
+    return str(path), pred
+
+
+def test_gis_reader_roundtrip(toy_model):
+    path, pred = toy_model
+    model, beam = maxent.GisModel.load_pos_model(path)
+    assert beam == 3
+    assert model.outcomes == ["NOUN", "DET"]
+    assert set(model.pred_index) == set(pred)
+    for name, params in pred.items():
+        pid = model.pred_index[name]
+        assert model.pred_outcomes[pid].tolist() == [0, 1]
+        assert model.pred_params[pid].tolist() == params
+
+
+def test_gis_eval_softmax_exact(toy_model):
+    path, _ = toy_model
+    model, _ = maxent.GisModel.load_pos_model(path)
+    # features: def (0,0) + w=le (0,2) → softmax([0, 2])
+    p = model.eval(["def", "w=le", "unknown=feature"])
+    want = np.exp([0.0, 2.0]) / np.exp([0.0, 2.0]).sum()
+    assert np.allclose(p, want)
+
+
+def test_beam_decoder_uses_tag_history(toy_model):
+    path, _ = toy_model
+    tagger = maxent.load_tagger(path)
+    tags = tagger.tag(["le", "chat"])
+    assert tags == ["DET", "NOUN"]
+    # tag-history check: a neutral token after "le" still leans NOUN
+    # only through the t=DET feature
+    tags2 = tagger.tag(["le", "xyz"])
+    assert tags2 == ["DET", "NOUN"]
+    # and with no DET before it, the same neutral token ties → outcome 0
+    tags3 = tagger.tag(["xyz"])
+    assert tags3 == ["NOUN"]

@@ -134,3 +134,36 @@ def test_query_local_identical_to_spark_wand(spark, built, terms, mode):
 def test_query_local_unknown_term(built):
     idx, _ = built
     assert wand.query_local(idx, ["zzzz"], mode="and") == []
+
+
+# ------------------------------------- §2.6 alternate similarities
+
+
+def test_alt_similarities_semantics(spark):
+    """chi2/g give NEGATIVE scores for docs where the term is rarer
+    than expected (the reference's 'most repulsed doc'); freq is raw tf
+    (SimilarityChi2.java:54-71, SimilarityG.java:55-74)."""
+    from alix_spark.index import simple
+    from alix_spark.query import similarities
+
+    rows = [(0, ("x " * 50 + "y " * 50).strip()),
+            (1, ("x " * 99 + "y").strip()),
+            (2, ("y " * 99 + "x").strip())]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    tok = simple.tokens(docs)
+    args = (
+        simple.postings(tok),
+        simple.doc_stats(tok).select("doc_id", "dl"),
+        simple.term_stats(tok),
+        simple.corpus_stats(tok),
+    )
+    chi2 = {r["doc_id"]: r["score"]
+            for r in similarities.alt_topk(*args, ["x"], sim="chi2", k=10).collect()}
+    # doc 1 is x-rich (attracted, positive), doc 2 x-poor (repulsed, negative)
+    assert chi2[1] > 0 > chi2[2]
+    g = {r["doc_id"]: r["score"]
+         for r in similarities.alt_topk(*args, ["x"], sim="g", k=10).collect()}
+    assert g[1] > 0 > g[2]
+    freq = {r["doc_id"]: r["score"]
+            for r in similarities.alt_topk(*args, ["x"], sim="freq", k=10).collect()}
+    assert freq == {0: 50.0, 1: 99.0, 2: 1.0}
