@@ -65,9 +65,12 @@ def extract_text(html: str | bytes) -> str:
 
 
 def analyze(
-    src: str | bytes, tagger_path: str | None = None
-) -> list[tuple[str, int, str, str]]:
-    """Full chain on one document: ``[(term, pos, pos_tag, lemma)]``.
+    src: str | bytes,
+    tagger_path: str | None = None,
+    with_offsets: bool = False,
+) -> list[tuple]:
+    """Full chain on one document: ``[(term, pos, pos_tag, lemma)]``
+    (+ ``start, end`` source offsets when ``with_offsets``).
 
     ``tagger_path``: optional OpenNLP POS model (.bin) — switches the
     POS stage to maxent inference (loaded once per process)."""
@@ -78,7 +81,7 @@ def analyze(
         from alix_spark.analysis.maxent import load_tagger
 
         tagger = load_tagger(tagger_path)
-    return run_chain(tokenize(src), tagger=tagger)
+    return run_chain(tokenize(src), tagger=tagger, with_offsets=with_offsets)
 
 
 # ------------------------------------------------------- Spark operators
@@ -159,6 +162,45 @@ def analyzed_tokens(
                     "pos_tag": tags, "lemma": lemmas,
                 }
             )
+
+    return cols.mapInPandas(run, schema=schema)
+
+
+def analyzed_tokens_with_offsets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "html",
+    id_type: str = "long",
+    tagger_path: str | None = None,
+) -> DataFrame:
+    """analyzed_tokens + source offsets: ``(id, pos, term, pos_tag,
+    lemma, start, end)`` — the OffsetAttribute channel consumers (the
+    sqlite token sink, highlighters) need."""
+    ensure_py_files(docs.sparkSession)
+    cols = docs.select(F.col(id_col).alias("_id"), F.col(src_col).alias("src"))
+    schema = (
+        f"{id_col} {id_type}, pos int, term string, pos_tag string, "
+        "lemma string, start int, end int"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                id_col: [], "pos": [], "term": [], "pos_tag": [],
+                "lemma": [], "start": [], "end": [],
+            }
+            for doc_id, src in zip(pdf["_id"], pdf["src"]):
+                for term, pos, tag, lemma, start, end in analyze(
+                    src, tagger_path=tagger_path, with_offsets=True
+                ):
+                    rows[id_col].append(doc_id)
+                    rows["pos"].append(pos)
+                    rows["term"].append(term)
+                    rows["pos_tag"].append(tag)
+                    rows["lemma"].append(lemma)
+                    rows["start"].append(start)
+                    rows["end"].append(end)
+            yield pd.DataFrame(rows)
 
     return cols.mapInPandas(run, schema=schema)
 

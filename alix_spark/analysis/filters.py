@@ -417,18 +417,23 @@ _KEEP_1CHAR_POS = frozenset({"ADP", "AUX", "PRON", "VERB"})
 _BAD_EDGE = ("-", "'", ".", "+", "=", "<", ">", "&", "_", "°")
 
 
-def cleanup_filter(toks: list[Tok]) -> list[tuple[str, int, str, str]]:
+def cleanup_filter(
+    toks: list[Tok], with_offsets: bool = False
+) -> list[tuple]:
     """Final hygiene + position assignment
     (reference CleanupFilter.java:101-363).
 
-    Returns emitted tokens ``(term, position, pos_tag, lemma)``:
+    Returns emitted tokens ``(term, position, pos_tag, lemma)`` —
+    plus ``(start, end)`` source offsets when ``with_offsets`` (the
+    reference keeps OffsetAttribute through the chain; consumers like
+    the sqlite token sink and highlighters need them):
     - punctuation / boundaries / numbers / stop-gaps → dropped, position
       consumed (gap)
     - XML / collapse-flagged 1-char noise → dropped, no position
     - lemma projected into the term when present (:346-349)
     - never emits empty terms
     """
-    out: list[tuple[str, int, str, str]] = []
+    out: list[tuple] = []
     pos = 0
     for t in toks:
         if t.ttype == X:
@@ -464,12 +469,17 @@ def cleanup_filter(toks: list[Tok]) -> list[tuple[str, int, str, str]]:
         ):
             pos += 1  # accept()-style drop with gap (reference :313-358)
             continue
-        out.append((term, pos, t.pos_tag, t.lemma))
+        if with_offsets:
+            out.append((term, pos, t.pos_tag, t.lemma, t.start, t.end))
+        else:
+            out.append((term, pos, t.pos_tag, t.lemma))
         pos += 1
     return out
 
 
-def run_chain(tokens: list[Token], tagger=None) -> list[tuple[str, int, str, str]]:
+def run_chain(
+    tokens: list[Token], tagger=None, with_offsets: bool = False
+) -> list[tuple]:
     """tokenize() output → final indexable tokens.
 
     ``tagger=None`` uses the deterministic lexicon tagger (goldens are
@@ -488,4 +498,4 @@ def run_chain(tokens: list[Token], tagger=None) -> list[tuple[str, int, str, str
     toks = lemma_filter(toks)
     toks = mwe_filter(toks)
     toks = stop_filter(toks)
-    return cleanup_filter(toks)
+    return cleanup_filter(toks, with_offsets=with_offsets)

@@ -229,13 +229,9 @@ class AlixEngine:
             )
         if len(clauses) == 1 and isinstance(clauses[0], parser.OrClause):
             return wand.query_local(idx, clauses[0].terms, k=k, mode="or")
-        if len(clauses) == 1 and isinstance(clauses[0], parser.PhraseClause):
-            ph = clauses[0]
-            rows = wand.phrase_topk(
-                self.spark, idx, ph.terms,
-                slop=ph.slop, ordered=ph.ordered, k=k,
-            ).collect()
-            return [(r["doc_id"], r["score"]) for r in rows]
+        # phrases and mixed queries: clause-wise serving-path evaluator
+        # (no Spark job — wand.phrase_topk remains the cluster fan-out
+        # API for batch workloads)
         return wand.query_local_mixed(idx, clauses, k=k)
 
     def concordance(self, term: str, width: int = 5, limit: int = 100) -> DataFrame:

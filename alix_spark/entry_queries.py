@@ -212,6 +212,30 @@ def q_bm25_wand_or(spark, sf_dir):
     return wand_mod.wand_topk(spark, _wand_index(spark, sf_dir), BM25_OR_TERMS, k=10, mode="or")
 
 
+MIXED_TERM = "hash"
+MIXED_OR_GROUP = ["join", "merge"]
+
+
+def q_mixed_term_or(spark, sf_dir):
+    """Clause-wise mixed query (reference BooleanQuery-of-spans shape,
+    OpResults.java:248-257): doc must contain the bare term AND at
+    least one OR-group member; score = Σ clause BM25 contributions.
+    Runs the serving-path evaluator (wand.query_local_mixed)."""
+    from alix_spark.query import parser
+    from alix_spark.query import wand as wand_mod
+
+    clauses = [
+        parser.TermClause(MIXED_TERM),
+        parser.OrClause(list(MIXED_OR_GROUP)),
+    ]
+    hits = wand_mod.query_local_mixed(
+        _wand_index(spark, sf_dir), clauses, k=10
+    )
+    return spark.createDataFrame(
+        [(int(d), float(s)) for d, s in hits], "doc_id long, score double"
+    )
+
+
 PHRASE_TERMS = ["table", "scan"]
 
 
@@ -651,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_chi2": q_sim_chi2,
         "sim_g": q_sim_g,
         "sim_freq": q_sim_freq,
+        "mixed_term_or": q_mixed_term_or,
         "phrase_wand": q_phrase_wand,
         "webtext_extract": q_webtext_extract,
         "webtext_term_stats": q_webtext_term_stats,
@@ -806,6 +831,41 @@ FROM toks
     # rank-identity): same oracle as the brute-force DataFrame path
     sqls["bm25_wand_and"] = bm25.bm25_oracle_sql(BM25_AND_TERMS, k=10, mode="and")
     sqls["bm25_wand_or"] = bm25.bm25_oracle_sql(BM25_OR_TERMS, k=10, mode="or")
+
+    _mixed_all = ", ".join(
+        f"'{t}'" for t in sorted([MIXED_TERM] + MIXED_OR_GROUP)
+    )
+    _group_list = ", ".join(f"'{t}'" for t in sorted(MIXED_OR_GROUP))
+    sqls["mixed_term_or"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS term
+  FROM documents
+),
+dstats AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+cstats AS (SELECT count(DISTINCT doc_id) AS n,
+                  count(*) * 1.0 / count(DISTINCT doc_id) AS avgdl FROM toks),
+tstats AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+           WHERE term IN ({_mixed_all}) GROUP BY term),
+post AS (SELECT term, doc_id, count(*) AS tf FROM toks
+         WHERE term IN ({_mixed_all}) GROUP BY term, doc_id),
+scored AS (
+  SELECT p.doc_id, p.term,
+         ln(1.0 + (c.n - t.df + 0.5) / (t.df + 0.5))
+           * (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / c.avgdl)) AS w
+  FROM post p JOIN tstats t USING (term) JOIN dstats d USING (doc_id), cstats c
+),
+agg AS (
+  SELECT doc_id, sum(w) AS total,
+         max(CASE WHEN term = '{MIXED_TERM}' THEN 1 ELSE 0 END) AS has_term,
+         max(CASE WHEN term IN ({_group_list}) THEN 1 ELSE 0 END) AS has_group
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, {sql_round6("total")} AS score
+FROM agg WHERE has_term = 1 AND has_group = 1
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
 
     # phrase scored as a synthetic term: tf = adjacent-pair count,
     # df = matching docs — same float ops as wand.phrase_topk

@@ -1,0 +1,131 @@
+"""SQLite token sink — the reference's alternate lemmatized-text store.
+
+Mirrors the reference's schema (sqlite/src/java/com/github/oeuvres/
+alix/sqlite/alix.sql + Insert.java): a ``doc`` table, a ``tok``
+occurrence table ``(doc, orth, cat, lem, offset, length)`` referencing
+``orth``/``lem`` form dictionaries with ``(form, cat)`` uniqueness and
+the same lookup indexes.
+
+Like the reference's writer, this is a SINGLE-NODE export (SQLite is a
+one-file store): the distributed analysis runs in Spark, and the
+resulting token stream is drained to the file through
+``toLocalIterator`` — one partition in memory at a time, never the
+whole corpus. It is an export sink for interoperability, not the
+engine's index (that is the sharded parquet/Iceberg layout in
+:mod:`alix_spark.index.segments`).
+"""
+
+from __future__ import annotations
+
+import sqlite3
+
+from pyspark.sql import DataFrame
+
+SCHEMA = """
+PRAGMA encoding = 'UTF-8';
+CREATE TABLE doc (
+    id     INTEGER PRIMARY KEY,
+    code   TEXT UNIQUE NOT NULL,
+    html   BLOB,
+    date   INTEGER
+);
+CREATE TABLE tok (
+    id     INTEGER PRIMARY KEY,
+    doc    INTEGER NOT NULL,
+    orth   INTEGER NOT NULL,
+    cat    TEXT    NOT NULL,
+    lem    INTEGER NOT NULL,
+    offset INTEGER NOT NULL,
+    length INTEGER NOT NULL
+);
+CREATE TABLE orth (
+    id   INTEGER PRIMARY KEY,
+    form TEXT NOT NULL,
+    cat  TEXT,
+    lem  INTEGER
+);
+CREATE TABLE lem (
+    id   INTEGER PRIMARY KEY,
+    form TEXT NOT NULL,
+    cat  TEXT
+);
+"""
+
+INDEXES = """
+CREATE UNIQUE INDEX doc_code ON doc(code);
+CREATE INDEX tok_orth ON tok(orth, doc);
+CREATE INDEX tok_lem ON tok(lem, doc);
+CREATE UNIQUE INDEX orth_form ON orth(form, cat);
+CREATE UNIQUE INDEX lem_form ON lem(form, cat);
+"""
+
+
+def export_sqlite(docs: DataFrame, tok: DataFrame, path: str) -> dict:
+    """Write the analyzed corpus to a SQLite file in the reference's
+    table shape.
+
+    docs: (doc_id, url[, html, warc_ts]) — doc.code = url.
+    tok:  (doc_id, term, pos_tag, lemma, start, end) analyzed tokens
+          with source offsets (``analyzed_tokens`` /
+          ``run_chain(with_offsets=True)`` output). ``orth`` rows are
+          the surface/projected forms; ``lem`` rows the lemma forms
+          (falling back to the orth form when no lemma applies, like
+          the reference's sparse lemma channel).
+
+    Returns {"docs": n, "toks": n, "orth": n, "lem": n}.
+    """
+    con = sqlite3.connect(path)
+    con.executescript("DROP TABLE IF EXISTS doc; DROP TABLE IF EXISTS tok;"
+                      "DROP TABLE IF EXISTS orth; DROP TABLE IF EXISTS lem;")
+    con.executescript(SCHEMA)
+
+    cols = {f.name for f in docs.schema.fields}
+    n_docs = 0
+    for row in docs.toLocalIterator():
+        html = bytes(row["html"]) if "html" in cols and row["html"] is not None else None
+        con.execute(
+            "INSERT INTO doc(id, code, html) VALUES (?, ?, ?)",
+            (int(row["doc_id"]), row["url"], html),
+        )
+        n_docs += 1
+
+    orth_ids: dict[tuple[str, str], int] = {}
+    lem_ids: dict[tuple[str, str], int] = {}
+    n_toks = 0
+    batch = []
+    for row in tok.toLocalIterator():
+        form, cat = row["term"], row["pos_tag"]
+        lemma = row["lemma"] or form
+        lk = (lemma, cat)
+        if lk not in lem_ids:
+            lem_ids[lk] = len(lem_ids) + 1
+            con.execute(
+                "INSERT INTO lem(id, form, cat) VALUES (?, ?, ?)",
+                (lem_ids[lk], lemma, cat),
+            )
+        ok = (form, cat)
+        if ok not in orth_ids:
+            orth_ids[ok] = len(orth_ids) + 1
+            con.execute(
+                "INSERT INTO orth(id, form, cat, lem) VALUES (?, ?, ?, ?)",
+                (orth_ids[ok], form, cat, lem_ids[lk]),
+            )
+        batch.append(
+            (int(row["doc_id"]), orth_ids[ok], cat, lem_ids[lk],
+             int(row["start"]), int(row["end"]) - int(row["start"]))
+        )
+        n_toks += 1
+        if len(batch) >= 10000:
+            con.executemany(
+                "INSERT INTO tok(doc, orth, cat, lem, offset, length) "
+                "VALUES (?, ?, ?, ?, ?, ?)", batch)
+            batch = []
+    if batch:
+        con.executemany(
+            "INSERT INTO tok(doc, orth, cat, lem, offset, length) "
+            "VALUES (?, ?, ?, ?, ?, ?)", batch)
+    con.executescript(INDEXES)
+    con.commit()
+    con.close()
+    return {"docs": n_docs, "toks": n_toks,
+            "orth": len(orth_ids), "lem": len(lem_ids)}

@@ -44,6 +44,24 @@ def test_search_unknown(engine):
     assert engine.search("zzzzz") == []
 
 
+def test_search_quoted_phrase_serving_path(engine):
+    """A quoted phrase routes through the serving-path evaluator and
+    must equal the Spark phrase matcher's scoring."""
+    from alix_spark.query import parser, wand
+
+    clauses = parser.parse('"petit livre"')
+    assert len(clauses) == 1 and isinstance(clauses[0], parser.PhraseClause)
+    ph = clauses[0]
+    got = engine.search('"petit livre"')
+    rows = wand.phrase_topk(
+        engine.spark, engine.index_dir, ph.terms,
+        slop=ph.slop, ordered=ph.ordered, k=10,
+    ).collect()
+    want = [(r["doc_id"], r["score"]) for r in rows]
+    assert got == want
+    assert len(got) > 0
+
+
 def _brute_mixed(engine, clause_termsets, k=10):
     """Doc-level oracle for clause-wise search: AND of clauses, score =
     Σ clause BM25 contributions, computed from the token table."""

@@ -1,0 +1,59 @@
+"""SQLite token-sink export (reference sqlite/.../alix.sql + Insert):
+schema parity, form dictionaries, offset fidelity."""
+
+from __future__ import annotations
+
+import sqlite3
+
+from alix_spark.analysis.chain import analyzed_tokens_with_offsets
+from alix_spark.corpus import webtext
+from alix_spark.index.sqlite_sink import export_sqlite
+
+
+def test_export_sqlite_roundtrip(spark, tmp_path):
+    corpus = webtext.doc_ids(webtext.webtext(spark, 10, seed=13, partitions=2))
+    tok = analyzed_tokens_with_offsets(corpus)
+    path = str(tmp_path / "alix.sqlite")
+    stats = export_sqlite(corpus.select("doc_id", "url", "html"), tok, path)
+    assert stats["docs"] == 10 and stats["toks"] > 0
+    assert stats["orth"] >= stats["lem"] > 0
+
+    con = sqlite3.connect(path)
+    tables = {r[0] for r in con.execute(
+        "SELECT name FROM sqlite_master WHERE type='table'")}
+    assert tables == {"doc", "tok", "orth", "lem"}
+
+    # occurrence counts match the Spark token table
+    assert con.execute("SELECT count(*) FROM tok").fetchone()[0] == tok.count()
+
+    # (form, cat) unique in the dictionaries (reference orth_form index)
+    dup = con.execute(
+        "SELECT count(*) FROM (SELECT form, cat FROM orth GROUP BY form, cat"
+        " HAVING count(*) > 1)").fetchone()[0]
+    assert dup == 0
+
+    # offset fidelity: token offsets slice the ORIGINAL html to the
+    # surface form the analyzer consumed (lemma-projected terms carry
+    # their source span) — check non-MWE, non-clitic-split rows where
+    # no lemma projection rewrote the term
+    rows = con.execute("""
+        SELECT d.html, o.form, t.offset, t.length
+        FROM tok t JOIN doc d ON d.id = t.doc
+                   JOIN orth o ON o.id = t.orth
+                   JOIN lem  l ON l.id = t.lem
+        WHERE o.form = l.form LIMIT 200""").fetchall()
+    assert rows
+    checked = 0
+    for html, form, off, length in rows:
+        src = bytes(html).decode("utf-8")
+        slice_ = src[off : off + length]
+        if slice_.replace("’", "'") == form:
+            checked += 1
+    assert checked >= len(rows) * 0.6  # case-folds/normalizations aside
+
+    # lemma dictionary lookup works end-to-end
+    any_lem = con.execute(
+        "SELECT l.form FROM tok t JOIN lem l ON l.id = t.lem LIMIT 1"
+    ).fetchone()
+    assert any_lem and any_lem[0]
+    con.close()
