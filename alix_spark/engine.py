@@ -113,8 +113,11 @@ class AlixEngine:
         if ascii_variant:
             from alix_spark.lexicometry.suggest import FOLD_DST, FOLD_SRC
 
+            # lower + fold, matching the query side's fold_query — a
+            # capitalized indexed term ("Paris") must be reachable from
+            # the folded query term ("paris")
             folded = tok.withColumn(
-                "term", F.translate("term", FOLD_SRC, FOLD_DST)
+                "term", F.lower(F.translate("term", FOLD_SRC, FOLD_DST))
             )
             segments.build_index(
                 spark, folded, index_dir + "_ascii", n_shards=n_shards,
@@ -154,22 +157,15 @@ class AlixEngine:
         """Dictionary membership via pyarrow predicate pushdown on the
         term_stats parquet — reads only matching rows, never the
         vocabulary (reference resolves terms against the TermsEnum the
-        same way, SpanQueryParser.java:482-518)."""
-        import pyarrow.dataset as ds
-
-        dset = ds.dataset(
-            os.path.join(index_dir or self.index_dir, "term_stats")
-        )
-        t = dset.to_table(columns=["term"], filter=ds.field("term") == term)
-        return t.num_rows > 0
+        same way, SpanQueryParser.java:482-518). The dataset handle is
+        the serving path's cached, republish-invalidated one."""
+        return bool(wand._term_dfs(index_dir or self.index_dir, [term]))
 
     def _expand(self, pattern: str, index_dir: str | None = None) -> list[str]:
         """Wildcard expansion, capped at 256 (SpanQueryParser.java:52).
         The leading literal prefix bounds the dictionary scan to a
         byte range (the TermsEnum seek analogue); a pattern with no
         prefix scans the skinny term column only."""
-        import re as _re
-
         import pyarrow.dataset as ds
 
         prefix = ""
@@ -177,20 +173,13 @@ class AlixEngine:
             if ch in "*?":
                 break
             prefix += ch
-        dset = ds.dataset(
-            os.path.join(index_dir or self.index_dir, "term_stats")
-        )
+        dset = wand.term_stats_dataset(index_dir or self.index_dir)
         flt = None
         if prefix:
             hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
             flt = (ds.field("term") >= prefix) & (ds.field("term") < hi)
         terms = dset.to_table(columns=["term"], filter=flt)["term"].to_pylist()
-        rx = _re.compile(
-            "^" + "".join(
-                ".*" if c == "*" else "." if c == "?" else _re.escape(c)
-                for c in pattern
-            ) + "$"
-        )
+        rx = parser.glob_to_regex(pattern)
         out = [t for t in sorted(terms) if rx.match(t)]
         return out[: parser.MAX_EXPANSIONS]
 

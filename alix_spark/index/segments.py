@@ -328,14 +328,21 @@ def build_index(
             )
 
         # write tasks: at least one per shard, scaled up to the
-        # cluster's parallelism via the salt bucket as secondary key —
+        # cluster's parallelism via an explicit per-shard sub-bucket —
         # a 16-shard layout must not cap a 32-core (or 1000-executor)
-        # write at 16 tasks. Files per shard stay bounded
-        # (≤ cores/shards), so query-side listing is still O(shards).
+        # write at 16 tasks, but hashing on the raw term would spread
+        # every shard over ALL write tasks (≈n_write files per shard
+        # directory). (shard, term-hash % width) keeps files per shard
+        # ≤ width = n_write/shards, so query-side parquet listing stays
+        # O(shards · width), not O(shards · cores).
         n_write = max(len(todo), spark.sparkContext.defaultParallelism)
+        width = max(1, n_write // max(len(todo), 1))
         encoded = salted.groupBy("shard", "tbucket").applyInPandas(
             encode, schema=ENC_SCHEMA
-        ).repartition(n_write, "shard", "term")
+        ).repartition(
+            n_write, "shard",
+            F.pmod(F.xxhash64("term"), F.lit(width)),
+        )
         # dynamic partition overwrite: replaces exactly the shards being
         # (re)built — a half-written shard from a crashed run is cleanly
         # rewritten, completed shards are untouched (the Iceberg

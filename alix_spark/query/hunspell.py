@@ -185,6 +185,13 @@ def compile_sidecar(
         if not line:
             continue
         head, sep, rest = line.partition("/")
+        if not sep:
+            # flagless entry: the headword runs to the first
+            # morphological field ("chat po:noun" → "chat"), same cut
+            # as _parse_dic / the reference compiler
+            m = re.search(r"\s+[a-z]{2}:", head)
+            if m:
+                head = head[: m.start()]
         head_f = _fold(head.strip())
         if head_f not in freq:
             continue

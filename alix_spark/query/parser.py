@@ -88,16 +88,22 @@ def parse(q: str) -> list[Clause]:
     return clauses
 
 
-def expand_wildcard(pattern: str, vocabulary: list[str]) -> list[str]:
-    """Glob → matching index terms, capped (reference :579-591; the
-    leading-case-flip alternative is covered because the chain
-    lowercases unknown titlecase forms)."""
-    rx = re.compile(
+def glob_to_regex(pattern: str) -> re.Pattern:
+    """``*``/``?`` glob → anchored regex (shared by the in-memory and
+    pushdown wildcard expanders)."""
+    return re.compile(
         "^" + "".join(
             ".*" if c == "*" else "." if c == "?" else re.escape(c)
             for c in pattern
         ) + "$"
     )
+
+
+def expand_wildcard(pattern: str, vocabulary: list[str]) -> list[str]:
+    """Glob → matching index terms, capped (reference :579-591; the
+    leading-case-flip alternative is covered because the chain
+    lowercases unknown titlecase forms)."""
+    rx = glob_to_regex(pattern)
     out = []
     for t in vocabulary:
         if rx.match(t):

@@ -369,10 +369,14 @@ def phrase_topk(
     # exact phrase df via a broadcast 1-row count joined back onto the
     # match set. A Window.partitionBy(lit(1)) would funnel every match
     # through ONE task (fatal for a common phrase at web scale); the
-    # match set is persisted so the matching job runs once, not twice.
+    # match set is localCheckpoint-ed (eager) so the matching job runs
+    # once, not twice, the lineage is cut, and — unlike .persist() —
+    # the materialized partitions are reclaimed by the ContextCleaner
+    # when this query's DataFrame goes out of scope (no cache leak per
+    # phrase query in a long-lived serving process).
     matches = post.groupBy("shard").applyInPandas(
         run_shard, schema="doc_id long, tf long, dl long"
-    ).persist()
+    ).localCheckpoint(eager=True)
     dfc = matches.agg(F.count("*").alias("df"))
     withdf = matches.crossJoin(F.broadcast(dfc))
     idf = F.log(
@@ -406,14 +410,14 @@ def query_local(
     avgdl = float(meta["avgdl"])
     n_docs = int(meta["corpus_docs"])
 
-    pdf, dfmap, _ = _load_blocks(index_dir, terms)
+    dfmap = _term_dfs(index_dir, terms)
     idf = {
         t: math.log(1.0 + (n_docs - dfmap[t] + 0.5) / (dfmap[t] + 0.5))
         for t in terms if t in dfmap
     }
     if not idf or (mode == "and" and len(idf) < len(terms)):
         return []
-    pdf = pdf[pdf["term"].isin(idf)]
+    pdf = _load_blocks(index_dir, sorted(idf))
     results: list[tuple[int, float]] = []
     for _shard, g in pdf.groupby("shard", sort=False):
         cursors = [
@@ -428,25 +432,51 @@ def query_local(
     return results[:k]
 
 
+def _datasets(index_dir: str):
+    """Cached pyarrow dataset handles (term_stats, postings) for one
+    index, keyed by the publish marker's mtime — a republish or
+    registry hot-reload (corpus.json rewritten last) invalidates the
+    cached file listing, so a serving process never reads fragments
+    that a dynamic-partition-overwrite rebuild deleted."""
+    import pyarrow.dataset as ds
+
+    mtime = os.path.getmtime(os.path.join(index_dir, "corpus.json"))
+    hit = _LOCAL_CACHE.get(index_dir)
+    if hit is None or hit[0] != mtime:
+        tstats = ds.dataset(os.path.join(index_dir, "term_stats"))
+        post = ds.dataset(
+            os.path.join(index_dir, "postings"), partitioning="hive"
+        )
+        _LOCAL_CACHE[index_dir] = (mtime, tstats, post)
+    return _LOCAL_CACHE[index_dir][1], _LOCAL_CACHE[index_dir][2]
+
+
+def term_stats_dataset(index_dir: str):
+    """The cached term_stats pyarrow dataset (for pushdown term
+    resolution — engine._member/_expand)."""
+    return _datasets(index_dir)[0]
+
+
+def _term_dfs(index_dir: str, terms: list[str]) -> dict[str, int]:
+    """term → df for the QUERY terms only, via predicate pushdown —
+    the whole vocabulary is never materialized on the serving node
+    (a web-scale dictionary does not fit a driver dict)."""
+    import pyarrow.dataset as ds
+
+    tstats, _ = _datasets(index_dir)
+    t = tstats.to_table(
+        columns=["term", "df"], filter=ds.field("term").isin(terms)
+    )
+    return dict(zip(t["term"].to_pylist(), t["df"].to_pylist()))
+
+
 def _load_blocks(index_dir: str, terms: list[str]) -> pd.DataFrame:
     """Serving-path block fetch: the query terms' rows only, via pyarrow
     predicate pushdown on the term column (cached dataset handle)."""
     import pyarrow.dataset as ds
 
-    meta = read_meta(index_dir)
-    key = index_dir
-    if key not in _LOCAL_CACHE:
-        tstats = ds.dataset(os.path.join(index_dir, "term_stats")).to_table(
-            columns=["term", "df"]
-        )
-        dfmap = dict(zip(tstats["term"].to_pylist(), tstats["df"].to_pylist()))
-        dset = ds.dataset(
-            os.path.join(index_dir, "postings"), partitioning="hive"
-        )
-        _LOCAL_CACHE[key] = (dfmap, dset)
-    dfmap, dset = _LOCAL_CACHE[key]
-    pdf = dset.to_table(filter=ds.field("term").isin(terms)).to_pandas()
-    return pdf, dfmap, meta
+    _, post = _datasets(index_dir)
+    return post.to_table(filter=ds.field("term").isin(terms)).to_pandas()
 
 
 def _term_score_map(blocks: pd.DataFrame, idf: float, avgdl: float) -> dict[int, float]:
@@ -509,7 +539,8 @@ def query_local_mixed(index_dir: str, clauses, k: int = 10) -> list[tuple[int, f
             need.update(c.terms)
     if not need or not clauses:
         return []
-    blocks, dfmap, _ = _load_blocks(index_dir, sorted(need))
+    dfmap = _term_dfs(index_dir, sorted(need))
+    blocks = _load_blocks(index_dir, sorted(need))
     by_term = {t: g for t, g in blocks.groupby("term", sort=False)}
 
     def idf_of(t: str) -> float:

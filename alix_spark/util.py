@@ -94,19 +94,37 @@ def dense_ranks(
     for r in stats:
         offsets.append(acc)
         acc += r["n"]
-    # frozen contiguous ranges: bucket b holds keys ≤ hi[b] (and > hi[b-1])
+    # frozen contiguous ranges as a broadcast (lo, hi] lookup table —
+    # each row matches exactly one bucket. A nested CASE WHEN chain
+    # would be O(parts) expression depth (Catalyst analysis blows up
+    # at the hundreds-of-partitions scale this helper targets); the
+    # broadcast join does the same comparisons without deep codegen.
     bounds = [r["hi"] for r in stats]
-    bucket = F.lit(len(bounds) - 1)
-    for b in range(len(bounds) - 2, -1, -1):
-        bucket = F.when(F.col("_ord") <= F.lit(bounds[b]), F.lit(b)).otherwise(bucket)
-    off_df = spark.createDataFrame(
-        list(enumerate(offsets)), "_b int, _off long"
+    rows = []
+    for b, hi in enumerate(bounds):
+        lo = bounds[b - 1] if b > 0 else None
+        last = b == len(bounds) - 1
+        rows.append((b, lo, None if last else hi, offsets[b]))
+    from pyspark.sql import types as T
+
+    ord_type = keyed.schema["_ord"].dataType
+    bdf = spark.createDataFrame(
+        rows,
+        T.StructType([
+            T.StructField("_b", T.IntegerType()),
+            T.StructField("_lo", ord_type),
+            T.StructField("_hi", ord_type),
+            T.StructField("_off", T.LongType()),
+        ]),
+    )
+    cond = (
+        (F.col("_lo").isNull() | (F.col("_ord") > F.col("_lo")))
+        & (F.col("_hi").isNull() | (F.col("_ord") <= F.col("_hi")))
     )
     w = Window.partitionBy("_b").orderBy("_ord")
     return (
-        keyed.withColumn("_b", bucket.cast("int"))
+        keyed.join(F.broadcast(bdf), cond)
         .withColumn("_rn", F.row_number().over(w).cast("long"))
-        .join(F.broadcast(off_df), "_b")
         .select(key, (F.col("_off") + F.col("_rn") - F.lit(1)).alias(out))
     )
 

@@ -172,7 +172,13 @@ def test_ascii_variant_field(spark, tmp_path):
     idx = str(tmp_path / "ix")
     eng = AlixEngine.build(spark, corpus, idx, n_shards=4, ascii_variant=True)
     want = eng.search("liberté")  # accented term in the main field
-    got = eng.search("liberte", ascii=True)
-    assert want and [d for d, _ in got] == [d for d, _ in want]
-    # folded and unfolded spellings are the same term in the ascii field
-    assert eng.search("liberté", ascii=True) == got
+    got = eng.search("liberte", ascii=True, k=100)
+    assert want and got
+    # the folded+lowercased field merges case/accent variants
+    # ("Liberté"/"liberté" → "liberte"), so the unfolded hits are a
+    # subset of the ascii-field hits
+    assert {d for d, _ in want} <= {d for d, _ in got}
+    # folded, unfolded, and capitalized query spellings are the same
+    # term in the ascii field
+    assert eng.search("liberté", ascii=True, k=100) == got
+    assert eng.search("Liberté", ascii=True, k=100) == got
