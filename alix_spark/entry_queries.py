@@ -734,7 +734,7 @@ def _keyness_sql(scorer: str, lang: str) -> str:
             " + CASE WHEN fa - a > 0 THEN 2.0 * (fa - a) * ln((fa - a) / (fa * ((fa - a) + (fb - b)) / (fa + fb))) ELSE 0 END"
             " + CASE WHEN fb - b > 0 THEN 2.0 * (fb - b) * ln((fb - b) / (fb * ((fa - a) + (fb - b)) / (fa + fb))) ELSE 0 END)"
         )
-        score = f"CASE WHEN a / fa >= b / fb THEN {cell} ELSE -{cell} END"
+        score = f"CASE WHEN fb <= 0 OR a / fa >= b / fb THEN {cell} ELSE -{cell} END"
     elif scorer == "chi2":
         cells = []
         for o, e in [
@@ -745,7 +745,7 @@ def _keyness_sql(scorer: str, lang: str) -> str:
         ]:
             cells.append(f"CASE WHEN {e} > 0 THEN ({o} - {e}) * ({o} - {e}) / {e} ELSE 0 END")
         cell = "(" + " + ".join(cells) + ")"
-        score = f"CASE WHEN a / fa >= b / fb THEN {cell} ELSE -{cell} END"
+        score = f"CASE WHEN fb <= 0 OR a / fa >= b / fb THEN {cell} ELSE -{cell} END"
     elif scorer == "logratio":
         score = (
             "CASE WHEN a > 0 AND b > 0 "
@@ -940,7 +940,8 @@ dstats AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
 cstats AS (SELECT count(DISTINCT doc_id) AS n,
                   count(*) * 1.0 / count(DISTINCT doc_id) AS avgdl FROM toks),
 tstats AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
-fdocs AS (SELECT doc_id FROM documents WHERE lang = 'fr'),
+fdocs AS (SELECT DISTINCT doc_id FROM documents
+          WHERE lang = 'fr' AND doc_id IN (SELECT doc_id FROM dstats)),
 nf AS (SELECT count(*) AS n_focus FROM fdocs),
 post AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
 acc AS (
@@ -1102,7 +1103,7 @@ SELECT h.doc_id, h.pos,
                 FILTER (WHERE t.pos < h.pos), '') AS left_ctx,
        coalesce(string_agg(CASE WHEN t.pos > h.pos THEN t.term END, ' ' ORDER BY t.pos)
                 FILTER (WHERE t.pos > h.pos), '') AS right_ctx
-FROM hits h JOIN toks t
+FROM hits h LEFT JOIN toks t
   ON t.doc_id = h.doc_id AND t.pos >= h.pos - 3 AND t.pos <= h.pos + 3
  AND t.pos <> h.pos
 GROUP BY h.doc_id, h.pos
@@ -1439,7 +1440,7 @@ FROM base ORDER BY doc_id
     sqls["token_counts"] = """
 SELECT doc_id,
        len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS ws_tokens,
-       len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\\s]')) AS bpe_ish_tokens
+       len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS bpe_ish_tokens
 FROM documents ORDER BY doc_id
 """
 

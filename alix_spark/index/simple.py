@@ -68,11 +68,14 @@ def term_dict(tok: DataFrame) -> DataFrame:
     """Dense term ids in lexicographic byte order of the term
     (reference TermLexicon.java:46-53; id 1-based, 0 = absent-term
     sentinel). Simple-mode terms are ASCII so string order == byte
-    order; the full chain sorts on encode(term,'utf-8')."""
-    w = Window.orderBy("term")
-    return tok.select("term").distinct().withColumn(
-        "term_id", F.row_number().over(w).cast("long")
-    )
+    order; the full chain sorts on encode(term,'utf-8').
+
+    Ranked with util.dense_ranks — a bare Window.orderBy would funnel
+    the whole vocabulary through ONE task (the same hazard fixed in
+    segments.build_index's term_id assignment)."""
+    from alix_spark.util import dense_ranks
+
+    return dense_ranks(tok.select("term").distinct(), "term", "term_id")
 
 
 def postings(tok: DataFrame, with_positions: bool = False) -> DataFrame:

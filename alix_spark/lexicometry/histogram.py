@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from alix_spark.util import round6
+
 
 def time_histogram(
     df: DataFrame,
@@ -22,7 +24,9 @@ def time_histogram(
     key = F.date_trunc(bin_, F.col(ts_col)).alias("bin")
     aggs = [F.count("*").alias("docs")]
     if value_col:
-        aggs.append(F.round(F.sum(value_col), 6).alias("total"))
+        # floor-based round6, never native round() — Spark HALF_UP vs
+        # DuckDB half-even diverge on exact .5 (repo-wide convention)
+        aggs.append(round6(F.sum(value_col)).alias("total"))
     return df.groupBy(key).agg(*aggs).orderBy("bin")
 
 

@@ -51,7 +51,9 @@ def g2_expr() -> Column:
         + F.when(na > 0, 2.0 * na * F.log(na / ena)).otherwise(0.0)
         + F.when(nb > 0, 2.0 * nb * F.log(nb / enb)).otherwise(0.0)
     )
-    return F.when(a / fa >= b / fb, g2).otherwise(-g2)
+    # fb == 0 (empty rest) makes b/fb NULL in Spark, which would fall
+    # into the NEGATED branch — an all-corpus focus must score positive
+    return F.when((fb <= 0) | (a / fa >= b / fb), g2).otherwise(-g2)
 
 
 def chi2_expr() -> Column:
@@ -67,7 +69,7 @@ def chi2_expr() -> Column:
         return F.when(e > 0, (o - e) * (o - e) / e).otherwise(0.0)
 
     x2 = cell(a, ea) + cell(b, eb) + cell(na, ena) + cell(nb, enb)
-    return F.when(a / fa >= b / fb, x2).otherwise(-x2)
+    return F.when((fb <= 0) | (a / fa >= b / fb), x2).otherwise(-x2)
 
 
 def logratio_expr() -> Column:

@@ -85,18 +85,25 @@ def theme_weights_focus(
 
     mode 'irdf' (reference default): rarity measured outside the focus;
     mode 'minus': idf · (focusAcc − restAcc).
-    focus_docs: (doc_id) subset."""
+    focus_docs: (doc_id) subset — deduplicated here (a raw filter-query
+    output with a repeated id would otherwise double-count acc/focus_df
+    and drive rest_df negative, like keyness.py's .distinct()
+    discipline), and restricted to ids the corpus actually contains so
+    n_focus_docs matches the marginals."""
+    focus = focus_docs.select("doc_id").distinct().join(
+        dstats.select("doc_id"), "doc_id", "left_semi"
+    )
     marked = (
         post.join(dstats.select("doc_id", "dl"), "doc_id")
         .crossJoin(F.broadcast(cstats.select("corpus_docs", "avgdl")))
         .join(
-            F.broadcast(focus_docs.select("doc_id").withColumn("isf", F.lit(1))),
+            F.broadcast(focus.withColumn("isf", F.lit(1))),
             "doc_id",
             "left",
         )
         .withColumn("isf", F.coalesce(F.col("isf"), F.lit(0)))
     )
-    n_focus_docs = focus_docs.count()
+    n_focus_docs = focus.count()
     per_term = marked.groupBy("term").agg(
         F.sum(F.when(F.col("isf") == 1, _local_expr()).otherwise(0.0)).alias("acc"),
         F.sum(F.when(F.col("isf") == 0, _local_expr()).otherwise(0.0)).alias("other_acc"),

@@ -76,4 +76,21 @@ def kwic(
             ),
         ).alias("right_ctx"),
     )
-    return sides.orderBy("doc_id", "pos").limit(limit)
+    # an occurrence with NO context tokens in the ±width window produced
+    # no band rows — add it back with empty contexts so every occurrence
+    # appears (the inner band join stays broadcast; this anti-join is
+    # small × small)
+    lone = (
+        hits.join(
+            sides,
+            (F.col("h_doc") == F.col("doc_id")) & (F.col("h_pos") == F.col("pos")),
+            "left_anti",
+        )
+        .select(
+            F.col("h_doc").alias("doc_id"),
+            F.col("h_pos").alias("pos"),
+            F.lit("").alias("left_ctx"),
+            F.lit("").alias("right_ctx"),
+        )
+    )
+    return sides.unionByName(lone).orderBy("doc_id", "pos").limit(limit)

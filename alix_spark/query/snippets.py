@@ -69,36 +69,28 @@ def snippet_topk(
 
 
 def hilite(src: str, query_terms: list[str], open_tag: str = "<mark>",
-           close_tag: str = "</mark>") -> str:
+           close_tag: str = "</mark>", tagger=None) -> str:
     """Full-document highlight by match offsets (reference
     HiliteSnippets.java:60-131: string splice at the match offsets).
 
-    The source is analyzed with the SAME chain as the index, so query
-    terms hit the document exactly where the index would match them
-    (lemma-projected terms highlight their surface form via the
-    token offsets)."""
-    from alix_spark.analysis.filters import (
-        annotate, boundary_filter, clitic_filter, lemma_filter, mwe_filter,
-        pos_filter, replace_filter, uppercase_filter,
-    )
+    The source runs through the SAME chain as the index
+    (``run_chain(with_offsets=True)`` — not a hand-copied stage list
+    that could drift), so query terms hit the document exactly where
+    the index would match them: the matched term is the final
+    INDEXED form (lemma-projected), and the highlight splices its
+    source span; ``tagger`` selects the maxent path like the build.
+    Only indexable tokens can highlight — stopwords and cleanup-dropped
+    tokens don't match, mirroring what the index can actually find."""
+    from alix_spark.analysis.filters import run_chain
     from alix_spark.analysis.tokenizer import tokenize
 
     want = {t.lower() for t in query_terms}
-    toks = annotate(tokenize(src))
-    toks = boundary_filter(toks)
-    toks = clitic_filter(toks)
-    toks = replace_filter(toks)
-    toks = uppercase_filter(toks)
-    toks = pos_filter(toks)
-    toks = lemma_filter(toks)
-    toks = mwe_filter(toks)
     spans = []
-    for t in toks:
-        if t.ttype != "W" or not t.term:
-            continue
-        final = (t.lemma or t.term).lower()
-        if final in want or t.term.lower() in want:
-            spans.append((t.start, t.end))
+    for term, _pos, _tag, _lemma, start, end in run_chain(
+        tokenize(src), tagger=tagger, with_offsets=True
+    ):
+        if term.lower() in want:
+            spans.append((start, end))
     # splice right-to-left so earlier offsets stay valid
     out = src
     for start, end in sorted(spans, reverse=True):

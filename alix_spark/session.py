@@ -22,9 +22,14 @@ def get_spark(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
-        # local[N] → N; a real cluster sets 2-3x total cores instead.
+        # local[N] → N (the "local[N,maxFailures]" form keeps only N);
+        # local[*] → real core count; a real cluster sets 2-3x cores.
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else str(cpus)
-        shuffle_partitions = cpus if n == "*" else int(n)
+        n = n.split(",")[0].strip()
+        if n == "*":
+            shuffle_partitions = os.cpu_count() or cpus
+        else:
+            shuffle_partitions = int(n)
     builder = (
         SparkSession.builder.master(master)
         .appName(app)

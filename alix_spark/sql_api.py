@@ -37,19 +37,12 @@ class PhraseUdtf:
     """alix_phrase(index_dir, csv_terms, slop, k) → (doc_id, tf)."""
 
     def eval(self, index_dir: str, terms: str, slop: int = 0, k: int = 10):
-        import os
-
-        import pyarrow.dataset as ds
-
-        from alix_spark.query.wand import _phrase_match_docs
+        from alix_spark.query.wand import _load_blocks, _phrase_match_docs
 
         term_list = [t for t in (terms or "").split(",") if t]
-        dset = ds.dataset(
-            os.path.join(index_dir, "postings"), partitioning="hive"
-        )
-        pdf = dset.to_table(
-            filter=ds.field("term").isin(term_list)
-        ).to_pandas()
+        # cached, republish-invalidated dataset handle — no directory
+        # re-listing per invocation (wand serving-path cache)
+        pdf = _load_blocks(index_dir, term_list)
         hits: list[tuple[int, int]] = []
         for _shard, g in pdf.groupby("shard", sort=False):
             tb = {t: tg for t, tg in g.groupby("term", sort=False)}
@@ -72,16 +65,14 @@ class SuggestUdtf:
     match under 3 folded chars, infix at 3+."""
 
     def eval(self, index_dir: str, q: str, k: int = 10):
-        import os
-
-        import pyarrow.dataset as ds
-
         from alix_spark.lexicometry.suggest import fold_query
+        from alix_spark.query.wand import term_stats_dataset
 
         qf = fold_query(q or "")
-        tbl = ds.dataset(os.path.join(index_dir, "term_stats")).to_table(
-            columns=["term", "cf"]
-        )
+        # cached handle; the folded scan itself stays full-vocabulary —
+        # the reference's TermSuggest is likewise a whole-dictionary
+        # folded string scan (TermSuggest.java:1-28)
+        tbl = term_stats_dataset(index_dir).to_table(columns=["term", "cf"])
         rows = []
         for term, cf in zip(tbl["term"].to_pylist(), tbl["cf"].to_pylist()):
             folded = fold_query(term)

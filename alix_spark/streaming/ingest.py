@@ -40,6 +40,40 @@ from alix_spark.corpus.webtext import url_ranks
 from alix_spark.index import segments
 
 
+def _write_batch(batch_df: DataFrame, batch_id: int, staging_dir: str) -> None:
+    """One micro-batch: analyze and stage — IDEMPOTENT under replay.
+
+    Each batch owns its ``batch_id=`` partition and a re-run OVERWRITES
+    it (dynamic partition overwrite): a batch that failed between the
+    tokens write and the checkpoint commit re-executes without
+    duplicating token rows (asserted in tests)."""
+    if batch_df.isEmpty():
+        return
+    # within-batch recrawl dedup: latest warc_ts per url wins (the
+    # cross-batch case is resolved at compaction by batch_id)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+    batch_df = (
+        batch_df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .persist()
+    )
+    tok = analyzed_tokens(
+        batch_df, id_col="url", id_type="string", light=True
+    ).withColumn("batch_id", F.lit(batch_id))
+    tok.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("batch_id").parquet(os.path.join(staging_dir, "tokens"))
+    batch_df.select("url", "warc_ts", "lang").withColumn(
+        "batch_id", F.lit(batch_id)
+    ).write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("batch_id").parquet(os.path.join(staging_dir, "pages"))
+    batch_df.unpersist()
+
+
 def start_ingest(
     spark: SparkSession,
     source_dir: str,
@@ -49,10 +83,13 @@ def start_ingest(
 ):
     """Start the incremental ingest stream; returns the StreamingQuery.
 
-    Each micro-batch: html → analysis chain → token rows appended to
+    Each micro-batch: html → analysis chain → token rows written to
     ``staging_dir/tokens`` plus the page row (url, warc_ts, lang) to
-    ``staging_dir/pages``. Exactly-once per batch via the streaming
-    checkpoint + idempotent parquet append on (batch partition).
+    ``staging_dir/pages``, each under its ``batch_id=`` partition.
+    Exactly-once per batch: the streaming checkpoint dedups inputs and
+    a replayed batch OVERWRITES its own partition (dynamic partition
+    overwrite), so a failure between the write and the checkpoint
+    commit cannot duplicate token rows.
     """
     stream = (
         spark.readStream.schema(WEBTEXT_SCHEMA)
@@ -61,27 +98,7 @@ def start_ingest(
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        # within-batch recrawl dedup: latest warc_ts per url wins (the
-        # cross-batch case is resolved at compaction by batch_id)
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
-        batch_df = (
-            batch_df.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-            .persist()
-        )
-        tok = analyzed_tokens(
-            batch_df, id_col="url", id_type="string", light=True
-        ).withColumn("batch_id", F.lit(batch_id))
-        tok.write.mode("append").parquet(os.path.join(staging_dir, "tokens"))
-        batch_df.select("url", "warc_ts", "lang").withColumn(
-            "batch_id", F.lit(batch_id)
-        ).write.mode("append").parquet(os.path.join(staging_dir, "pages"))
-        batch_df.unpersist()
+        _write_batch(batch_df, batch_id, staging_dir)
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

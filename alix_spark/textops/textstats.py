@@ -104,7 +104,7 @@ def token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         F.size(F.filter(F.split(F.col(text_col), "\\s+"), lambda x: x != F.lit("")))
         .cast("long")
         .alias("ws_tokens"),
-        F.size(F.expr(f"regexp_extract_all({text_col}, '[a-z0-9]+|[^a-z0-9\\\\s]', 0)"))
+        F.size(F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+|[^a-z0-9\\\\s]', 0)"))
         .cast("long")
         .alias("bpe_ish_tokens"),
     )

@@ -289,3 +289,16 @@ def test_residual_svd_switches_paths():
     ub, sb = svd._residual_svd(big, 4)
     _, se2, _ = np.linalg.svd(big, full_matrices=False)
     assert np.allclose(sb[:4], se2[:4], rtol=1e-6)
+
+
+def test_kwic_lone_occurrence_kept(spark):
+    """An occurrence with NO tokens in its ±width window still appears,
+    with empty contexts (review fix: the band join alone dropped it)."""
+    sdf = spark.createDataFrame(
+        [(1, 0, "pivot"), (2, 0, "pivot"), (2, 1, "next")],
+        "doc_id long, pos long, term string",
+    )
+    rows = {(r["doc_id"], r["pos"]): (r["left_ctx"], r["right_ctx"])
+            for r in kwic.kwic(sdf, "pivot", width=2, limit=10).collect()}
+    assert rows[(1, 0)] == ("", "")
+    assert rows[(2, 0)] == ("", "next")

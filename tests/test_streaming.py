@@ -87,3 +87,26 @@ def test_compaction_dedups_recrawled_urls(spark, dirs, tmp_path):
     # only the recrawl's tokens survive
     assert wand.query_local(idx, ["guerre"], k=10, mode="and")
     assert not wand.query_local(idx, ["ville"], k=10, mode="and")
+
+
+def test_batch_replay_is_idempotent(spark, tmp_path):
+    """A replayed micro-batch (failure between write and checkpoint
+    commit) must not duplicate staged token rows: each batch overwrites
+    its own batch_id partition."""
+    from alix_spark.corpus import webtext
+    from alix_spark.streaming.ingest import _write_batch
+
+    staging = str(tmp_path / "staging")
+    batch = webtext.webtext(spark, 8, seed=3, partitions=2)
+    _write_batch(batch, 0, staging)
+    tok1 = spark.read.parquet(f"{staging}/tokens")
+    n1 = tok1.count()
+    # replay the SAME batch (same batch_id)
+    _write_batch(batch, 0, staging)
+    tok2 = spark.read.parquet(f"{staging}/tokens")
+    assert tok2.count() == n1
+    # a NEW batch appends its own partition without touching batch 0
+    _write_batch(webtext.webtext(spark, 4, seed=9, partitions=2), 1, staging)
+    tok3 = spark.read.parquet(f"{staging}/tokens")
+    assert tok3.filter("batch_id = 0").count() == n1
+    assert tok3.filter("batch_id = 1").count() > 0
