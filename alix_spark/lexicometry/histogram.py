@@ -30,6 +30,76 @@ def time_histogram(
     return df.groupBy(key).agg(*aggs).orderBy("bin")
 
 
+def chrono_channels(
+    tok: DataFrame,
+    doc_bins: DataFrame,
+    term: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """One op, four channels per bin — the reference's HistoNum fill
+    (HistoNum.java:44-246 + OpChrono.java:27-70): every doc of the
+    population lands in its bin, and the query's hits and their BM25
+    scores are distributed into the same bins.
+
+    ``tok``: (doc_id, pos, term); ``doc_bins``: (doc_id, bin).
+    Returns (bin, docs, tokens, hits, score):
+      docs   — documents in the bin
+      tokens — Σ doc length
+      hits   — Σ tf of the query term over the bin's docs
+      score  — Σ per-doc BM25 contribution of the term (round6)
+
+    Scale shape: two partial-aggregated groupBys on doc_id (map-side
+    combine), one broadcast of the 1-row corpus stats, one tiny final
+    groupBy on the bin key — no token-granularity shuffle survives to
+    the bin agg.
+    """
+    dstats = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    cstats = dstats.agg(
+        F.count("*").alias("n"),
+        (F.sum("dl") / F.count("*")).alias("avgdl"),
+    )
+    post = (
+        tok.filter(F.col("term") == term)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfc = post.agg(F.count("*").alias("df"))
+    base = (
+        doc_bins.join(dstats, "doc_id")
+        .join(post, "doc_id", "left")
+        .crossJoin(F.broadcast(cstats))
+        .crossJoin(F.broadcast(dfc))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    w = F.when(
+        F.col("tf").isNotNull(),
+        idf * (F.col("tf") * F.lit(k1 + 1.0)) / (F.col("tf") + norm),
+    ).otherwise(F.lit(0.0))
+    return (
+        base.select(
+            "bin",
+            "dl",
+            F.coalesce(F.col("tf"), F.lit(0)).alias("tf"),
+            w.alias("w"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("dl").alias("tokens"),
+            F.sum("tf").alias("hits"),
+            round6(F.sum("w")).alias("score"),
+        )
+        .orderBy("bin")
+    )
+
+
 def facet_counts(df: DataFrame, facet_col: str) -> DataFrame:
     """Label → doc count (reference FlucCategory/FlucFacet counts,
     fluc/FlucFacet.java:1-30). For array-typed facets explode first."""

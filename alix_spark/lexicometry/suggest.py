@@ -28,6 +28,32 @@ def suggest(tstats: DataFrame, q: str, top: int = 20) -> DataFrame:
     )
 
 
+def suggest_population(
+    tok: DataFrame, pop_docs: DataFrame, q: str, top: int = 20
+) -> DataFrame:
+    """Population-scoped completion (reference TermSuggest.java:141:
+    completions are ranked by the term's frequency inside the CURRENT
+    doc population — a filtered sub-corpus — not the global corpus).
+
+    ``tok``: (doc_id, term) token table; ``pop_docs``: (doc_id) of the
+    population. The population is a filter result (usually ≪ corpus),
+    broadcast onto the token scan; ranking freq is computed on the
+    surviving tokens only."""
+    q = q.lower()
+    if len(q) < 3:
+        pred = F.col("term").startswith(q)
+    else:
+        pred = F.col("term").contains(q)
+    return (
+        tok.join(F.broadcast(pop_docs.select("doc_id")), "doc_id")
+        .filter(pred)
+        .groupBy("term")
+        .agg(F.count("*").alias("cf"))
+        .orderBy(F.desc("cf"), F.asc("term"))
+        .limit(top)
+    )
+
+
 # explicit diacritic fold map — identical char-for-char `translate` on
 # Spark and DuckDB (the reference ASCII-folds with Lucene's
 # ASCIIFoldingFilter; this 1:1 table covers the French repertoire, with

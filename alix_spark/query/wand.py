@@ -268,6 +268,61 @@ def wand_topk(
 # ----------------------------------------------------- phrase / near
 
 
+# positions live in the low bits of a (doc-rank, position) sort key;
+# 2^33 positions per doc is far beyond any real document, and with
+# doc-RANK (not raw doc_id) in the high bits the key fits int64 at any
+# corpus size (10^12 docs per shard would still only need ~2^30 ranks)
+_POS_BITS = 33
+
+
+def _decode_term_flat(blocks: pd.DataFrame):
+    """All of one term's shard postings as flat arrays:
+    (docs asc, dls, flat positions, per-doc boundary offsets)."""
+    from alix_spark.index.segments import decode_block, varint_decode
+
+    docs_l, tfs_l, dls_l, pos_l = [], [], [], []
+    for row in blocks.sort_values("block_id").to_dict("records"):
+        docs, tfs, dls = decode_block(row)
+        docs_l.append(docs)
+        tfs_l.append(tfs)
+        dls_l.append(dls)
+        total = int(tfs.sum())
+        if total and row["pos_bytes"]:
+            dp = varint_decode(row["pos_bytes"], total)
+            # within-doc delta decode: absolute value restarts at each
+            # doc boundary (same layout decode_block_positions walks,
+            # done here with one vectorized segmented cumsum)
+            pos_l.append(_seg_cumsum(dp, tfs))
+        else:
+            pos_l.append(np.zeros(total, dtype=np.int64))
+    docs = np.concatenate(docs_l) if docs_l else np.zeros(0, np.int64)
+    tfs = np.concatenate(tfs_l) if tfs_l else np.zeros(0, np.int64)
+    dls = np.concatenate(dls_l) if dls_l else np.zeros(0, np.int64)
+    poss = np.concatenate(pos_l) if pos_l else np.zeros(0, np.int64)
+    bounds = np.concatenate(([0], np.cumsum(tfs)))
+    return docs, dls, poss, bounds
+
+
+def _seg_cumsum(deltas: np.ndarray, seg_lens: np.ndarray) -> np.ndarray:
+    """Segmented cumsum: within-doc position deltas → absolute
+    positions, vectorized (each segment's first delta is absolute)."""
+    c = np.cumsum(deltas)
+    starts = np.concatenate(([0], np.cumsum(seg_lens)))[:-1]
+    # value to subtract for each segment = cumsum just before its start
+    base = np.zeros(seg_lens.size, dtype=np.int64)
+    base[1:] = c[starts[1:] - 1]
+    return c - np.repeat(base, seg_lens)
+
+
+def _ragged_gather(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Indices selecting concatenated slices [starts[i], starts[i]+lens[i])."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    offs = np.cumsum(lens) - lens
+    return np.repeat(starts - offs, lens) + np.arange(total, dtype=np.int64)
+
+
 def _phrase_match_docs(
     term_blocks: dict[str, pd.DataFrame], terms: list[str], slop: int,
     ordered: bool,
@@ -278,50 +333,69 @@ def _phrase_match_docs(
     ordered slop=0 → exact phrase (reference SpanNear in-order,
     SpanQueryParser.java:302-318); ordered slop>0 → gaps allowed;
     unordered → any order within the slop window.
-    """
-    from alix_spark.index.segments import decode_block, decode_block_positions
 
-    per_term: list[dict[int, np.ndarray]] = []
-    dls: dict[int, int] = {}
+    Vectorized (VERDICT r2 #4): block decode → flat arrays, common-doc
+    intersection via np.intersect1d, and the ordered extension chain as
+    one np.searchsorted per term over (doc-rank, position) sort keys —
+    no per-position Python in the phrase path.
+    """
+    flats = []
     for t in terms:
         blocks = term_blocks.get(t)
-        docmap: dict[int, np.ndarray] = {}
-        if blocks is not None:
-            for _, row in blocks.sort_values("block_id").iterrows():
-                docs, tfs, dl = decode_block(row)
-                poss = decode_block_positions(row, tfs)
-                for i in range(docs.size):
-                    docmap[int(docs[i])] = poss[i]
-                    dls[int(docs[i])] = int(dl[i])
-        per_term.append(docmap)
+        if blocks is None or not len(blocks):
+            return []
+        flats.append(_decode_term_flat(blocks))
 
-    common = set(per_term[0])
-    for dm in per_term[1:]:
-        common &= set(dm)
+    common = flats[0][0]
+    for docs_i, *_rest in flats[1:]:
+        common = np.intersect1d(common, docs_i, assume_unique=True)
+    if common.size == 0:
+        return []
 
-    out = []
-    for doc in sorted(common):
-        plists = [dm[doc] for dm in per_term]
-        if ordered:
-            # starts = positions of term0 that can be extended through
-            # all terms with gaps ≤ slop between consecutive members
-            cur = plists[0]
-            for nxt in plists[1:]:
-                if cur.size == 0:
-                    break
-                keep = []
-                for p in cur:
-                    cand = nxt[(nxt > p) & (nxt <= p + 1 + slop)]
-                    if cand.size:
-                        keep.append(int(cand.min()))
-                cur = np.unique(np.array(keep, dtype=np.int64)) if keep else np.zeros(0, np.int64)
-            n = int(cur.size)
-        else:
-            # unordered near: count windows where max-min span ≤
-            # (len(terms)-1) + slop, greedy over sorted merged positions
+    # per-term keys restricted to the common docs, already sorted:
+    # key = doc_rank << _POS_BITS | position
+    keys = []
+    for docs_i, _dls, poss_i, bounds_i in flats:
+        di = np.searchsorted(docs_i, common)
+        lens = bounds_i[di + 1] - bounds_i[di]
+        sel = _ragged_gather(bounds_i[di], lens)
+        rank = np.repeat(np.arange(common.size, dtype=np.int64), lens)
+        keys.append((rank << _POS_BITS) + poss_i[sel])
+
+    if ordered:
+        # extension chain: for every current start key, the smallest
+        # next-term position strictly after it and within 1+slop —
+        # inter-doc key gaps (≥ 2^33) can never satisfy the slop test,
+        # so same-doc-ness needs no extra mask
+        cur = keys[0]
+        for nxt in keys[1:]:
+            if cur.size == 0:
+                break
+            j = np.searchsorted(nxt, cur, side="right")
+            valid = j < nxt.size
+            cand = nxt[j[valid]]
+            ok = cand <= cur[valid] + 1 + slop
+            cur = np.unique(cand[ok])
+        per_doc = np.bincount(
+            (cur >> _POS_BITS).astype(np.int64), minlength=common.size
+        )
+    else:
+        # unordered near: greedy window count per doc (multi-cursor
+        # walk is inherently sequential per doc; docs lacking any term
+        # were already filtered out by the intersection)
+        width = len(terms) - 1 + slop
+        per_doc = np.zeros(common.size, dtype=np.int64)
+        plists_by_doc = []
+        for (docs_i, _dls, poss_i, bounds_i), _k in zip(flats, keys):
+            di = np.searchsorted(docs_i, common)
+            plists_by_doc.append((poss_i, bounds_i, di))
+        for r in range(common.size):
+            plists = [
+                poss_i[bounds_i[di[r]] : bounds_i[di[r] + 1]]
+                for poss_i, bounds_i, di in plists_by_doc
+            ]
             n = 0
             idxs = [0] * len(plists)
-            width = len(terms) - 1 + slop
             while all(i < p.size for i, p in zip(idxs, plists)):
                 vals = [int(p[i]) for i, p in zip(idxs, plists)]
                 if max(vals) - min(vals) <= width:
@@ -330,9 +404,20 @@ def _phrase_match_docs(
                 else:
                     j = vals.index(min(vals))
                     idxs[j] += 1
-        if n > 0:
-            out.append((doc, n, dls[doc]))
-    return out
+            per_doc[r] = n
+
+    # dl per doc from term0's postings
+    docs0, dls0, _p0, _b0 = flats[0]
+    d0 = np.searchsorted(docs0, common)
+    dl_sel = dls0[d0]
+    hit = per_doc > 0
+    return list(
+        zip(
+            common[hit].tolist(),
+            per_doc[hit].tolist(),
+            dl_sel[hit].tolist(),
+        )
+    )
 
 
 def phrase_topk(
@@ -369,14 +454,16 @@ def phrase_topk(
     # exact phrase df via a broadcast 1-row count joined back onto the
     # match set. A Window.partitionBy(lit(1)) would funnel every match
     # through ONE task (fatal for a common phrase at web scale); the
-    # match set is localCheckpoint-ed (eager) so the matching job runs
-    # once, not twice, the lineage is cut, and — unlike .persist() —
-    # the materialized partitions are reclaimed by the ContextCleaner
-    # when this query's DataFrame goes out of scope (no cache leak per
-    # phrase query in a long-lived serving process).
+    # match set is localCheckpoint-ed LAZILY so the matching stage runs
+    # once (materialized on first touch, re-read by the scoring stage),
+    # the lineage is cut, and — unlike .persist() — the materialized
+    # partitions are reclaimed by the ContextCleaner when this query's
+    # DataFrame goes out of scope (no cache leak per phrase query in a
+    # long-lived serving process). eager=True here cost a full extra
+    # up-front job and doubled the sf0.1 query (VERDICT r2 finding #2).
     matches = post.groupBy("shard").applyInPandas(
         run_shard, schema="doc_id long, tf long, dl long"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     dfc = matches.agg(F.count("*").alias("df"))
     withdf = matches.crossJoin(F.broadcast(dfc))
     idf = F.log(
