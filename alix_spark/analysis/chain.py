@@ -117,21 +117,10 @@ def analyzed_tokens(
     cols = docs.select(F.col(id_col).alias("_id"), F.col(src_col).alias("src"))
 
     if light:
-        packed_schema = f"{id_col} {id_type}, terms array<string>, poss array<int>"
-
-        def run_packed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                ids: list = []
-                terms: list = []
-                poss: list = []
-                for doc_id, src in zip(pdf["_id"], pdf["src"]):
-                    toks = analyze(src, tagger_path=tagger_path)
-                    ids.append(doc_id)
-                    terms.append([t[0] for t in toks])
-                    poss.append([t[1] for t in toks])
-                yield pd.DataFrame({id_col: ids, "terms": terms, "poss": poss})
-
-        packed = cols.mapInPandas(run_packed, schema=packed_schema)
+        packed = analyzed_packed(
+            docs, id_col=id_col, src_col=src_col, id_type=id_type,
+            tagger_path=tagger_path,
+        )
         return packed.select(
             id_col, F.expr("inline(arrays_zip(poss, terms))")
         ).select(id_col, F.col("poss").alias("pos"), F.col("terms").alias("term"))
@@ -164,6 +153,42 @@ def analyzed_tokens(
             )
 
     return cols.mapInPandas(run, schema=schema)
+
+
+def analyzed_packed(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "html",
+    id_type: str = "long",
+    tagger_path: str | None = None,
+) -> DataFrame:
+    """Distributed analysis, PACKED: ``(id, html) → (id, terms
+    array<string>, poss array<int>)`` — one row per document, the
+    whole token stream as array columns.
+
+    This is the index build's preferred input shape: the packed rows
+    shuffle ~2 orders of magnitude fewer rows than the exploded
+    ``(id, pos, term)`` table (no per-token row overhead, the doc id
+    never duplicated per token), and
+    :func:`alix_spark.index.segments.build_index_packed` consumes it
+    without ever exploding to one-row-per-token on the JVM side."""
+    ensure_py_files(docs.sparkSession)
+    cols = docs.select(F.col(id_col).alias("_id"), F.col(src_col).alias("src"))
+    packed_schema = f"{id_col} {id_type}, terms array<string>, poss array<int>"
+
+    def run_packed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            terms: list = []
+            poss: list = []
+            for doc_id, src in zip(pdf["_id"], pdf["src"]):
+                toks = analyze(src, tagger_path=tagger_path)
+                ids.append(doc_id)
+                terms.append([t[0] for t in toks])
+                poss.append([t[1] for t in toks])
+            yield pd.DataFrame({id_col: ids, "terms": terms, "poss": poss})
+
+    return cols.mapInPandas(run_packed, schema=packed_schema)
 
 
 def analyzed_tokens_with_offsets(

@@ -65,6 +65,8 @@ class AlixEngine:
         self.meta = segments.read_meta(index_dir)
         self.corpus = corpus
         self._tok: DataFrame | None = None
+        self._rail: DataFrame | None = None
+        self._has_positions: bool | None = None
         self._vocab: set[str] | None = None
         # Hunspell sidecar (reference HunspellCompiler output next to
         # the index): when present, query terms resolve roots-first
@@ -141,6 +143,38 @@ class AlixEngine:
                 .persist()
             )
         return self._tok
+
+    def _index_has_positions(self) -> bool:
+        """True when the frozen index carries the positions channel —
+        probe ONE block row via pyarrow (no Spark job)."""
+        if self._has_positions is None:
+            import pyarrow.dataset as ds
+
+            dset = ds.dataset(
+                os.path.join(self.index_dir, "postings"), format="parquet",
+                partitioning="hive",
+            )
+            head = dset.head(1, columns=["pos_bytes"])
+            self._has_positions = bool(
+                len(head) and head["pos_bytes"][0].as_py()
+            )
+        return self._has_positions
+
+    def rail(self) -> DataFrame:
+        """``(doc_id, pos, term)`` token rail for lexicometry ops.
+
+        Served from the FROZEN index when it carries positions — the
+        postings decode (segments.decoded_rail) never re-runs the
+        analysis chain, matching the reference's serving model (terms/
+        cooc/concordance read the TermStats/TermRail sidecars, never
+        the corpus). Falls back to the chain only for an engine opened
+        on a corpus without a positional index."""
+        if self._rail is None:
+            if self._index_has_positions():
+                self._rail = segments.decoded_rail(self.spark, self.index_dir)
+            else:
+                self._rail = self.tokens().select("doc_id", "pos", "term")
+        return self._rail
 
     def vocabulary(self) -> set[str]:
         """Full term set on the driver — demo/test convenience only; the
@@ -224,12 +258,37 @@ class AlixEngine:
         return wand.query_local_mixed(idx, clauses, k=k)
 
     def concordance(self, term: str, width: int = 5, limit: int = 100) -> DataFrame:
-        """KWIC lines (reference OpResults concordance view)."""
-        return kwic_mod.kwic(self.tokens(), term, width=width, limit=limit)
+        """KWIC lines (reference OpResults concordance view) — served
+        from the index rail, never re-analyzing the corpus."""
+        return kwic_mod.kwic(self.rail(), term, width=width, limit=limit)
 
     # ------------------------------------------------------ lexicometry
 
     def _bm25_inputs(self):
+        """(postings, doc_stats, term_stats, corpus_stats) for the
+        theme/keyness scorers.
+
+        When the engine sits on a built index these come straight from
+        the index: postings decode distributed from the compressed
+        blocks, stats from the sidecar parquets and corpus.json — zero
+        analysis-chain work (the reference's TermStats sidecar serving
+        model). The chain fallback only exists for an engine opened on
+        a corpus with no index directory."""
+        if os.path.isdir(os.path.join(self.index_dir, "postings")):
+            post = segments.decoded_postings(self.spark, self.index_dir).select(
+                "term", "doc_id", "tf"
+            )
+            dstats = self.spark.read.parquet(
+                os.path.join(self.index_dir, "doc_stats")
+            ).select("doc_id", "dl")
+            tstats = self.spark.read.parquet(
+                os.path.join(self.index_dir, "term_stats")
+            ).select("term", "df", "cf")
+            cstats = self.spark.createDataFrame(
+                [(int(self.meta["corpus_docs"]), float(self.meta["avgdl"]))],
+                "corpus_docs long, avgdl double",
+            )
+            return post, dstats, tstats, cstats
         from alix_spark.index import simple
 
         tok = self.tokens().select("doc_id", "pos", "term")
@@ -252,7 +311,7 @@ class AlixEngine:
             .select("doc_id")
         )
         return keyness_mod.keyness(
-            self.tokens().select("doc_id", "term"), focus_docs, scorer, top=top
+            self.rail().select("doc_id", "term"), focus_docs, scorer, top=top
         )
 
     def chrono(self) -> DataFrame:
@@ -267,8 +326,7 @@ class AlixEngine:
 
     def cooc(self, pivot: str, left: int = 5, right: int = 5, top: int = 50) -> DataFrame:
         return cooc_mod.cooc_counts(
-            self.tokens().select("doc_id", "pos", "term"), pivot,
-            left=left, right=right, top=top,
+            self.rail(), pivot, left=left, right=right, top=top,
         )
 
     def clades(self, top_terms: int = 100, axes: int = 2):
@@ -280,7 +338,7 @@ class AlixEngine:
             .select("doc_id", "part")
         )
         return svd_mod.ca_map(
-            self.tokens().select("doc_id", "term"), parts,
+            self.rail().select("doc_id", "term"), parts,
             top_terms=top_terms, axes=axes,
         )
 

@@ -40,6 +40,7 @@ from __future__ import annotations
 import json
 import os
 from typing import Iterator
+from zlib import crc32
 
 import numpy as np
 import pandas as pd
@@ -327,66 +328,108 @@ def build_index(
                 ],
             )
 
-        # write tasks: at least one per shard, scaled up to the
-        # cluster's parallelism via an explicit per-shard sub-bucket —
-        # a 16-shard layout must not cap a 32-core (or 1000-executor)
-        # write at 16 tasks, but hashing on the raw term would spread
-        # every shard over ALL write tasks (≈n_write files per shard
-        # directory). (shard, term-hash % width) keeps files per shard
-        # ≤ width = n_write/shards, so query-side parquet listing stays
-        # O(shards · width), not O(shards · cores).
         n_write = max(len(todo), spark.sparkContext.defaultParallelism)
-        width = max(1, n_write // max(len(todo), 1))
         encoded = salted.groupBy("shard", "tbucket").applyInPandas(
             encode, schema=ENC_SCHEMA
-        ).repartition(
-            n_write, "shard",
-            F.pmod(F.xxhash64("term"), F.lit(width)),
         )
-        # dynamic partition overwrite: replaces exactly the shards being
-        # (re)built — a half-written shard from a crashed run is cleanly
-        # rewritten, completed shards are untouched (the Iceberg
-        # `overwritePartitions` analogue of the reference's atomic
-        # directory-rename publish, TeiIngester.java:37-40)
-        encoded.write.mode("overwrite").option(
-            "partitionOverwriteMode", "dynamic"
-        ).partitionBy("shard").parquet(os.path.join(index_dir, "postings"))
+        _write_postings_and_manifests(
+            spark, encoded, index_dir, todo, n_shards, n_write
+        )
 
-        # per-shard manifests: lineage + metrics (resumable restarts)
-        seg_stats = (
-            spark.read.parquet(os.path.join(index_dir, "postings"))
-            .filter(F.col("shard").isin(todo))
-            .groupBy("shard")
-            .agg(
-                F.countDistinct("term").alias("n_terms"),
-                F.sum("n").alias("n_postings"),
-                F.count("*").alias("n_blocks"),
+    _write_stats_sidecars(spark, index_dir, dstats, tstats, corpus, n_shards)
+    meta = {
+        "corpus_docs": int(corpus["corpus_docs"]),
+        "corpus_tokens": int(corpus["corpus_tokens"]),
+        "avgdl": avgdl,
+        "n_shards": n_shards,
+        "built_shards": len(done) + len(todo),
+        "resumed_from": sorted(done),
+    }
+    with open(os.path.join(index_dir, "corpus.json"), "w") as f:
+        json.dump(meta, f)
+    tok.unpersist()
+    dstats.unpersist()
+    tstats.unpersist()
+    return meta
+
+
+def _write_postings_and_manifests(
+    spark: SparkSession,
+    encoded: DataFrame,
+    index_dir: str,
+    todo: list[int],
+    n_shards: int,
+    n_write: int,
+) -> None:
+    """Repartition the encoded blocks for write, dynamic-partition
+    overwrite the postings table, and write per-shard manifests.
+
+    Write tasks: at least one per shard, scaled up to the cluster's
+    parallelism via an explicit per-shard sub-bucket — a 16-shard
+    layout must not cap a 32-core (or 1000-executor) write at 16
+    tasks, but hashing on the raw term would spread every shard over
+    ALL write tasks (≈n_write files per shard directory).
+    (shard, term-hash % width) keeps files per shard ≤ width =
+    n_write/shards, so query-side parquet listing stays
+    O(shards · width), not O(shards · cores)."""
+    width = max(1, n_write // max(len(todo), 1))
+    encoded = encoded.repartition(
+        n_write, "shard",
+        F.pmod(F.xxhash64("term"), F.lit(width)),
+    )
+    # dynamic partition overwrite: replaces exactly the shards being
+    # (re)built — a half-written shard from a crashed run is cleanly
+    # rewritten, completed shards are untouched (the Iceberg
+    # `overwritePartitions` analogue of the reference's atomic
+    # directory-rename publish, TeiIngester.java:37-40)
+    encoded.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("shard").parquet(os.path.join(index_dir, "postings"))
+
+    # per-shard manifests: lineage + metrics (resumable restarts)
+    seg_stats = (
+        spark.read.parquet(os.path.join(index_dir, "postings"))
+        .filter(F.col("shard").isin(todo))
+        .groupBy("shard")
+        .agg(
+            F.countDistinct("term").alias("n_terms"),
+            F.sum("n").alias("n_postings"),
+            F.count("*").alias("n_blocks"),
+        )
+        .collect()
+    )
+    for r in seg_stats:
+        with open(_manifest_path(index_dir, r["shard"]), "w") as f:
+            json.dump(
+                {
+                    "shard": r["shard"],
+                    "n_terms": r["n_terms"],
+                    "n_postings": r["n_postings"],
+                    "n_blocks": r["n_blocks"],
+                    "n_shards": n_shards,
+                    "block_size": BLOCK,
+                    "format": FORMAT_VERSION,
+                },
+                f,
             )
-            .collect()
-        )
-        for r in seg_stats:
-            with open(_manifest_path(index_dir, r["shard"]), "w") as f:
-                json.dump(
-                    {
-                        "shard": r["shard"],
-                        "n_terms": r["n_terms"],
-                        "n_postings": r["n_postings"],
-                        "n_blocks": r["n_blocks"],
-                        "n_shards": n_shards,
-                        "block_size": BLOCK,
-                        "format": FORMAT_VERSION,
-                    },
-                    f,
-                )
 
-    # stats sidecars (reference TermStats sidecar <field>.stats).
-    # term_stats carries the dense term_id (UTF-8 byte order, reference
-    # TermLexicon.java:46-53) so the dictionary and stats are ONE table
-    # and one write.
-    # sidecar writes sized to their data, not to the core count: these
-    # tables are thousands-to-millions of skinny rows — 32 write tasks
-    # of 400 rows each is pure fixed cost (task scheduling anti-scales
-    # with parallelism on small jobs)
+
+def _write_stats_sidecars(
+    spark: SparkSession,
+    index_dir: str,
+    dstats: DataFrame,
+    tstats: DataFrame,
+    corpus: dict,
+    n_shards: int,
+) -> None:
+    """Stats sidecars (reference TermStats sidecar <field>.stats).
+
+    ``term_stats`` carries the dense term_id (UTF-8 byte order,
+    reference TermLexicon.java:46-53) so the dictionary and stats are
+    ONE table and one write. Sidecar writes are sized to their data,
+    not to the core count: these tables are thousands-to-millions of
+    skinny rows — 32 write tasks of 400 rows each is pure fixed cost
+    (task scheduling anti-scales with parallelism on small jobs)."""
     def _size_parts(n_rows: int, per_part: int = 2_000_000) -> int:
         return max(1, min(
             spark.sparkContext.defaultParallelism, n_rows // per_part + 1
@@ -410,6 +453,275 @@ def build_index(
     tstats.join(tids, "term").repartition(t_parts).write.mode(
         "overwrite"
     ).parquet(os.path.join(index_dir, "term_stats"))
+
+
+# --------------------------------------------------- packed build path
+#
+# The exploded build above shuffles ONE ROW PER TOKEN into the encode
+# groupBy — at 10^12 documents × ~10^3 tokens/doc that is the single
+# biggest shuffle in the system, and on the sandbox's 8→32 scaling
+# probe it (plus the cache materialization of the exploded table) is
+# what eats the parallelism the analysis chain delivers. The packed
+# path keeps the chain's per-document arrays packed end-to-end:
+#
+#   chain (packed arrays) → bucketize (mapInPandas, NO shuffle: per-doc
+#   (term, tf, positions) roll-up split into SALT_BUCKETS term-hash
+#   buckets) → ONE shuffle of ~n_docs × SALT_BUCKETS array rows →
+#   encode (numpy segmented gather, same _encode_term_group)
+#
+# Shuffle rows drop by ~avg_doc_len/SALT_BUCKETS (≈15× at doc_scale 10,
+# ≈2 orders of magnitude at real web-page sizes with larger buckets);
+# per-row overhead (doc_id duplication, Spark row headers) disappears
+# into Arrow-packed arrays. Doc lengths ride on the bucket rows, so the
+# packed path needs NO dl broadcast and NO dl join at any corpus size.
+# Output blocks are bit-identical to the exploded path (asserted in
+# tests/test_packed_build.py).
+
+BUCKETIZED_SCHEMA = (
+    "doc_id long, shard int, tbucket int, dl long, width long, "
+    "terms array<string>, tfs array<int>, poss array<int>"
+)
+
+
+def bucketized_tokens(
+    packed: DataFrame,
+    n_shards: int,
+    n_buckets: int = SALT_BUCKETS,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Packed per-doc token arrays → per-(doc, term-hash-bucket) rows.
+
+    Input: ``(doc_id, terms array<string>, poss array<int>)`` (the
+    :func:`alix_spark.analysis.chain.analyzed_packed` shape). Output:
+    one row per (doc, bucket) with the doc's per-term roll-up for that
+    bucket — unique ``terms``, their ``tfs``, and the flat ``poss``
+    grouped by term (ascending within each term). ``dl``/``width``
+    (whole-doc token count / max position + 1) ride on every row so
+    the encoder needs no side channel for doc lengths.
+
+    Pure narrow mapInPandas (no shuffle); the bucket hash is crc32 —
+    any deterministic term→bucket map yields identical final postings
+    because each (shard, term) group is complete within one bucket."""
+    ensure_py_files(packed.sparkSession)
+
+    def split(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(np.int64)
+            terms_lists = pdf["terms"].tolist()
+            poss_lists = pdf["poss"].tolist()
+            lens = np.fromiter(
+                (len(t) for t in terms_lists), np.int64, count=len(terms_lists)
+            )
+            total = int(lens.sum())
+            if total == 0:
+                continue
+            widths = np.fromiter(
+                (int(np.max(np.asarray(p, np.int64))) + 1 if len(p) else 0
+                 for p in poss_lists),
+                np.int64, count=len(poss_lists),
+            )
+            doc_rep = np.repeat(np.arange(ids.size), lens)
+            terms_flat = np.concatenate(
+                [np.asarray(t, object) for t in terms_lists if len(t)]
+            )
+            poss_flat = np.concatenate(
+                [np.asarray(p, np.int64) for p in poss_lists if len(p)]
+            )
+            # bucket per token via the per-unique-term crc32 (C-level;
+            # factorize makes the python hash loop O(vocab), not O(tokens))
+            codes, uniq = pd.factorize(terms_flat)
+            uniq = np.asarray(uniq, object)
+            ub = np.fromiter(
+                (crc32(t.encode("utf-8")) % n_buckets for t in uniq),
+                np.int64, count=len(uniq),
+            )
+            buck = ub[codes]
+            # group tokens by (doc, bucket, term), positions ascending
+            o = np.lexsort((poss_flat, codes, buck, doc_rep))
+            d_s, b_s, c_s, p_s = doc_rep[o], buck[o], codes[o], poss_flat[o]
+            new_entry = np.empty(o.size, bool)
+            new_entry[0] = True
+            new_entry[1:] = (
+                (d_s[1:] != d_s[:-1]) | (b_s[1:] != b_s[:-1])
+                | (c_s[1:] != c_s[:-1])
+            )
+            entry_starts = np.flatnonzero(new_entry)  # token space
+            tf = np.diff(np.append(entry_starts, o.size))
+            e_doc = d_s[entry_starts]
+            e_buck = b_s[entry_starts]
+            e_code = c_s[entry_starts]
+            new_row = np.empty(entry_starts.size, bool)
+            new_row[0] = True
+            new_row[1:] = (e_doc[1:] != e_doc[:-1]) | (e_buck[1:] != e_buck[:-1])
+            row_starts = np.flatnonzero(new_row)      # entry space
+            row_tok_starts = entry_starts[row_starts]  # token space
+            r_doc = e_doc[row_starts]
+            r_buck = e_buck[row_starts]
+            out_ids = ids[r_doc]
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_ids,
+                    "shard": (out_ids % n_shards).astype(np.int32),
+                    "tbucket": r_buck.astype(np.int32),
+                    "dl": lens[r_doc],
+                    "width": widths[r_doc],
+                    "terms": np.split(uniq[e_code], row_starts[1:]),
+                    "tfs": np.split(tf.astype(np.int32), row_starts[1:]),
+                    "poss": np.split(p_s.astype(np.int32), row_tok_starts[1:]),
+                }
+            )
+
+    return packed.select(
+        F.col(id_col).alias("doc_id"), "terms", "poss"
+    ).mapInPandas(split, schema=BUCKETIZED_SCHEMA)
+
+
+def _encode_packed_group(
+    pdf: pd.DataFrame, avgdl: float, with_positions: bool
+) -> pd.DataFrame:
+    """Encode one (shard, tbucket) group of bucketized rows.
+
+    Flattens the array columns with numpy segmented gathers — per-term
+    posting lists assemble without any per-token Python — then reuses
+    :func:`_encode_term_group` per term, so blocks are bit-identical
+    to the exploded path's."""
+    cols = [
+        "shard", "term", "block_id", "n", "max_doc", "max_tf",
+        "block_ub", "doc_bytes", "tf_bytes", "dl_bytes", "pos_bytes",
+    ]
+    if not len(pdf):
+        return pd.DataFrame(columns=cols)
+    shard = int(pdf["shard"].iloc[0])
+    terms_lists = pdf["terms"].tolist()
+    tlens = np.fromiter(
+        (len(t) for t in terms_lists), np.int64, count=len(terms_lists)
+    )
+    doc_per = np.repeat(pdf["doc_id"].to_numpy(np.int64), tlens)
+    dl_per = np.repeat(pdf["dl"].to_numpy(np.int64), tlens)
+    terms_flat = np.concatenate(
+        [np.asarray(t, object) for t in terms_lists if len(t)]
+    )
+    tfs_flat = np.concatenate(
+        [np.asarray(t, np.int64) for t in pdf["tfs"] if len(t)]
+    )
+    entry_starts = np.cumsum(tfs_flat) - tfs_flat  # into the flat pos stream
+    codes, uniq = pd.factorize(terms_flat)
+    uniq = np.asarray(uniq, object)
+    order = np.lexsort((doc_per, codes))
+    c_s = codes[order]
+    d_s = doc_per[order]
+    dl_s = dl_per[order]
+    tf_s = tfs_flat[order]
+    term_bounds = np.concatenate(
+        ([0], np.flatnonzero(c_s[1:] != c_s[:-1]) + 1, [c_s.size])
+    )
+    pos_gathered = None
+    pos_bounds = None
+    if with_positions:
+        pos_concat = np.concatenate(
+            [np.asarray(p, np.int64) for p in pdf["poss"] if len(p)]
+        )
+        st = entry_starts[order]
+        seg_off = np.cumsum(tf_s) - tf_s
+        idx = np.repeat(st - seg_off, tf_s) + np.arange(int(tf_s.sum()))
+        pos_gathered = pos_concat[idx]
+        pos_bounds = np.concatenate(([0], np.cumsum(tf_s)))
+    rows: list[tuple] = []
+    for i in range(term_bounds.size - 1):
+        a, b = int(term_bounds[i]), int(term_bounds[i + 1])
+        pos_flat = None
+        if with_positions:
+            pos_flat = pos_gathered[pos_bounds[a] : pos_bounds[b]]
+        rows.extend(
+            _encode_term_group(
+                shard, uniq[c_s[a]], d_s[a:b], tf_s[a:b], dl_s[a:b],
+                avgdl, positions=pos_flat,
+            )
+        )
+    return pd.DataFrame(rows, columns=cols)
+
+
+def build_index_packed(
+    spark: SparkSession,
+    packed: DataFrame,
+    index_dir: str,
+    n_shards: int = 16,
+    resume: bool = False,
+    with_positions: bool = True,
+    id_col: str = "doc_id",
+) -> dict:
+    """Build (or resume) the sharded compressed index from PACKED
+    per-doc token arrays ``(doc_id, terms array<string>, poss
+    array<int>)`` — the scale path.
+
+    Identical output to :func:`build_index` on the exploded table
+    (asserted bit-identical in tests), but the token stream never
+    explodes to one-row-per-token on the JVM side: the per-doc
+    (term, tf, positions) roll-up happens map-side in the bucketize
+    pass, and the one shuffle moves ~n_docs × SALT_BUCKETS packed
+    array rows instead of one row per token."""
+    ensure_py_files(spark)
+    if not resume and os.path.isdir(index_dir):
+        import shutil
+
+        shutil.rmtree(index_dir)
+    os.makedirs(os.path.join(index_dir, "manifest"), exist_ok=True)
+
+    done = set()
+    if resume:
+        for s in range(n_shards):
+            if os.path.exists(_manifest_path(index_dir, s)):
+                done.add(s)
+    todo = [s for s in range(n_shards) if s not in done]
+
+    from pyspark.storagelevel import StorageLevel
+
+    # one chain run feeds stats + encode: persist the BUCKETIZED table
+    # (array rows — far cheaper to materialize than the exploded one;
+    # at 100 TB: a staging Iceberg table instead of executor memory)
+    buck = bucketized_tokens(packed, n_shards, id_col=id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+    # doc stats: dl/width ride on every bucket row — first()/max() with
+    # map-side partial agg, ~SALT_BUCKETS rows per doc in, 1 out
+    dstats = buck.groupBy("doc_id").agg(
+        F.first("dl").alias("dl"), F.max("width").alias("width")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    crow = dstats.agg(
+        F.count("*").alias("docs"), F.sum("dl").alias("tokens")
+    ).collect()[0]
+    corpus = {
+        "corpus_docs": int(crow["docs"]),
+        "corpus_tokens": int(crow["tokens"]),
+    }
+    avgdl = corpus["corpus_tokens"] / corpus["corpus_docs"]
+
+    # term stats: each (doc, term) appears exactly once across bucket
+    # rows, so df = count and cf = sum(tf) — no countDistinct expand
+    tstats = (
+        buck.select(F.expr("inline(arrays_zip(terms, tfs))"))
+        .groupBy(F.col("terms").alias("term"))
+        .agg(F.count("*").alias("df"), F.sum("tfs").cast("long").alias("cf"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    if todo:
+        def encode(_key, pdf: pd.DataFrame) -> pd.DataFrame:
+            return _encode_packed_group(pdf, avgdl, with_positions)
+
+        n_write = max(len(todo), spark.sparkContext.defaultParallelism)
+        encoded = (
+            buck.filter(F.col("shard").isin(todo))
+            .groupBy("shard", "tbucket")
+            .applyInPandas(encode, schema=ENC_SCHEMA)
+        )
+        _write_postings_and_manifests(
+            spark, encoded, index_dir, todo, n_shards, n_write
+        )
+
+    _write_stats_sidecars(spark, index_dir, dstats, tstats, corpus, n_shards)
     meta = {
         "corpus_docs": int(corpus["corpus_docs"]),
         "corpus_tokens": int(corpus["corpus_tokens"]),
@@ -420,10 +732,109 @@ def build_index(
     }
     with open(os.path.join(index_dir, "corpus.json"), "w") as f:
         json.dump(meta, f)
-    tok.unpersist()
+    buck.unpersist()
     dstats.unpersist()
     tstats.unpersist()
     return meta
+
+
+# ------------------------------------------------- serving-side decode
+#
+# The reference serves lexicometry (terms/cooc/concordance/chrono) from
+# the index sidecars (TermStats, the positions "rail"), NEVER by
+# re-analyzing the corpus — the analysis chain is the most expensive
+# stage in the whole system. These decoders give the Spark side the
+# same property: the postings parquet decodes (distributed, one task
+# per parquet split, numpy varint decode per block) back to the exact
+# token shapes the lexicometry operators consume.
+
+
+def decoded_postings(spark: SparkSession, index_dir: str) -> DataFrame:
+    """``(term, doc_id, tf, dl)`` decoded from the compressed blocks.
+
+    Distributed mapInPandas over the postings parquet — a narrow scan +
+    decode, no shuffle; downstream aggregations shuffle the decoded
+    skinny rows exactly as they would a raw token table."""
+    ensure_py_files(spark)
+    post = spark.read.parquet(os.path.join(index_dir, "postings")).select(
+        "term", "n", "doc_bytes", "tf_bytes", "dl_bytes"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            terms: list = []
+            docs_l: list = []
+            tfs_l: list = []
+            dls_l: list = []
+            for row in pdf.itertuples(index=False):
+                n = int(row.n)
+                docs = np.cumsum(varint_decode(row.doc_bytes, n))
+                terms.append(np.full(n, row.term, object))
+                docs_l.append(docs)
+                tfs_l.append(varint_decode(row.tf_bytes, n))
+                dls_l.append(varint_decode(row.dl_bytes, n))
+            yield pd.DataFrame(
+                {
+                    "term": np.concatenate(terms),
+                    "doc_id": np.concatenate(docs_l).astype(np.int64),
+                    "tf": np.concatenate(tfs_l).astype(np.int64),
+                    "dl": np.concatenate(dls_l).astype(np.int64),
+                }
+            )
+
+    return post.mapInPandas(
+        run, schema="term string, doc_id long, tf long, dl long"
+    )
+
+
+def decoded_rail(spark: SparkSession, index_dir: str) -> DataFrame:
+    """``(doc_id, pos, term)`` token rail decoded from the positions
+    channel — row-for-row identical to the token table the index was
+    built from (positions preserve stop-gaps). Requires an index built
+    ``with_positions=True`` (pos_bytes present)."""
+    ensure_py_files(spark)
+    post = spark.read.parquet(os.path.join(index_dir, "postings")).select(
+        "term", "n", "doc_bytes", "tf_bytes", "pos_bytes"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            terms: list = []
+            docs_l: list = []
+            poss_l: list = []
+            for row in pdf.itertuples(index=False):
+                n = int(row.n)
+                docs = np.cumsum(varint_decode(row.doc_bytes, n))
+                tfs = varint_decode(row.tf_bytes, n)
+                total = int(tfs.sum())
+                if total == 0 or not row.pos_bytes:
+                    continue
+                # within-doc delta decode: segmented cumsum via the
+                # "subtract previous segment's carry" trick
+                dp = varint_decode(row.pos_bytes, total).astype(np.int64)
+                starts = np.cumsum(tfs) - tfs
+                csum = np.cumsum(dp)
+                carry = np.zeros(total, np.int64)
+                carry[starts[1:]] = csum[starts[1:] - 1]
+                pos = csum - np.maximum.accumulate(carry)
+                terms.append(np.full(total, row.term, object))
+                docs_l.append(np.repeat(docs, tfs))
+                poss_l.append(pos)
+            if not terms:
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(docs_l).astype(np.int64),
+                    "pos": np.concatenate(poss_l).astype(np.int32),
+                    "term": np.concatenate(terms),
+                }
+            )
+
+    return post.mapInPandas(run, schema="doc_id long, pos int, term string")
 
 
 def _manifest_path(index_dir: str, shard: int) -> str:

@@ -38,6 +38,12 @@ def main() -> None:
     ap.add_argument("--n-shards", type=int, default=16)
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--corpus", default=None, help="existing webtext parquet")
+    ap.add_argument("--build-path", choices=["packed", "exploded"],
+                    default="packed",
+                    help="packed (default): shuffle per-doc array rows "
+                         "(~2 orders of magnitude fewer shuffle rows); "
+                         "exploded: one row per token (the r01/r02 path, "
+                         "kept for A/B measurement)")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--queries", default="ville,roi;guerre,paix;histoire",
                     help="';'-separated, ','-joined AND term groups")
@@ -47,7 +53,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
     cores = spark.sparkContext.defaultParallelism
 
-    from alix_spark.analysis.chain import analyzed_tokens
+    from alix_spark.analysis.chain import analyzed_packed, analyzed_tokens
     from alix_spark.corpus import webtext as wt
     from alix_spark.index import segments
     from alix_spark.query import wand
@@ -68,14 +74,35 @@ def main() -> None:
     t_corpus = time.perf_counter() - t0
 
     t1 = time.perf_counter()
-    # tokenize by url straight off the landing table (no html shuffle),
-    # then join dense doc ids onto the skinny token table
-    tok_url = analyzed_tokens(corpus, id_col="url", id_type="string", light=True)
     ids = wt.url_ranks(corpus)
-    tok = tok_url.join(ids, "url").select("doc_id", "pos", "term")
-    meta = segments.build_index(
-        spark, tok, args.index_dir, n_shards=args.n_shards, resume=args.resume
-    )
+    if args.build_path == "packed":
+        # scale path: the chain's per-doc arrays stay packed end-to-end;
+        # the dense-id join touches one skinny row per DOC, and the one
+        # encode shuffle moves ~n_docs × SALT_BUCKETS array rows instead
+        # of one row per token (bit-identical output,
+        # tests/test_packed_build.py). The id join is left unhinted:
+        # AQE broadcasts it at sandbox scale; at 10^12 docs it is a
+        # skinny shuffle join on one row per doc.
+        packed = (
+            analyzed_packed(corpus, id_col="url", id_type="string")
+            .join(ids, "url")
+            .select("doc_id", "terms", "poss")
+        )
+        meta = segments.build_index_packed(
+            spark, packed, args.index_dir, n_shards=args.n_shards,
+            resume=args.resume,
+        )
+    else:
+        # tokenize by url straight off the landing table (no html
+        # shuffle), then join dense doc ids onto the skinny token table
+        tok_url = analyzed_tokens(
+            corpus, id_col="url", id_type="string", light=True
+        )
+        tok = tok_url.join(ids, "url").select("doc_id", "pos", "term")
+        meta = segments.build_index(
+            spark, tok, args.index_dir, n_shards=args.n_shards,
+            resume=args.resume,
+        )
     build_s = time.perf_counter() - t1
 
     groups = [

@@ -161,6 +161,58 @@ def test_suggest(engine):
     assert any(r["term"] == "ville" for r in rows)
 
 
+def test_rail_equals_chain_tokens(engine):
+    """The index-decoded rail (segments.decoded_rail) is row-for-row
+    the token table the index was built from — lexicometry served from
+    the frozen index equals lexicometry over the analyzed corpus."""
+    a = sorted(map(tuple, engine.rail().collect()))
+    b = sorted(
+        map(tuple, engine.tokens().select("doc_id", "pos", "term").collect())
+    )
+    assert a == b and len(a) > 0
+
+
+def test_lexicometry_from_index_without_corpus(engine):
+    """VERDICT r2 #5: terms/cooc/concordance serve from the index, not
+    by re-analyzing the corpus. An engine opened with NO corpus table
+    structurally cannot run the analysis chain — every lexicometry op
+    must still work and match the corpus-backed engine."""
+    import pytest as _pytest
+
+    from alix_spark.engine import AlixEngine as _E
+
+    eng2 = _E(engine.spark, engine.index_dir, corpus=None)
+    with _pytest.raises(ValueError):
+        eng2.tokens()
+    assert eng2.terms(top=10).collect() == engine.terms(top=10).collect()
+    assert (
+        eng2.cooc("ville", top=10).collect()
+        == engine.cooc("ville", top=10).collect()
+    )
+    assert (
+        eng2.concordance("ville", width=3, limit=10).collect()
+        == engine.concordance("ville", width=3, limit=10).collect()
+    )
+    assert eng2.search("ville roi") == engine.search("ville roi")
+
+
+def test_terms_index_path_equals_chain_path(engine):
+    """Index-served theme ranking == the same scorer fed from the
+    chain token table through the simple builders."""
+    from alix_spark.index import simple
+    from alix_spark.lexicometry import theme as theme_mod
+
+    tok = engine.tokens().select("doc_id", "pos", "term")
+    want = theme_mod.theme_weights(
+        simple.postings(tok),
+        simple.doc_stats(tok).select("doc_id", "dl"),
+        simple.term_stats(tok),
+        simple.corpus_stats(tok).select("corpus_docs", "avgdl"),
+        top=10,
+    ).collect()
+    assert engine.terms(top=10).collect() == want
+
+
 def test_ascii_variant_field(spark, tmp_path):
     """Derived *_ascii TEXT field (reference AlixLuceneConsumer.java:
     185-204): same analyzed content re-indexed with diacritics folded;

@@ -1,0 +1,134 @@
+"""Packed build path == exploded build path, bit for bit.
+
+The packed path (analyzed_packed → bucketized_tokens →
+build_index_packed) is the scale path: it shuffles ~n_docs ×
+SALT_BUCKETS array rows instead of one row per token. These tests pin
+that every table it writes — postings blocks including the varint
+byte payloads, doc_stats, term_stats, corpus.json — is identical to
+what the exploded build_index writes for the same corpus.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from alix_spark.analysis.chain import analyzed_packed, analyzed_tokens
+from alix_spark.corpus import webtext as wt
+from alix_spark.index import segments
+
+N_DOCS = 120
+N_SHARDS = 4
+
+
+@pytest.fixture(scope="module")
+def both_indexes(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("packed_vs_exploded")
+    corpus = wt.webtext(spark, N_DOCS, seed=7, partitions=4).cache()
+    corpus.count()
+    ids = wt.url_ranks(corpus)
+
+    tok = (
+        analyzed_tokens(corpus, id_col="url", id_type="string", light=True)
+        .join(F.broadcast(ids), "url")
+        .select("doc_id", "pos", "term")
+    )
+    exploded_dir = str(base / "exploded")
+    segments.build_index(spark, tok, exploded_dir, n_shards=N_SHARDS)
+
+    packed = (
+        analyzed_packed(corpus, id_col="url", id_type="string")
+        .join(F.broadcast(ids), "url")
+        .select("doc_id", "terms", "poss")
+    )
+    packed_dir = str(base / "packed")
+    segments.build_index_packed(spark, packed, packed_dir, n_shards=N_SHARDS)
+
+    corpus.unpersist()
+    return exploded_dir, packed_dir
+
+
+def _sorted_rows(spark, path, order_cols):
+    df = spark.read.parquet(path)
+    return df.orderBy(*order_cols).collect(), df.columns
+
+
+def test_postings_bit_identical(spark, both_indexes):
+    exploded_dir, packed_dir = both_indexes
+    a, cols_a = _sorted_rows(
+        spark, os.path.join(exploded_dir, "postings"), ["shard", "term", "block_id"]
+    )
+    b, cols_b = _sorted_rows(
+        spark, os.path.join(packed_dir, "postings"), ["shard", "term", "block_id"]
+    )
+    assert sorted(cols_a) == sorted(cols_b)
+    assert len(a) == len(b) and len(a) > 0
+    for ra, rb in zip(a, b):
+        da, db = ra.asDict(), rb.asDict()
+        assert da == db, f"block mismatch: {da['term']}/{da['block_id']}"
+
+
+def test_doc_stats_identical(spark, both_indexes):
+    exploded_dir, packed_dir = both_indexes
+    a, _ = _sorted_rows(spark, os.path.join(exploded_dir, "doc_stats"), ["doc_id"])
+    b, _ = _sorted_rows(spark, os.path.join(packed_dir, "doc_stats"), ["doc_id"])
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+    # schema (types included) identical
+    sa = spark.read.parquet(os.path.join(exploded_dir, "doc_stats")).schema
+    sb = spark.read.parquet(os.path.join(packed_dir, "doc_stats")).schema
+    assert {f.name: f.dataType for f in sa} == {f.name: f.dataType for f in sb}
+
+
+def test_term_stats_identical(spark, both_indexes):
+    exploded_dir, packed_dir = both_indexes
+    a, _ = _sorted_rows(spark, os.path.join(exploded_dir, "term_stats"), ["term"])
+    b, _ = _sorted_rows(spark, os.path.join(packed_dir, "term_stats"), ["term"])
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+    sa = spark.read.parquet(os.path.join(exploded_dir, "term_stats")).schema
+    sb = spark.read.parquet(os.path.join(packed_dir, "term_stats")).schema
+    assert {f.name: f.dataType for f in sa} == {f.name: f.dataType for f in sb}
+
+
+def test_corpus_meta_identical(both_indexes):
+    exploded_dir, packed_dir = both_indexes
+    with open(os.path.join(exploded_dir, "corpus.json")) as f:
+        a = json.load(f)
+    with open(os.path.join(packed_dir, "corpus.json")) as f:
+        b = json.load(f)
+    assert a == b
+
+
+def test_wand_results_identical(spark, both_indexes):
+    from alix_spark.query import wand
+
+    exploded_dir, packed_dir = both_indexes
+    for terms, mode in [(["ville", "roi"], "and"), (["guerre"], "and"),
+                        (["histoire", "paix"], "or")]:
+        ra = wand.query_local(exploded_dir, terms, k=10, mode=mode)
+        rb = wand.query_local(packed_dir, terms, k=10, mode=mode)
+        assert ra == rb
+
+
+def test_packed_resume_skips_done_shards(spark, tmp_path):
+    """Resume semantics survive in the packed path: existing shard
+    manifests are honored and only missing shards rebuild."""
+    corpus = wt.webtext(spark, 40, seed=3, partitions=2)
+    ids = wt.url_ranks(corpus)
+    packed = (
+        analyzed_packed(corpus, id_col="url", id_type="string")
+        .join(F.broadcast(ids), "url")
+        .select("doc_id", "terms", "poss")
+    )
+    idx = str(tmp_path / "ix")
+    meta1 = segments.build_index_packed(spark, packed, idx, n_shards=N_SHARDS)
+    assert meta1["resumed_from"] == []
+    # drop one shard's manifest, resume: only that shard rebuilds
+    os.remove(segments._manifest_path(idx, 2))
+    meta2 = segments.build_index_packed(
+        spark, packed, idx, n_shards=N_SHARDS, resume=True
+    )
+    assert meta2["resumed_from"] == [0, 1, 3]
+    assert os.path.exists(segments._manifest_path(idx, 2))
