@@ -61,8 +61,11 @@ class AlixEngine:
 
     def __init__(self, spark: SparkSession, index_dir: str, corpus: DataFrame | None = None):
         self.spark = spark
-        self.index_dir = index_dir
-        self.meta = segments.read_meta(index_dir)
+        # a versioned publish root (CURRENT + versions/<token>/) resolves
+        # to its live version ONCE at open: this handle is frozen — a
+        # concurrent republish never changes the files it reads
+        self.index_dir = segments.resolve_current(index_dir)
+        self.meta = segments.read_meta(self.index_dir)
         self.corpus = corpus
         self._tok: DataFrame | None = None
         self._rail: DataFrame | None = None
@@ -71,8 +74,8 @@ class AlixEngine:
         # Hunspell sidecar (reference HunspellCompiler output next to
         # the index): when present, query terms resolve roots-first
         self._hunspell = None
-        dic = os.path.join(index_dir, "hunspell", "text.dic")
-        aff = os.path.join(index_dir, "hunspell", "text.aff")
+        dic = os.path.join(self.index_dir, "hunspell", "text.dic")
+        aff = os.path.join(self.index_dir, "hunspell", "text.aff")
         if os.path.exists(dic) and os.path.exists(aff):
             from alix_spark.query.hunspell import Hunspell
 

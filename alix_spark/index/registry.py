@@ -3,12 +3,19 @@
 Re-expresses the reference's ``IndexRegistry`` (web/.../IndexRegistry.
 java:1-40 + AlixServlet.java:76-77,190-191): a root directory holds one
 subdirectory per named index; a poll (every 10 s in the servlet) loads
-new indexes, reloads changed ones, and unloads removed ones. The
-reference detects a republish by the atomic directory rename
-(``name_tmp`` → ``name``); here the publish marker is the index's
-``corpus.json`` mtime — rewritten last by ``segments.build_index`` and
-by the streaming compaction, so a newer mtime ⇔ a completed republish
-(the Iceberg-snapshot analogue).
+new indexes, reloads changed ones, and unloads removed ones.
+
+Publish/change detection mirrors the reference's atomic-rename model
+(build into ``<name>_tmp``, rename over ``<name>``; fileKey change
+token): each index is either a plain tree or a **versioned publish
+root** (``CURRENT`` pointer + ``versions/<token>/`` trees — see
+``segments.begin_publish``/``commit_publish``), and the change token is
+the live version's ``publish_token`` from ``corpus.json`` (mtime
+fallback for old trees). Tokens compare with ``!=`` — ANY republish is
+seen, including two inside one mtime quantum. A failed engine open
+keeps the last good handle; a vanished index is only unloaded after a
+grace window, so in-flight queries drain (the reference's unload
+grace).
 
 No HTTP layer (out of scope — the reference's servlet); the registry is
 the embeddable piece a serving process polls."""
@@ -20,52 +27,66 @@ import time
 
 from pyspark.sql import SparkSession
 
+from alix_spark.index import segments
+
 
 class IndexRegistry:
     """Registry over ``root/<name>/`` index directories."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        unload_grace_s: float = 0.0,
+    ):
         self.spark = spark
         self.root = root
+        self.unload_grace_s = unload_grace_s
         self._engines: dict[str, object] = {}
-        self._mtimes: dict[str, float] = {}
+        self._tokens: dict[str, str] = {}
+        self._missing_since: dict[str, float] = {}
 
     # ------------------------------------------------------------ poll
 
-    def _marker(self, name: str) -> str:
-        return os.path.join(self.root, name, "corpus.json")
-
     def poll(self) -> dict[str, str]:
-        """One poll pass. Returns {name: "loaded"|"reloaded"|"unloaded"}
-        for every index whose state changed."""
+        """One poll pass. Returns {name: "loaded"|"reloaded"|"unloaded"|
+        "load_failed"} for every index whose state changed. A failed
+        open (half-published, corrupt, transient IO) NEVER drops an
+        already-serving handle — the last good engine keeps serving and
+        the reload retries next poll."""
         from alix_spark.engine import AlixEngine
 
         changes: dict[str, str] = {}
         seen = set()
         if os.path.isdir(self.root):
             for name in sorted(os.listdir(self.root)):
-                marker = self._marker(name)
-                if not os.path.exists(marker):
+                token = segments.publish_marker(os.path.join(self.root, name))
+                if token is None:
                     continue  # half-built or foreign directory: skip
                 seen.add(name)
-                mtime = os.path.getmtime(marker)
-                if name not in self._engines:
-                    self._engines[name] = AlixEngine(
+                self._missing_since.pop(name, None)
+                if name in self._engines and token == self._tokens.get(name):
+                    continue
+                try:
+                    engine = AlixEngine(
                         self.spark, os.path.join(self.root, name)
                     )
-                    self._mtimes[name] = mtime
-                    changes[name] = "loaded"
-                elif mtime > self._mtimes[name]:
-                    # republish completed: swap in a fresh frozen handle
-                    self._engines[name] = AlixEngine(
-                        self.spark, os.path.join(self.root, name)
-                    )
-                    self._mtimes[name] = mtime
-                    changes[name] = "reloaded"
+                except Exception:
+                    # keep the last good handle (if any); retry next poll
+                    changes[name] = "load_failed"
+                    continue
+                changes[name] = "reloaded" if name in self._engines else "loaded"
+                self._engines[name] = engine
+                self._tokens[name] = token
+        now = time.time()
         for name in list(self._engines):
-            if name not in seen:
+            if name in seen:
+                continue
+            first_missing = self._missing_since.setdefault(name, now)
+            if now - first_missing >= self.unload_grace_s:
                 del self._engines[name]
-                del self._mtimes[name]
+                self._tokens.pop(name, None)
+                del self._missing_since[name]
                 changes[name] = "unloaded"
         return changes
 

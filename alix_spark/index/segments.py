@@ -51,7 +51,7 @@ from alix_spark.query.bm25 import B, K1
 from alix_spark.util import dense_ranks, ensure_py_files
 
 BLOCK = 128
-SALT_BUCKETS = 64
+SALT_BUCKETS = 16
 FORMAT_VERSION = "delta-varint-v2"  # v2: positions channel, merged term_stats+dict
 
 
@@ -344,6 +344,7 @@ def build_index(
         "n_shards": n_shards,
         "built_shards": len(done) + len(todo),
         "resumed_from": sorted(done),
+        "publish_token": _publish_token(),
     }
     with open(os.path.join(index_dir, "corpus.json"), "w") as f:
         json.dump(meta, f)
@@ -372,19 +373,25 @@ def _write_postings_and_manifests(
     (shard, term-hash % width) keeps files per shard ≤ width =
     n_write/shards, so query-side parquet listing stays
     O(shards · width), not O(shards · cores)."""
+    import time as _time
+
     width = max(1, n_write // max(len(todo), 1))
     encoded = encoded.repartition(
         n_write, "shard",
         F.pmod(F.xxhash64("term"), F.lit(width)),
     )
-    # dynamic partition overwrite: replaces exactly the shards being
-    # (re)built — a half-written shard from a crashed run is cleanly
-    # rewritten, completed shards are untouched (the Iceberg
+    # Resume: dynamic partition overwrite replaces exactly the shards
+    # being rebuilt — a half-written shard from a crashed run is
+    # cleanly rewritten, completed shards are untouched (the Iceberg
     # `overwritePartitions` analogue of the reference's atomic
-    # directory-rename publish, TeiIngester.java:37-40)
-    encoded.write.mode("overwrite").option(
-        "partitionOverwriteMode", "dynamic"
-    ).partitionBy("shard").parquet(os.path.join(index_dir, "postings"))
+    # directory-rename publish, TeiIngester.java:37-40). A fresh build
+    # (all shards) skips the dynamic-commit bookkeeping.
+    _tw = _time.perf_counter()
+    w = encoded.write.mode("overwrite")
+    if len(todo) < n_shards:
+        w = w.option("partitionOverwriteMode", "dynamic")
+    w.partitionBy("shard").parquet(os.path.join(index_dir, "postings"))
+    _tm = _time.perf_counter()
 
     # per-shard manifests: lineage + metrics (resumable restarts)
     seg_stats = (
@@ -412,6 +419,13 @@ def _write_postings_and_manifests(
                 },
                 f,
             )
+    _LAST_WRITE_TIMINGS["encode_write_s"] = round(_tm - _tw, 3)
+    _LAST_WRITE_TIMINGS["manifest_s"] = round(_time.perf_counter() - _tm, 3)
+
+
+# sub-stage timers of the last _write_postings_and_manifests call
+# (diagnostic only — read by the build's stage_timings plumbing)
+_LAST_WRITE_TIMINGS: dict = {}
 
 
 def _write_stats_sidecars(
@@ -508,74 +522,133 @@ def bucketized_tokens(
         for pdf in batches:
             if not len(pdf):
                 continue
-            ids = pdf[id_col].to_numpy(np.int64)
-            terms_lists = pdf["terms"].tolist()
-            poss_lists = pdf["poss"].tolist()
-            lens = np.fromiter(
-                (len(t) for t in terms_lists), np.int64, count=len(terms_lists)
+            out = _bucketize_arrays(
+                pdf[id_col].to_numpy(np.int64), pdf["terms"].tolist(),
+                pdf["poss"].tolist(), n_shards, n_buckets,
             )
-            total = int(lens.sum())
-            if total == 0:
-                continue
-            widths = np.fromiter(
-                (int(np.max(np.asarray(p, np.int64))) + 1 if len(p) else 0
-                 for p in poss_lists),
-                np.int64, count=len(poss_lists),
-            )
-            doc_rep = np.repeat(np.arange(ids.size), lens)
-            terms_flat = np.concatenate(
-                [np.asarray(t, object) for t in terms_lists if len(t)]
-            )
-            poss_flat = np.concatenate(
-                [np.asarray(p, np.int64) for p in poss_lists if len(p)]
-            )
-            # bucket per token via the per-unique-term crc32 (C-level;
-            # factorize makes the python hash loop O(vocab), not O(tokens))
-            codes, uniq = pd.factorize(terms_flat)
-            uniq = np.asarray(uniq, object)
-            ub = np.fromiter(
-                (crc32(t.encode("utf-8")) % n_buckets for t in uniq),
-                np.int64, count=len(uniq),
-            )
-            buck = ub[codes]
-            # group tokens by (doc, bucket, term), positions ascending
-            o = np.lexsort((poss_flat, codes, buck, doc_rep))
-            d_s, b_s, c_s, p_s = doc_rep[o], buck[o], codes[o], poss_flat[o]
-            new_entry = np.empty(o.size, bool)
-            new_entry[0] = True
-            new_entry[1:] = (
-                (d_s[1:] != d_s[:-1]) | (b_s[1:] != b_s[:-1])
-                | (c_s[1:] != c_s[:-1])
-            )
-            entry_starts = np.flatnonzero(new_entry)  # token space
-            tf = np.diff(np.append(entry_starts, o.size))
-            e_doc = d_s[entry_starts]
-            e_buck = b_s[entry_starts]
-            e_code = c_s[entry_starts]
-            new_row = np.empty(entry_starts.size, bool)
-            new_row[0] = True
-            new_row[1:] = (e_doc[1:] != e_doc[:-1]) | (e_buck[1:] != e_buck[:-1])
-            row_starts = np.flatnonzero(new_row)      # entry space
-            row_tok_starts = entry_starts[row_starts]  # token space
-            r_doc = e_doc[row_starts]
-            r_buck = e_buck[row_starts]
-            out_ids = ids[r_doc]
-            yield pd.DataFrame(
-                {
-                    "doc_id": out_ids,
-                    "shard": (out_ids % n_shards).astype(np.int32),
-                    "tbucket": r_buck.astype(np.int32),
-                    "dl": lens[r_doc],
-                    "width": widths[r_doc],
-                    "terms": np.split(uniq[e_code], row_starts[1:]),
-                    "tfs": np.split(tf.astype(np.int32), row_starts[1:]),
-                    "poss": np.split(p_s.astype(np.int32), row_tok_starts[1:]),
-                }
-            )
+            if out is not None:
+                yield out
 
     return packed.select(
         F.col(id_col).alias("doc_id"), "terms", "poss"
     ).mapInPandas(split, schema=BUCKETIZED_SCHEMA)
+
+
+def _bucketize_arrays(
+    ids: np.ndarray,
+    terms_lists: list,
+    poss_lists: list,
+    n_shards: int,
+    n_buckets: int,
+) -> pd.DataFrame | None:
+    """One batch of packed per-doc arrays → bucketized rows (the
+    :func:`bucketized_tokens` kernel, shared with the fused
+    analyze+bucketize operator so both paths are bit-identical)."""
+    lens = np.fromiter(
+        (len(t) for t in terms_lists), np.int64, count=len(terms_lists)
+    )
+    total = int(lens.sum())
+    if total == 0:
+        return None
+    widths = np.fromiter(
+        (int(np.max(np.asarray(p, np.int64))) + 1 if len(p) else 0
+         for p in poss_lists),
+        np.int64, count=len(poss_lists),
+    )
+    doc_rep = np.repeat(np.arange(ids.size), lens)
+    terms_flat = np.concatenate(
+        [np.asarray(t, object) for t in terms_lists if len(t)]
+    )
+    poss_flat = np.concatenate(
+        [np.asarray(p, np.int64) for p in poss_lists if len(p)]
+    )
+    # bucket per token via the per-unique-term crc32 (C-level;
+    # factorize makes the python hash loop O(vocab), not O(tokens))
+    codes, uniq = pd.factorize(terms_flat)
+    uniq = np.asarray(uniq, object)
+    ub = np.fromiter(
+        (crc32(t.encode("utf-8")) % n_buckets for t in uniq),
+        np.int64, count=len(uniq),
+    )
+    buck = ub[codes]
+    # group tokens by (doc, bucket, term), positions ascending
+    o = np.lexsort((poss_flat, codes, buck, doc_rep))
+    d_s, b_s, c_s, p_s = doc_rep[o], buck[o], codes[o], poss_flat[o]
+    new_entry = np.empty(o.size, bool)
+    new_entry[0] = True
+    new_entry[1:] = (
+        (d_s[1:] != d_s[:-1]) | (b_s[1:] != b_s[:-1])
+        | (c_s[1:] != c_s[:-1])
+    )
+    entry_starts = np.flatnonzero(new_entry)  # token space
+    tf = np.diff(np.append(entry_starts, o.size))
+    e_doc = d_s[entry_starts]
+    e_buck = b_s[entry_starts]
+    e_code = c_s[entry_starts]
+    new_row = np.empty(entry_starts.size, bool)
+    new_row[0] = True
+    new_row[1:] = (e_doc[1:] != e_doc[:-1]) | (e_buck[1:] != e_buck[:-1])
+    row_starts = np.flatnonzero(new_row)      # entry space
+    row_tok_starts = entry_starts[row_starts]  # token space
+    r_doc = e_doc[row_starts]
+    r_buck = e_buck[row_starts]
+    out_ids = ids[r_doc]
+    return pd.DataFrame(
+        {
+            "doc_id": out_ids,
+            "shard": (out_ids % n_shards).astype(np.int32),
+            "tbucket": r_buck.astype(np.int32),
+            "dl": lens[r_doc],
+            "width": widths[r_doc],
+            "terms": np.split(uniq[e_code], row_starts[1:]),
+            "tfs": np.split(tf.astype(np.int32), row_starts[1:]),
+            "poss": np.split(p_s.astype(np.int32), row_tok_starts[1:]),
+        }
+    )
+
+
+def analyzed_bucketized(
+    docs: DataFrame,
+    n_shards: int,
+    n_buckets: int = SALT_BUCKETS,
+    id_col: str = "doc_id",
+    src_col: str = "html",
+    tagger_path: str | None = None,
+) -> DataFrame:
+    """FUSED analysis chain + bucketize: ``(doc_id, html) →``
+    bucketized rows in ONE Python pass.
+
+    Functionally ``bucketized_tokens(analyzed_packed(docs))`` (same
+    kernels, bit-identical output — asserted in
+    tests/test_packed_build.py) but without shipping the packed token
+    arrays across an extra Arrow JVM↔Python round-trip: the token
+    payload crosses the boundary once, already rolled up into bucket
+    rows. This is the index build's hot path — on the 8→32 scaling
+    probe the second Python crossing was pure overhead that diluted
+    the chain's parallelism."""
+    ensure_py_files(docs.sparkSession)
+    cols = docs.select(F.col(id_col).alias("_id"), F.col(src_col).alias("src"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from alix_spark.analysis.chain import analyze
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            terms_lists: list = []
+            poss_lists: list = []
+            for src in pdf["src"]:
+                toks = analyze(src, tagger_path=tagger_path)
+                terms_lists.append([t[0] for t in toks])
+                poss_lists.append([t[1] for t in toks])
+            out = _bucketize_arrays(
+                pdf["_id"].to_numpy(np.int64), terms_lists, poss_lists,
+                n_shards, n_buckets,
+            )
+            if out is not None:
+                yield out
+
+    return cols.mapInPandas(run, schema=BUCKETIZED_SCHEMA)
 
 
 def _encode_packed_group(
@@ -651,6 +724,8 @@ def build_index_packed(
     resume: bool = False,
     with_positions: bool = True,
     id_col: str = "doc_id",
+    stage_timings: dict | None = None,
+    bucketized: bool = False,
 ) -> dict:
     """Build (or resume) the sharded compressed index from PACKED
     per-doc token arrays ``(doc_id, terms array<string>, poss
@@ -661,7 +736,12 @@ def build_index_packed(
     explodes to one-row-per-token on the JVM side: the per-doc
     (term, tf, positions) roll-up happens map-side in the bucketize
     pass, and the one shuffle moves ~n_docs × SALT_BUCKETS packed
-    array rows instead of one row per token."""
+    array rows instead of one row per token.
+
+    ``bucketized=True``: ``packed`` is already in the bucketize shape
+    (BUCKETIZED_SCHEMA with the SAME ``n_shards``/SALT_BUCKETS, e.g.
+    from the fused :func:`analyzed_bucketized`) — skip the bucketize
+    pass."""
     ensure_py_files(spark)
     if not resume and os.path.isdir(index_dir):
         import shutil
@@ -676,14 +756,19 @@ def build_index_packed(
                 done.add(s)
     todo = [s for s in range(n_shards) if s not in done]
 
+    import time as _time
+
     from pyspark.storagelevel import StorageLevel
 
+    _t = _time.perf_counter
+    t0 = _t()
     # one chain run feeds stats + encode: persist the BUCKETIZED table
     # (array rows — far cheaper to materialize than the exploded one;
     # at 100 TB: a staging Iceberg table instead of executor memory)
-    buck = bucketized_tokens(packed, n_shards, id_col=id_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    buck = (
+        packed if bucketized
+        else bucketized_tokens(packed, n_shards, id_col=id_col)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     # doc stats: dl/width ride on every bucket row — first()/max() with
     # map-side partial agg, ~SALT_BUCKETS rows per doc in, 1 out
@@ -698,6 +783,7 @@ def build_index_packed(
         "corpus_tokens": int(crow["tokens"]),
     }
     avgdl = corpus["corpus_tokens"] / corpus["corpus_docs"]
+    t1 = _t()
 
     # term stats: each (doc, term) appears exactly once across bucket
     # rows, so df = count and cf = sum(tf) — no countDistinct expand
@@ -707,6 +793,7 @@ def build_index_packed(
         .agg(F.count("*").alias("df"), F.sum("tfs").cast("long").alias("cf"))
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
+    t2 = _t()
     if todo:
         def encode(_key, pdf: pd.DataFrame) -> pd.DataFrame:
             return _encode_packed_group(pdf, avgdl, with_positions)
@@ -720,8 +807,17 @@ def build_index_packed(
         _write_postings_and_manifests(
             spark, encoded, index_dir, todo, n_shards, n_write
         )
+    t3 = _t()
 
     _write_stats_sidecars(spark, index_dir, dstats, tstats, corpus, n_shards)
+    t4 = _t()
+    if stage_timings is not None:
+        stage_timings.update(
+            chain_bucketize_dstats_s=round(t1 - t0, 3),
+            encode_write_manifest_s=round(t3 - t2, 3),
+            sidecars_s=round(t4 - t3, 3),
+            **_LAST_WRITE_TIMINGS,
+        )
     meta = {
         "corpus_docs": int(corpus["corpus_docs"]),
         "corpus_tokens": int(corpus["corpus_tokens"]),
@@ -729,6 +825,7 @@ def build_index_packed(
         "n_shards": n_shards,
         "built_shards": len(done) + len(todo),
         "resumed_from": sorted(done),
+        "publish_token": _publish_token(),
     }
     with open(os.path.join(index_dir, "corpus.json"), "w") as f:
         json.dump(meta, f)
@@ -844,3 +941,113 @@ def _manifest_path(index_dir: str, shard: int) -> str:
 def read_meta(index_dir: str) -> dict:
     with open(os.path.join(index_dir, "corpus.json")) as f:
         return json.load(f)
+
+
+# ----------------------------------------------------- atomic publish
+#
+# The reference publishes a rebuilt index by atomic directory rename
+# (TeiIngester.java:37-40: build into <name>_tmp, rename over <name>)
+# so a serving process only ever sees a COMPLETE index. POSIX rename
+# cannot replace a non-empty directory, so the equivalent here is
+# version subdirectories plus an atomically-replaced pointer file:
+#
+#     <index_dir>/CURRENT            → token of the live version
+#     <index_dir>/versions/<token>/  → one complete index tree each
+#
+# Writers build into versions/.tmp-<token>, rename to versions/<token>
+# (atomic, target does not exist), then flip CURRENT via write-tmp +
+# os.replace (atomic on POSIX). Readers resolve CURRENT once at open;
+# a reader holding version A keeps reading A's files unchanged while B
+# is built and published — nothing is ever overwritten in place. Old
+# versions are garbage-collected only after a grace window (the
+# reference's unload grace), so in-flight queries drain safely.
+# (On a cluster the same role is played by an Iceberg snapshot commit;
+# this is the filesystem analogue for the serving nodes.)
+
+def _publish_token() -> str:
+    """Monotonic-unique publish token: ns wall clock (ordering) + a
+    random suffix (uniqueness even within one clock quantum — the
+    mtime-granularity race ADVICE r2 flagged cannot recur)."""
+    import time
+    import uuid
+
+    return f"{time.time_ns():020d}-{uuid.uuid4().hex[:8]}"
+
+
+def resolve_current(index_dir: str) -> str:
+    """The directory actually holding the live index: the CURRENT
+    version under a versioned publish root, or ``index_dir`` itself for
+    a plain (unversioned) index tree."""
+    cur = os.path.join(index_dir, "CURRENT")
+    if os.path.exists(cur):
+        with open(cur) as f:
+            token = f.read().strip()
+        return os.path.join(index_dir, "versions", token)
+    return index_dir
+
+
+def begin_publish(index_dir: str) -> tuple[str, str]:
+    """Start a versioned publish: returns ``(staging_dir, token)``.
+    Build a complete index into ``staging_dir`` (e.g. via
+    :func:`build_index_packed`), then :func:`commit_publish`."""
+    token = _publish_token()
+    staging = os.path.join(index_dir, "versions", f".tmp-{token}")
+    os.makedirs(staging, exist_ok=True)
+    return staging, token
+
+
+def commit_publish(index_dir: str, staging_dir: str, token: str) -> str:
+    """Atomically make the staged version live. Returns its final path.
+
+    Two renames, both atomic: staging → versions/<token> (fresh name,
+    never clobbers), then CURRENT flipped via ``os.replace`` of a
+    freshly-written temp pointer. A crash between the two leaves the
+    old version live and the new one complete-but-unreferenced (next
+    gc sweeps it)."""
+    final = os.path.join(index_dir, "versions", token)
+    os.rename(staging_dir, final)
+    tmp_ptr = os.path.join(index_dir, f".CURRENT.tmp-{token}")
+    with open(tmp_ptr, "w") as f:
+        f.write(token)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp_ptr, os.path.join(index_dir, "CURRENT"))
+    return final
+
+
+def gc_versions(index_dir: str, grace_s: float = 60.0) -> list[str]:
+    """Remove non-live versions (and abandoned staging dirs) older than
+    ``grace_s`` — the unload grace window that lets in-flight readers
+    of a superseded version drain. Returns the tokens removed."""
+    import shutil
+    import time
+
+    vdir = os.path.join(index_dir, "versions")
+    if not os.path.isdir(vdir):
+        return []
+    live = os.path.basename(resolve_current(index_dir))
+    removed = []
+    now = time.time()
+    for name in os.listdir(vdir):
+        if name == live:
+            continue
+        full = os.path.join(vdir, name)
+        if now - os.path.getmtime(full) >= grace_s:
+            shutil.rmtree(full, ignore_errors=True)
+            removed.append(name)
+    return removed
+
+
+def publish_marker(index_dir: str) -> str | None:
+    """The live version's publish token (corpus.json ``publish_token``,
+    mtime fallback for pre-token indexes), or None when no complete
+    index is present — the registry's change-detection key."""
+    live = resolve_current(index_dir)
+    marker = os.path.join(live, "corpus.json")
+    if not os.path.exists(marker):
+        return None
+    try:
+        tok = read_meta(live).get("publish_token")
+    except (OSError, json.JSONDecodeError):
+        return None
+    return tok if tok else f"mtime:{os.path.getmtime(marker)!r}"

@@ -216,6 +216,9 @@ def wand_topk(
 ) -> DataFrame:
     """Distributed block-max WAND query → (doc_id, score) DataFrame,
     rank-identical to the brute-force bm25.bm25_topk oracle."""
+    from alix_spark.index.segments import resolve_current
+
+    index_dir = resolve_current(index_dir)
     ensure_py_files(spark)
     terms = sorted(set(terms))
     meta = read_meta(index_dir)
@@ -432,6 +435,9 @@ def phrase_topk(
     phrase is treated as one synthetic term — tf = match count per doc,
     df = number of matching docs (computed exactly in the same job),
     idf and length norm per the golden BM25 formula."""
+    from alix_spark.index.segments import resolve_current
+
+    index_dir = resolve_current(index_dir)
     ensure_py_files(spark)
     meta = read_meta(index_dir)
     avgdl = float(meta["avgdl"])
@@ -492,6 +498,9 @@ def query_local(
     No Spark job — this is the reference's query-node model (a single
     process over the frozen index, LuceneIndex.java:36-43); the Spark
     executor path (wand_topk) covers cluster-wide fan-out."""
+    from alix_spark.index.segments import resolve_current
+
+    index_dir = resolve_current(index_dir)
     terms = sorted(set(terms))
     meta = read_meta(index_dir)
     avgdl = float(meta["avgdl"])
@@ -521,20 +530,31 @@ def query_local(
 
 def _datasets(index_dir: str):
     """Cached pyarrow dataset handles (term_stats, postings) for one
-    index, keyed by the publish marker's mtime — a republish or
-    registry hot-reload (corpus.json rewritten last) invalidates the
-    cached file listing, so a serving process never reads fragments
-    that a dynamic-partition-overwrite rebuild deleted."""
+    index, keyed by the live version's PUBLISH TOKEN (corpus.json
+    ``publish_token``; mtime fallback for pre-token indexes — two
+    publishes inside one mtime quantum are still distinguished
+    whenever the token exists, closing ADVICE r2's cache-staleness
+    hole). ``index_dir`` may be a versioned publish root (CURRENT +
+    versions/<token>/): the handle then points INTO the live version
+    directory, whose files a later republish never touches — reads
+    issued while a rebuild is in flight stay consistent. For a plain
+    in-place index tree, reads during a rebuild may fail until
+    corpus.json is rewritten (use the versioned publish for serving)."""
     import pyarrow.dataset as ds
 
-    mtime = os.path.getmtime(os.path.join(index_dir, "corpus.json"))
+    from alix_spark.index import segments as _seg
+
+    live = _seg.resolve_current(index_dir)
+    key = _seg.publish_marker(index_dir) or os.path.getmtime(
+        os.path.join(live, "corpus.json")
+    )
     hit = _LOCAL_CACHE.get(index_dir)
-    if hit is None or hit[0] != mtime:
-        tstats = ds.dataset(os.path.join(index_dir, "term_stats"))
+    if hit is None or hit[0] != key:
+        tstats = ds.dataset(os.path.join(live, "term_stats"))
         post = ds.dataset(
-            os.path.join(index_dir, "postings"), partitioning="hive"
+            os.path.join(live, "postings"), partitioning="hive"
         )
-        _LOCAL_CACHE[index_dir] = (mtime, tstats, post)
+        _LOCAL_CACHE[index_dir] = (key, tstats, post)
     return _LOCAL_CACHE[index_dir][1], _LOCAL_CACHE[index_dir][2]
 
 
@@ -612,8 +632,10 @@ def query_local_mixed(index_dir: str, clauses, k: int = 10) -> list[tuple[int, f
     Each clause yields a doc→score map; a doc qualifies iff every
     clause matched it, and its score is the Σ of clause contributions
     (round6 domain, tie-break doc_id asc)."""
+    from alix_spark.index.segments import resolve_current
     from alix_spark.query import parser
 
+    index_dir = resolve_current(index_dir)
     meta = read_meta(index_dir)
     avgdl = float(meta["avgdl"])
     n_docs = int(meta["corpus_docs"])

@@ -56,12 +56,15 @@ HEADLINE = [
 COLLECT = {"bm25_wand_and", "bm25_wand_or", "phrase_wand", "bm25_and"}
 # realistic page sizes for the probe: doc_scale 10 ≈ 950 analyzed
 # tokens/doc (Common-Crawl-ish) — the chain dominates, as it would at
-# web scale. 12k docs amortizes fixed per-job overhead so the measured
-# ratio reflects the pipeline, not stage-scheduling constants.
-SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "12000"))
+# web scale. 36k docs (~34M tokens) makes the 32-core leg a ~45 s job:
+# long enough that Spark's per-job constants (worker spin-up, small
+# stats jobs, commit) are <15% of wall — the measured ratio reflects
+# the PIPELINE, which is what scales to a real cluster. At 12k docs the
+# same pipeline measures 0.3 lower purely from those constants.
+SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "36000"))
 SCALING_DOC_SCALE = int(os.environ.get("SPARK_GRAFT_SCALING_DOC_SCALE", "10"))
 SCALING_N = int(os.environ.get("SPARK_GRAFT_SCALING_N", "8"))
-SCALING_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3"))
+SCALING_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
 
 
 def _scaling_probe(n_docs: int) -> dict:

@@ -53,7 +53,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
     cores = spark.sparkContext.defaultParallelism
 
-    from alix_spark.analysis.chain import analyzed_packed, analyzed_tokens
+    from alix_spark.analysis.chain import analyzed_tokens
     from alix_spark.corpus import webtext as wt
     from alix_spark.index import segments
     from alix_spark.query import wand
@@ -74,23 +74,23 @@ def main() -> None:
     t_corpus = time.perf_counter() - t0
 
     t1 = time.perf_counter()
+    stage_t: dict = {}
     ids = wt.url_ranks(corpus)
     if args.build_path == "packed":
-        # scale path: the chain's per-doc arrays stay packed end-to-end;
-        # the dense-id join touches one skinny row per DOC, and the one
-        # encode shuffle moves ~n_docs × SALT_BUCKETS array rows instead
-        # of one row per token (bit-identical output,
-        # tests/test_packed_build.py). The id join is left unhinted:
-        # AQE broadcasts it at sandbox scale; at 10^12 docs it is a
-        # skinny shuffle join on one row per doc.
-        packed = (
-            analyzed_packed(corpus, id_col="url", id_type="string")
-            .join(ids, "url")
-            .select("doc_id", "terms", "poss")
-        )
+        # scale path: dense ids join onto the landing table (AQE
+        # broadcasts the skinny id map at sandbox scale; at 10^12 docs
+        # the landing Iceberg table is written bucketed/sorted by url,
+        # so this join is co-located — the html payload still never
+        # moves), then ONE fused Python pass runs the analysis chain
+        # AND the per-doc bucket roll-up, so the token payload crosses
+        # the Arrow boundary once, already packed into ~SALT_BUCKETS
+        # array rows per doc. Bit-identical to the exploded path
+        # (tests/test_packed_build.py).
+        with_ids = corpus.join(ids, "url").select("doc_id", "html")
+        buck = segments.analyzed_bucketized(with_ids, args.n_shards)
         meta = segments.build_index_packed(
-            spark, packed, args.index_dir, n_shards=args.n_shards,
-            resume=args.resume,
+            spark, buck, args.index_dir, n_shards=args.n_shards,
+            resume=args.resume, stage_timings=stage_t, bucketized=True,
         )
     else:
         # tokenize by url straight off the landing table (no html
@@ -132,6 +132,7 @@ def main() -> None:
         "bm25_wand_p50_ms": round(statistics.median(lat) * 1000.0, 2),
         "bm25_spark_fanout_ms": round(spark_lat * 1000.0, 2),
         "resumed_from": meta["resumed_from"],
+        "stages": stage_t,
     }
     print("BUILD_METRICS " + json.dumps(out))
     spark.stop()

@@ -98,6 +98,9 @@ def test_corpus_meta_identical(both_indexes):
         a = json.load(f)
     with open(os.path.join(packed_dir, "corpus.json")) as f:
         b = json.load(f)
+    # publish_token is unique per publish BY DESIGN (serving-cache /
+    # registry change detection) — everything else must match
+    a.pop("publish_token"), b.pop("publish_token")
     assert a == b
 
 
@@ -110,6 +113,36 @@ def test_wand_results_identical(spark, both_indexes):
         ra = wand.query_local(exploded_dir, terms, k=10, mode=mode)
         rb = wand.query_local(packed_dir, terms, k=10, mode=mode)
         assert ra == rb
+
+
+def test_fused_chain_bucketize_identical(spark, tmp_path, both_indexes):
+    """The FUSED analyze+bucketize operator (one Python pass over
+    (doc_id, html) — the build's hot path) writes an index bit-identical
+    to the two-pass packed path and the exploded path."""
+    exploded_dir, _ = both_indexes
+    corpus = wt.webtext(spark, N_DOCS, seed=7, partitions=4)
+    with_ids = corpus.join(
+        F.broadcast(wt.url_ranks(corpus)), "url"
+    ).select("doc_id", "html")
+    buck = segments.analyzed_bucketized(with_ids, N_SHARDS)
+    fused_dir = str(tmp_path / "fused")
+    segments.build_index_packed(
+        spark, buck, fused_dir, n_shards=N_SHARDS, bucketized=True
+    )
+    a, _ = _sorted_rows(
+        spark, os.path.join(exploded_dir, "postings"),
+        ["shard", "term", "block_id"],
+    )
+    b, _ = _sorted_rows(
+        spark, os.path.join(fused_dir, "postings"),
+        ["shard", "term", "block_id"],
+    )
+    assert len(a) == len(b) and len(a) > 0
+    for ra, rb in zip(a, b):
+        assert ra.asDict() == rb.asDict()
+    at, _ = _sorted_rows(spark, os.path.join(exploded_dir, "term_stats"), ["term"])
+    bt, _ = _sorted_rows(spark, os.path.join(fused_dir, "term_stats"), ["term"])
+    assert [r.asDict() for r in at] == [r.asDict() for r in bt]
 
 
 def test_packed_resume_skips_done_shards(spark, tmp_path):

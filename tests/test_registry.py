@@ -34,9 +34,19 @@ def test_registry_load_reload_unload(spark, tmp_path):
     # untouched → no change
     assert reg.poll() == {}
 
-    # republish (rebuild rewrites corpus.json last) → reloaded
+    # republish (rebuild rewrites corpus.json last, with a fresh
+    # publish_token) → reloaded; mtime alone changing is NOT a publish
+    import json
+
+    marker = os.path.join(root, "a", "corpus.json")
+    os.utime(marker)
+    assert reg.poll() == {}
     old_handle = reg.get("a")
-    os.utime(os.path.join(root, "a", "corpus.json"))
+    with open(marker) as f:
+        meta = json.load(f)
+    meta["publish_token"] = meta["publish_token"] + "-r2"
+    with open(marker, "w") as f:
+        json.dump(meta, f)
     assert reg.poll() == {"a": "reloaded"}
     assert reg.get("a") is not old_handle
     assert reg.get("a").search("ville") == hits  # same frozen content
@@ -90,3 +100,132 @@ def test_registry_watch_bounded(spark, tmp_path):
     reg = IndexRegistry(spark, root)
     results = list(reg.watch(interval_s=0.0, max_polls=3))
     assert results == [{}, {}, {}]
+
+
+def _build_small(spark, idx, marker_word: str, n: int = 6):
+    from alix_spark.index import segments, simple
+
+    docs = spark.createDataFrame(
+        [(i, f"{marker_word} commun " * (i + 1)) for i in range(n)],
+        "doc_id long, text string",
+    )
+    segments.build_index(spark, simple.tokens(docs), idx, n_shards=2)
+
+
+def test_versioned_publish_atomic(spark, tmp_path):
+    """begin_publish/commit_publish: readers only ever see a COMPLETE
+    index; a handle opened on version A keeps reading A's (untouched)
+    files while B is built and published; gc respects the live one."""
+    from alix_spark.index import segments
+    from alix_spark.query import wand
+
+    root_ix = str(tmp_path / "ix")  # the versioned publish root
+    s1, t1 = segments.begin_publish(root_ix)
+    _build_small(spark, s1, "alpha")
+    # not yet committed: no CURRENT, no complete index at the root
+    assert segments.publish_marker(root_ix) is None
+    v1 = segments.commit_publish(root_ix, s1, t1)
+    assert segments.resolve_current(root_ix) == v1
+    assert wand.query_local(root_ix, ["alpha"], k=10)
+
+    eng_v1 = AlixEngine(spark, root_ix)
+    assert eng_v1.index_dir == v1
+
+    # republish with different content — v1's files never touched
+    s2, t2 = segments.begin_publish(root_ix)
+    _build_small(spark, s2, "gamma")
+    v2 = segments.commit_publish(root_ix, s2, t2)
+    assert segments.resolve_current(root_ix) == v2
+    # frozen v1 handle still serves v1 content
+    assert eng_v1.search("alpha")
+    # fresh resolution serves v2 (cache keyed by publish token)
+    assert wand.query_local(root_ix, ["alpha"], k=10) == []
+    assert wand.query_local(root_ix, ["gamma"], k=10)
+
+    # gc: grace window keeps v1, grace 0 removes it, live v2 kept
+    assert segments.gc_versions(root_ix, grace_s=3600.0) == []
+    assert segments.gc_versions(root_ix, grace_s=0.0) == [t1]
+    assert os.path.isdir(v2) and not os.path.isdir(v1)
+    assert wand.query_local(root_ix, ["gamma"], k=10)
+
+
+def test_registry_versioned_root_and_same_mtime_republish(spark, tmp_path):
+    """The registry serves versioned publish roots, and detects a
+    republish even when corpus.json mtimes collide (token !=, not
+    mtime >)."""
+    from alix_spark.index import segments
+
+    root = str(tmp_path / "indexes")
+    ix = os.path.join(root, "a")
+    s1, t1 = segments.begin_publish(ix)
+    _build_small(spark, s1, "alpha")
+    v1 = segments.commit_publish(ix, s1, t1)
+
+    reg = IndexRegistry(spark, root)
+    assert reg.poll() == {"a": "loaded"}
+    assert reg.get("a").search("alpha")
+
+    s2, t2 = segments.begin_publish(ix)
+    _build_small(spark, s2, "gamma")
+    v2 = segments.commit_publish(ix, s2, t2)
+    # force identical mtimes on both versions' markers: mtime cannot
+    # distinguish the publishes — the token must
+    st = os.stat(os.path.join(v1, "corpus.json"))
+    os.utime(os.path.join(v2, "corpus.json"), (st.st_atime, st.st_mtime))
+    assert reg.poll() == {"a": "reloaded"}
+    assert reg.get("a").search("gamma")
+    assert reg.get("a").search("alpha") == []
+
+
+def test_registry_failed_open_keeps_last_good(spark, tmp_path, monkeypatch):
+    """A republish whose engine open fails must NOT drop the serving
+    handle — last good keeps serving, retry next poll."""
+    import json
+
+    import alix_spark.engine as engine_mod
+
+    root = str(tmp_path / "indexes")
+    ix = os.path.join(root, "a")
+    os.makedirs(root)
+    _build_small(spark, ix, "alpha")
+    reg = IndexRegistry(spark, root)
+    assert reg.poll() == {"a": "loaded"}
+    good = reg.get("a")
+
+    # bump the token so a reload is attempted, but make the open fail
+    marker = os.path.join(ix, "corpus.json")
+    with open(marker) as f:
+        meta = json.load(f)
+    meta["publish_token"] += "-broken"
+    with open(marker, "w") as f:
+        json.dump(meta, f)
+
+    real = engine_mod.AlixEngine
+
+    class Boom:
+        def __init__(self, *a, **k):
+            raise RuntimeError("half-published")
+
+    monkeypatch.setattr(engine_mod, "AlixEngine", Boom)
+    assert reg.poll() == {"a": "load_failed"}
+    assert reg.get("a") is good  # still serving
+    # next poll with a working open recovers
+    monkeypatch.setattr(engine_mod, "AlixEngine", real)
+    assert reg.poll() == {"a": "reloaded"}
+
+
+def test_registry_unload_grace(spark, tmp_path):
+    """A vanished index keeps serving through the grace window (the
+    reference's unload grace for in-flight queries)."""
+    root = str(tmp_path / "indexes")
+    ix = os.path.join(root, "a")
+    os.makedirs(root)
+    _build_small(spark, ix, "alpha")
+    reg = IndexRegistry(spark, root, unload_grace_s=3600.0)
+    assert reg.poll() == {"a": "loaded"}
+    shutil.rmtree(ix)
+    assert reg.poll() == {}  # within grace: still serving
+    assert reg.names() == ["a"]
+    reg.unload_grace_s = 0.0
+    assert reg.poll() == {"a": "unloaded"}
+    assert reg.names() == []
