@@ -445,30 +445,36 @@ def cleanup_filter(
             if "gap" in t.flags:
                 pos += 1
             continue
-        term = t.lemma if t.lemma else t.term
-        if len(term) == 1 and t.pos_tag not in _KEEP_1CHAR_POS and "mwe" not in t.flags:
+        # skip()/accept() both test the SURFACE form; the lemma is
+        # copied into the term only at emit (reference skip() runs
+        # before accept()'s lemma copy, CleanupFilter.java:251-349) —
+        # a lemma whose shape differs from its surface (1-char, dotted,
+        # digit-final) must not change what collapses or gaps
+        surf = t.term
+        if len(surf) == 1 and t.pos_tag not in _KEEP_1CHAR_POS and "mwe" not in t.flags:
             continue  # collapse (reference :251-291 skip())
         if (
-            len(term) == 2
-            and term[-1] in ("'", "’", ".")
+            len(surf) == 2
+            and surf[-1] in ("'", "’", ".")
             and "mwe" not in t.flags
         ):
             continue  # collapse: a' / C. variables (reference skip() :278-283)
         if (
-            len(term) >= 2
-            and term[-1].isdigit()
-            and not term[-2].isdigit()
+            len(surf) >= 2
+            and surf[-1].isdigit()
+            and not surf[-2].isdigit()
             and "mwe" not in t.flags
         ):
             continue  # collapse: abc4-style labels (reference skip() :285-287)
         if "mwe" not in t.flags and (
-            term[0].isdigit()
-            or term[-1].isdigit()
-            or term[0] in _BAD_EDGE
-            or term[-1] in _BAD_EDGE
+            surf[0].isdigit()
+            or surf[-1].isdigit()
+            or surf[0] in _BAD_EDGE
+            or surf[-1] in _BAD_EDGE
         ):
             pos += 1  # accept()-style drop with gap (reference :313-358)
             continue
+        term = t.lemma if t.lemma else t.term  # lemma copy (:346-349)
         if with_offsets:
             out.append((term, pos, t.pos_tag, t.lemma, t.start, t.end))
         else:

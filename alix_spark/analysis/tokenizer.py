@@ -289,12 +289,21 @@ def _merge_num_quirk(toks: list[Token], visible: str) -> list[Token]:
     return out
 
 
+# non-letter chars that CONTINUE a recognized brevidot (reference
+# Char.isToken, Char.java:106-140: letters+digits plus these; letters
+# already continue inline in the regex scan, dot+letter never splits)
+_BREVIDOT_CONTINUERS = frozenset("-'’_&°­")
+
+
 def _merge_brevidot_chains(
     toks: list[Token], brevidots: frozenset[str] = BREVIDOTS
 ) -> list[Token]:
-    """readWord continues a brevidot with ANY token char (:748-754):
-    re-join ``J.`` + ``-J.`` into ``J.-J.`` and ``c.`` + ``-à-d.`` into
-    ``c.-à-d.`` (the regex scan stops a word at dot+non-letter)."""
+    """readWord continues a recognized brevidot with ANY token char
+    (:748-754, Char.isToken): re-join ``J.`` + ``-J.`` into ``J.-J.``,
+    ``c.`` + ``-à-d.`` into ``c.-à-d.``, ``etc.`` + ``'s`` into
+    ``etc.'s``, and ``A.`` + ``4`` into ``A.4`` (the regex scan stops
+    a word at dot+non-letter, so adjacent W/N tokens opening with a
+    token char re-attach here)."""
     out: list[Token] = []
     i = 0
     n = len(toks)
@@ -303,9 +312,12 @@ def _merge_brevidot_chains(
         if t.ttype == W and t.term.endswith(".") and _is_brevidot(t.term, brevidots):
             while (
                 i + 1 < n
-                and toks[i + 1].ttype == W
+                and toks[i + 1].ttype in (W, N)
                 and toks[i + 1].start == t.end
-                and toks[i + 1].term.startswith("-")
+                and (
+                    toks[i + 1].term[0] in _BREVIDOT_CONTINUERS
+                    or toks[i + 1].term[0].isdigit()
+                )
             ):
                 nxt = toks[i + 1]
                 t = Token(t.term + nxt.term, t.start, nxt.end, W)

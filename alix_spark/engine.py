@@ -56,6 +56,19 @@ def _fold_clause(c, fold):
     return c
 
 
+def _flip_leading_case(text: str) -> str | None:
+    """The token with its first code point's case inverted, or None
+    when there is no distinct opposite case
+    (SpanQueryParser.java:327-346 flipLeadingCase)."""
+    if not text:
+        return None
+    head = text[0]
+    other = head.lower() if head.isupper() else head.upper()
+    if other == head:
+        return None
+    return other + text[1:]
+
+
 class AlixEngine:
     """A frozen index + its source corpus, queryable."""
 
@@ -199,10 +212,30 @@ class AlixEngine:
         return bool(wand._term_dfs(index_dir or self.index_dir, [term]))
 
     def _expand(self, pattern: str, index_dir: str | None = None) -> list[str]:
-        """Wildcard expansion, capped at 256 (SpanQueryParser.java:52).
+        """Wildcard expansion, capped at 256 (SpanQueryParser.java:52),
+        PLUS the leading-case-flipped alternative: the reference builds
+        a joker clause for the pattern as typed OR with its first
+        letter's case inverted (SpanQueryParser.java:327-374
+        flipLeadingCase/jokerClause), so ``Vill*`` also matches
+        ``ville`` and ``vill*`` also matches ``Ville``. Each spelling
+        expands under its own cap, then the union dedups (the
+        SpanOrQuery of two bounded rewrites).
+
         The leading literal prefix bounds the dictionary scan to a
         byte range (the TermsEnum seek analogue); a pattern with no
         prefix scans the skinny term column only."""
+        out = self._expand_one(pattern, index_dir)
+        flipped = _flip_leading_case(pattern)
+        if flipped is not None:
+            seen = set(out)
+            out = out + [
+                t for t in self._expand_one(flipped, index_dir)
+                if t not in seen
+            ]
+        return out
+
+    def _expand_one(self, pattern: str, index_dir: str | None = None) -> list[str]:
+        """One exact wildcard spelling → matching dictionary terms."""
         import pyarrow.dataset as ds
 
         prefix = ""

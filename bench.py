@@ -65,6 +65,10 @@ SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "36000"))
 SCALING_DOC_SCALE = int(os.environ.get("SPARK_GRAFT_SCALING_DOC_SCALE", "10"))
 SCALING_N = int(os.environ.get("SPARK_GRAFT_SCALING_N", "8"))
 SCALING_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
+# headline queries use the same interleaved best-of-N protocol as the
+# scaling probe (this box shows 50-100% run-to-run variance; a single
+# shot measures the weather, not the engine — VERDICT r02)
+HEADLINE_REPEATS = int(os.environ.get("SPARK_GRAFT_HEADLINE_REPEATS", "3"))
 
 
 def _scaling_probe(n_docs: int) -> dict:
@@ -121,12 +125,20 @@ def main() -> None:
     # once up front: bm25_wand_* timings below measure QUERY latency, not
     # the one-time segment build (reported via *_index_docs_per_sec)
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        df = qmap[name](spark, sf_dir)
-        df.collect() if name in COLLECT else df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+    # interleaved best-of-N: full round-robin passes so machine-weather
+    # drift hits every query equally; min per query is the engine time
+    timings = {name: float("inf") for name in HEADLINE}
+    for _ in range(HEADLINE_REPEATS):
+        # drop leaked persists (e.g. minhash's shingle table) so later
+        # passes measure the pipeline, not CacheManager plan-matches
+        spark.catalog.clearCache()
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            df = qmap[name](spark, sf_dir)
+            df.collect() if name in COLLECT else df.count()
+            timings[name] = min(
+                timings[name], round(time.perf_counter() - t0, 4)
+            )
 
     # serving-path latency (pyarrow + WAND, warm cache)
     from alix_spark.query import wand

@@ -72,6 +72,38 @@ def test_initials_and_acronyms():
     assert raw("J.-J. Rousseau et U.S.A.") == ["J.-J.", "Rousseau", "et", "U.S.A."]
 
 
+def test_brevidot_continues_with_any_token_char():
+    """readWord continues a recognized brevidot with ANY token char
+    (MarkupTokenizer.java:748-754 via Char.isToken), not only '-':
+    apostrophe and digit continuations stay one token."""
+    assert raw("Voir etc.'s ici") == ["Voir", "etc.'s", "ici"]
+    assert raw("Annexe A.4 montre") == ["Annexe", "A.4", "montre"]
+    assert raw("c.-à-d. ceci") == ["c.-à-d.", "ceci"]
+    # a non-token char after the dot still detaches normally
+    assert raw("M. (Hugo)") == ["M.", "(", "Hugo", ")"]
+
+
+def test_cleanup_skip_tests_surface_not_lemma():
+    """CleanupFilter runs skip() on the SURFACE and copies the lemma
+    only in accept() (CleanupFilter.java:251-349): a token whose LEMMA
+    is collapse-shaped (1-char / dotted / digit-final) must still be
+    emitted when its surface passes, and vice versa."""
+    from alix_spark.analysis.filters import Tok, cleanup_filter
+
+    def tok(term, lemma="", pos_tag="NOUN"):
+        return Tok(term, 0, len(term), "W", pos_tag, lemma, set())
+
+    # surface OK, lemma 2-char dotted: reference emits the lemma
+    out = cleanup_filter([tok("monsieur", lemma="M.")])
+    assert [(t[0], t[1]) for t in out] == [("M.", 0)]
+    # surface 2-char dotted: collapsed no matter the lemma shape
+    out = cleanup_filter([tok("C.", lemma="claire")])
+    assert out == []
+    # surface digit-final label: collapsed even with a clean lemma
+    out = cleanup_filter([tok("abc4", lemma="abc")])
+    assert out == []
+
+
 def test_titlecase_word_before_dot_not_merged():
     # 3-letter titlecase word at sentence end is NOT an abbreviation
     assert raw("avec Tom. Il dort.") == ["avec", "Tom", ".", "Il", "dort", "."]

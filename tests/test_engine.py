@@ -31,8 +31,31 @@ def test_search_analyzed_query(engine):
 
 
 def test_search_wildcard(engine):
+    # guerr* expands to the OR of its matches — including the
+    # case-flipped alternative's (reference jokerClause semantics)
     hits = engine.search("guerr*")
-    assert hits == engine.search("guerre")
+    assert hits == engine.search("(guerre Guerre)")
+    assert len(hits) > 0
+
+
+def test_wildcard_leading_case_flip(engine):
+    """SpanQueryParser.java:327-374: a joker term also expands with its
+    first letter's case flipped — 'Guerr*' matches the lowercase
+    vocabulary, and both spellings expand identically (union)."""
+    from alix_spark.engine import _flip_leading_case
+
+    assert _flip_leading_case("Ville") == "ville"
+    assert _flip_leading_case("ville") == "Ville"
+    assert _flip_leading_case("1ere") is None
+    assert _flip_leading_case("") is None
+
+    low = engine._expand("guerr*")
+    assert "guerre" in low and "Guerre" in low  # both spellings found
+    # typed spelling leads, union identical either way
+    assert low[0] == "guerre"
+    up = engine._expand("Guerr*")
+    assert up[0] == "Guerre" and set(up) == set(low)
+    assert engine.search("Guerr*") == engine.search("guerr*")
 
 
 def test_search_or_group(engine):
