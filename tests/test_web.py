@@ -1,0 +1,185 @@
+"""HTTP serving layer: servlet-parity routing, formats, and the 9 ops
+end-to-end over a built index (AlixServlet.java:124-165, Op.java:
+102-143)."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from alix_spark.corpus import webtext
+from alix_spark.engine import AlixEngine
+from alix_spark.web.server import AlixHttpServer
+
+
+@pytest.fixture(scope="module")
+def served(spark, tmp_path_factory):
+    corpus = webtext.webtext(spark, 60, seed=11, partitions=4).persist()
+    corpus.count()
+    idx = str(tmp_path_factory.mktemp("web") / "ix")
+    engine = AlixEngine.build(spark, corpus, idx, n_shards=4)
+    server = AlixHttpServer({"demo": engine}).start()
+    yield server, engine
+    server.stop()
+
+
+def _get(server, path, headers=None):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}{path}", headers=headers or {}
+    )
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        return resp.status, dict(resp.headers), resp.read()
+
+
+def _json(server, path):
+    status, headers, body = _get(server, path)
+    assert status == 200
+    assert headers["Content-Type"].startswith("application/json")
+    return json.loads(body)
+
+
+def test_list_indices(served):
+    server, engine = served
+    rows = _json(server, "/")["rows"]
+    assert [r["name"] for r in rows] == ["demo"]
+    assert rows[0]["docs"] == int(engine.meta["corpus_docs"])
+
+
+def test_describe_index(served):
+    server, engine = served
+    rows = _json(server, "/demo")["rows"]
+    assert rows[0]["corpus_docs"] == int(engine.meta["corpus_docs"])
+
+
+def test_unknown_index_404(served):
+    server, _ = served
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(server, "/nope/terms.json")
+    assert e.value.code == 404
+    assert "error" in json.loads(e.value.read())
+
+
+def test_unsupported_format_406(served):
+    server, _ = served
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(server, "/demo/terms.docx")
+    assert e.value.code == 406
+
+
+def test_results_matches_engine_search(served):
+    server, engine = served
+    rows = _json(server, "/demo/results.json?q=ville&hits=5")["rows"]
+    hits = engine.search("ville", k=5)
+    assert [(r["doc_id"], round(r["score"], 6)) for r in rows] == [
+        (d, round(s, 6)) for d, s in hits
+    ]
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_results_missing_q_400(served):
+    server, _ = served
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(server, "/demo/results.json")
+    assert e.value.code == 400
+
+
+def test_freqlist_csv_and_json_agree(served):
+    server, _ = served
+    rows = _json(server, "/demo/freqlist.json?top=10")["rows"]
+    assert len(rows) == 10
+    freqs = [r["freq"] for r in rows]
+    assert freqs == sorted(freqs, reverse=True)
+    status, headers, body = _get(server, "/demo/freqlist.csv?top=10")
+    assert headers["Content-Type"].startswith("text/csv")
+    lines = body.decode().strip().splitlines()
+    assert lines[0].strip() == "term,freq,docs"
+    assert len(lines) == 11
+    first = lines[1].split(",")
+    assert first[0] == rows[0]["term"] and int(first[1]) == rows[0]["freq"]
+
+
+def test_terms_and_suggest(served):
+    server, engine = served
+    rows = _json(server, "/demo/terms.json?top=5")["rows"]
+    assert len(rows) == 5 and "score" in rows[0]
+    want = [r.asDict() for r in engine.suggest("vi", top=5).collect()]
+    got = _json(server, "/demo/suggest.json?q=vi&top=5")["rows"]
+    assert [r["term"] for r in got] == [r["term"] for r in want]
+
+
+def test_chrono_jsonl(served):
+    server, engine = served
+    status, headers, body = _get(server, "/demo/chrono.jsonl")
+    assert headers["Content-Type"].startswith("application/x-ndjson")
+    rows = [json.loads(line) for line in body.decode().splitlines()]
+    assert sum(r["docs"] for r in rows) == int(engine.meta["corpus_docs"])
+
+
+def test_cooc_profile_and_clades_and_snippets(served):
+    server, _ = served
+    prof = _json(server, "/demo/cooc-profile.json?q=ville&dist=3&top=5")["rows"]
+    assert prof and {"term", "dist", "freq", "cum_freq"} <= set(prof[0])
+    clades = _json(server, "/demo/clades.json?top=30")["rows"]
+    assert clades
+    snips = _json(server, "/demo/snippets.json?q=ville+roi&hits=5")["rows"]
+    assert snips and {"doc_id", "pos", "score"} <= set(snips[0])
+    scores = [r["score"] for r in snips]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_doc_by_id_and_slug(served):
+    server, engine = served
+    rows = _json(server, "/demo/doc.json?id=1")["rows"]
+    assert rows[0]["doc_id"] == 1 and rows[0]["text"]
+    # servlet offers an unmatched path segment to the doc op as a slug
+    url = rows[0]["url"]
+    from urllib.parse import quote
+
+    slug_rows = _json(server, f"/demo/{quote(url, safe='')}.json")["rows"]
+    assert slug_rows[0]["url"] == url
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(server, "/demo/doc.json?id=99999")
+    assert e.value.code == 404
+
+
+def test_html_default_format(served):
+    server, _ = served
+    status, headers, body = _get(server, "/demo/freqlist?top=3")
+    assert headers["Content-Type"].startswith("text/html")
+    assert body.startswith(b"<table>")
+
+
+def test_not_modified_304(served):
+    server, _ = served
+    _, headers, _ = _get(server, "/demo/freqlist.json?top=1")
+    lm = headers["Last-Modified"]
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(server, "/demo/freqlist.json?top=1", {"If-Modified-Since": lm})
+    assert e.value.code == 304  # urllib surfaces 304 as an HTTPError
+
+
+def test_registry_backed_server(spark, tmp_path):
+    """Registry-mode: initial scan on start, hot poll loads a newly
+    published index (the servlet's IndexRegistry model)."""
+    from alix_spark.index.registry import IndexRegistry
+
+    root = tmp_path / "root"
+    root.mkdir()
+    corpus = webtext.webtext(spark, 30, seed=3, partitions=2)
+    AlixEngine.build(spark, corpus, str(root / "first"), n_shards=2)
+    reg = IndexRegistry(spark, str(root))
+    server = AlixHttpServer(reg, poll_interval_s=3600).start()
+    try:
+        rows = _json(server, "/")["rows"]
+        assert [r["name"] for r in rows] == ["first"]
+        # publish a second index; a poll makes it servable
+        AlixEngine.build(spark, corpus, str(root / "second"), n_shards=2)
+        reg.poll()
+        rows = _json(server, "/")["rows"]
+        assert [r["name"] for r in rows] == ["first", "second"]
+        assert _json(server, "/second/freqlist.json?top=3")["rows"]
+    finally:
+        server.stop()
