@@ -22,6 +22,7 @@ from alix_spark.lexicometry import cooc as cooc_mod
 from alix_spark.lexicometry import keyness as keyness_mod
 from alix_spark.lexicometry import suggest as suggest_mod
 from alix_spark.query import bm25
+from alix_spark import util
 from alix_spark.util import round6, sql_round6
 from alix_spark.textops import dedup, multimodal, similarity, textstats
 
@@ -39,7 +40,11 @@ toks AS (
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # few-file small-SF tables must not serialize the Arrow pipelines
+    # (util.balance_partitions docstring) — no-op at production scale
+    return util.balance_partitions(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:

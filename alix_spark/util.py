@@ -129,6 +129,21 @@ def dense_ranks(
     )
 
 
+def balance_partitions(df, min_parts: int | None = None):
+    """Small-file guard: a table read from one or two parquet files
+    arrives as 1-2 input splits, which SERIALIZES every downstream
+    mapInPandas/Arrow stage no matter how many cores the session has
+    (measured: the sf0.1 minhash shingle stage ran as 1 task on 32
+    cores). Repartition up to the session default parallelism ONLY
+    when below it — at production scale the input has thousands of
+    splits and this is a no-op (no shuffle added)."""
+    spark = df.sparkSession
+    want = min_parts or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
+    return df
+
+
 def round6(c: Column) -> Column:
     return F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
 
