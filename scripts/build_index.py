@@ -62,7 +62,11 @@ def main() -> None:
 
     t0 = time.perf_counter()
     if args.corpus:
-        corpus = spark.read.parquet(args.corpus)
+        # parquet path OR catalog table ref (Iceberg on a configured
+        # cluster — alix_spark.sources)
+        from alix_spark.sources import read_table
+
+        corpus = read_table(spark, args.corpus)
     else:
         # landing table: persisted once, the analogue of reading the
         # input Iceberg table (generation is ingest, not index build)
