@@ -183,3 +183,61 @@ def test_registry_backed_server(spark, tmp_path):
         assert _json(server, "/second/freqlist.json?top=3")["rows"]
     finally:
         server.stop()
+
+
+def test_serving_continuous_through_republish(spark, tmp_path):
+    """Queries keep succeeding while a new version is built and
+    published underneath the server: the versioned publish means a
+    reader only ever sees a complete index, the registry poll swaps
+    the engine handle, and no request errors during the swap (the
+    reference's fileKey + unload-grace serving model)."""
+    import threading
+
+    from alix_spark.index import segments, simple
+    from alix_spark.index.registry import IndexRegistry
+
+    def build_version(root_ix, word):
+        staging, token = segments.begin_publish(root_ix)
+        docs = spark.createDataFrame(
+            [(i, f"{word} commun " * (i + 1)) for i in range(6)],
+            "doc_id long, text string",
+        )
+        segments.build_index(spark, simple.tokens(docs), staging, n_shards=2)
+        return segments.commit_publish(root_ix, staging, token)
+
+    root = tmp_path / "root"
+    root.mkdir()
+    root_ix = str(root / "live")
+    build_version(root_ix, "alpha")
+    reg = IndexRegistry(spark, str(root))
+    server = AlixHttpServer(reg, poll_interval_s=3600).start()
+    errors: list[Exception] = []
+    seen: set[str] = set()
+    stop = threading.Event()
+
+    def hammer():
+        while not stop.is_set():
+            try:
+                rows = _json(server, "/live/freqlist.json?top=5")["rows"]
+                seen.update(r["term"] for r in rows)
+            except Exception as e:  # noqa: BLE001 — any failure is the finding
+                errors.append(e)
+                return
+
+    th = threading.Thread(target=hammer)
+    th.start()
+    try:
+        build_version(root_ix, "gamma")  # concurrent with serving
+        reg.poll()  # registry swap (the daemon poll, forced for the test)
+        # serve until the new vocabulary is observed
+        for _ in range(200):
+            rows = _json(server, "/live/freqlist.json?top=5")["rows"]
+            if any(r["term"] == "gamma" for r in rows):
+                break
+        assert any("gamma" in t for t in seen | {r["term"] for r in rows})
+    finally:
+        stop.set()
+        th.join(timeout=30)
+        server.stop()
+    assert errors == []
+    assert "alpha" in seen  # served v1 before the swap
