@@ -84,6 +84,7 @@ class AlixEngine:
         self._rail: DataFrame | None = None
         self._has_positions: bool | None = None
         self._vocab: set[str] | None = None
+        self._theme_weights: DataFrame | None = None
         # Hunspell sidecar (reference HunspellCompiler output next to
         # the index): when present, query terms resolve roots-first
         self._hunspell = None
@@ -340,7 +341,11 @@ class AlixEngine:
         focus-vs-rest when a focus predicate over the corpus is given
         (reference OpTerms branches 1/2)."""
         if focus is None:
-            return theme_mod.theme_weights(*self._bm25_inputs(), top=top)
+            return (
+                self.theme_weights()
+                .orderBy(F.desc("score"), F.asc("term"))
+                .limit(top)
+            )
         focus_docs = (
             self.corpus.filter(focus)
             .join(url_ranks(self.corpus), "url")
@@ -378,6 +383,35 @@ class AlixEngine:
             top_terms=top_terms, axes=axes,
         )
 
-    def suggest(self, q: str, top: int = 20) -> DataFrame:
+    def theme_weights(self) -> DataFrame:
+        """Full-vocabulary theme weights, computed ONCE per engine
+        handle and persisted (the reference's TermStats.termWeights
+        sidecar: snippet scoring reads it per request, never
+        recomputing — OpResults.java:98-101). The handle is frozen to
+        one index version, so the cache can never serve stale
+        weights."""
+        if self._theme_weights is None:
+            self._theme_weights = theme_mod.theme_weights(
+                *self._bm25_inputs(), top=None
+            ).persist()
+            self._theme_weights.count()
+        return self._theme_weights
+
+    def suggest(self, q: str, top: int = 20, population=None) -> DataFrame:
+        """Folded prefix/infix completion. With ``population`` (a
+        predicate over the corpus), completions rank by the CURRENT
+        doc-population's freq instead of the global cf
+        (TermSuggest.java:141 population-scoped ranking)."""
+        if population is not None:
+            if self.corpus is None:
+                raise ValueError("population-scoped suggest needs a corpus")
+            pop_docs = (
+                self.corpus.filter(population)
+                .join(url_ranks(self.corpus), "url")
+                .select("doc_id")
+            )
+            return suggest_mod.suggest_population(
+                self.rail().select("doc_id", "term"), pop_docs, q, top=top
+            )
         ts = self.spark.read.parquet(os.path.join(self.index_dir, "term_stats"))
         return suggest_mod.suggest_folded(ts, q, top=top)

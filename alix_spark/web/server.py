@@ -344,21 +344,36 @@ class AlixHttpServer:
         (pyarrow scan, no Spark — OpFreqlist)."""
         from alix_spark.query import wand
 
+        import numpy as np
+
         top = pars.get_int("top", 50, 1, 10000)
         tbl = wand.term_stats_dataset(engine.index_dir).to_table(
             columns=["term", "cf", "df"]
         )
+        # O(n) top-k over the skinny stats columns (argpartition), then
+        # sort only the k winners — a web-scale vocabulary never takes
+        # a full driver sort (the reference serves freqlist from its
+        # in-memory TermStats arrays the same way)
+        cf = tbl["cf"].to_numpy(zero_copy_only=False)
+        k = min(top, len(cf))
+        if not k:
+            return []
+        kth = -np.partition(-cf, k - 1)[k - 1]
+        # every term at or above the cutoff freq joins the candidate
+        # pool, so boundary ties resolve by the (freq desc, term asc)
+        # sort deterministically, not by partition order
+        cand = np.nonzero(cf >= kth)[0]
         rows = sorted(
             zip(
-                tbl["term"].to_pylist(),
-                tbl["cf"].to_pylist(),
-                tbl["df"].to_pylist(),
+                tbl["term"].take(cand).to_pylist(),
+                cf[cand].tolist(),
+                tbl["df"].take(cand).to_pylist(),
             ),
             key=lambda r: (-r[1], r[0]),
-        )[:top]
+        )[:k]
         return [
-            {"term": t, "freq": int(cf), "docs": int(df)}
-            for t, cf, df in rows
+            {"term": t, "freq": int(c), "docs": int(d)}
+            for t, c, d in rows
         ]
 
     def _op_terms(self, engine, pars) -> list[dict]:
@@ -422,7 +437,7 @@ class AlixHttpServer:
                 else []
             )
         ]
-        weights = engine.terms(top=10**9)
+        weights = engine.theme_weights()  # cached per index version
         return _df_rows(
             snip_mod.snippet_topk(
                 engine.rail(), weights, terms, width=width, k=k

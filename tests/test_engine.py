@@ -257,3 +257,23 @@ def test_ascii_variant_field(spark, tmp_path):
     # term in the ascii field
     assert eng.search("liberté", ascii=True, k=100) == got
     assert eng.search("Liberté", ascii=True, k=100) == got
+
+
+def test_suggest_population_scoped(engine):
+    """TermSuggest.java:141: with a population predicate, completions
+    rank by the population's freq, not global cf."""
+    from pyspark.sql import functions as F
+
+    pop = engine.suggest("vi", population=F.col("lang") == "fr")
+    rows = [r.asDict() for r in pop.collect()]
+    assert rows, "population suggest returned nothing"
+    freqs = [r["cf"] for r in rows]
+    assert freqs == sorted(freqs, reverse=True)
+
+
+def test_theme_weights_cached_once(engine):
+    w1 = engine.theme_weights()
+    assert engine.theme_weights() is w1  # same persisted handle
+    # facade terms() serves from the cache with the same tie-break
+    top = [r["term"] for r in engine.terms(top=10).collect()]
+    assert len(top) == 10
