@@ -118,8 +118,37 @@ def pos_training_events(
 
 # --------------------------- OpenNLP POSModel zip / GIS binary writer
 
+def java_modified_utf8(s: str) -> bytes:
+    """Java ``DataOutputStream.writeUTF`` payload encoding (what the
+    real OpenNLP GISModelWriter emits): U+0000 as the 2-byte C0 80
+    overlong form and non-BMP code points as a 6-byte CESU-8 surrogate
+    pair, NOT standard 4-byte UTF-8."""
+    out = bytearray()
+    for ch in s:
+        cp = ord(ch)
+        if cp == 0:
+            out += b"\xc0\x80"
+        elif cp < 0x80:
+            out.append(cp)
+        elif cp < 0x800:
+            out += ch.encode("utf-8")
+        elif cp <= 0xFFFF:
+            out += ch.encode("utf-8")
+        else:
+            cp -= 0x10000
+            for half in (0xD800 | (cp >> 10), 0xDC00 | (cp & 0x3FF)):
+                out += bytes(
+                    (
+                        0xE0 | (half >> 12),
+                        0x80 | ((half >> 6) & 0x3F),
+                        0x80 | (half & 0x3F),
+                    )
+                )
+    return bytes(out)
+
+
 def _w_utf(b: io.BytesIO, s: str) -> None:
-    raw = s.encode("utf-8")
+    raw = java_modified_utf8(s)
     b.write(struct.pack(">H", len(raw)))
     b.write(raw)
 

@@ -40,8 +40,18 @@ import numpy as np
 
 
 def _read_utf(b: io.BytesIO) -> str:
+    """Java ``DataInputStream.readUTF``: the payload is MODIFIED UTF-8
+    (CESU-8 surrogate pairs for non-BMP, C0 80 for U+0000) — a real
+    OpenNLP model containing such a predicate decodes wrong (or not at
+    all) as standard UTF-8. Decoding as UTF-8 with surrogatepass and
+    re-pairing surrogates handles both plain-ASCII models (the common
+    case, identical bytes) and the full Java form."""
     (n,) = struct.unpack(">H", b.read(2))
-    return b.read(n).decode("utf-8")
+    raw = b.read(n).replace(b"\xc0\x80", b"\x00")
+    s = raw.decode("utf-8", errors="surrogatepass")
+    if any(0xD800 <= ord(c) <= 0xDFFF for c in s):
+        s = s.encode("utf-16", "surrogatepass").decode("utf-16")
+    return s
 
 
 def _read_int(b: io.BytesIO) -> int:

@@ -85,6 +85,12 @@ class AlixEngine:
         self._has_positions: bool | None = None
         self._vocab: set[str] | None = None
         self._theme_weights: DataFrame | None = None
+        # the HTTP layer serves one handle from many threads — lazy
+        # init of the weights cache must not run the full-vocabulary
+        # job twice (and leak the loser's persisted blocks)
+        import threading
+
+        self._tw_lock = threading.Lock()
         # Hunspell sidecar (reference HunspellCompiler output next to
         # the index): when present, query terms resolve roots-first
         self._hunspell = None
@@ -391,10 +397,13 @@ class AlixEngine:
         one index version, so the cache can never serve stale
         weights."""
         if self._theme_weights is None:
-            self._theme_weights = theme_mod.theme_weights(
-                *self._bm25_inputs(), top=None
-            ).persist()
-            self._theme_weights.count()
+            with self._tw_lock:
+                if self._theme_weights is None:
+                    tw = theme_mod.theme_weights(
+                        *self._bm25_inputs(), top=None
+                    ).persist()
+                    tw.count()
+                    self._theme_weights = tw
         return self._theme_weights
 
     def suggest(self, q: str, top: int = 20, population=None) -> DataFrame:

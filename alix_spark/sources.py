@@ -61,40 +61,64 @@ def write_table(
 
     Catalog refs use the V2 writer (``writeTo``): ``createOrReplace``
     is an ATOMIC replacement on ACID catalogs (Iceberg snapshot
-    commit), ``append`` a transactional append. Paths use the parquet
-    writer; atomicity there comes from the caller's versioned-publish
-    protocol (segments.begin_publish/commit_publish)."""
+    commit), ``append`` a transactional append; the V1 managed-table
+    writer is the fallback ONLY when the catalog reports the V2
+    operation unsupported (the plain session catalog) — real write
+    errors (schema mismatch, permissions) always propagate. All four
+    save modes keep parquet-path semantics: ``overwrite`` replaces,
+    ``append`` adds (creating a missing table), ``ignore`` is a no-op
+    on an existing table, ``error``/``errorifexists`` refuses one.
+    Paths use the parquet writer; atomicity there comes from the
+    caller's versioned-publish protocol
+    (segments.begin_publish/commit_publish)."""
     if is_table_ref(ref):
-        from pyspark.errors import AnalysisException
-
-        w = df.writeTo(ref)
-        if partition_by:
-            from pyspark.sql import functions as F
-
-            w = w.partitionedBy(*[F.col(c) for c in partition_by])
-        try:
-            if mode == "append":
-                # appending to a missing table must create it (first
-                # micro-batch of an ingest)
-                try:
-                    w.append()
-                except AnalysisException:
-                    w.create()
-            else:
-                # atomic replace (RTAS / snapshot commit) on ACID
-                # catalogs — Iceberg's route
-                w.createOrReplace()
-            return
-        except AnalysisException:
-            # the plain session catalog supports neither RTAS nor V2
-            # append semantics uniformly — V1 managed-table writer
-            pass
-        wr = df.write.mode(mode)
-        if partition_by:
-            wr = wr.partitionBy(*partition_by)
-        wr.saveAsTable(ref)
+        _write_catalog(df, ref, mode, partition_by)
         return
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(ref)
+
+
+def _v2_unsupported(e: Exception) -> bool:
+    """True when the catalog rejected the V2 OPERATION itself (not the
+    data): only then may the V1 writer take over."""
+    msg = str(e)
+    return (
+        "UNSUPPORTED_FEATURE" in msg
+        or "does not support" in msg
+        or "Cannot write into v1 table" in msg
+    )
+
+
+def _write_catalog(df, ref, mode, partition_by):
+    from pyspark.errors import AnalysisException
+
+    exists = df.sparkSession.catalog.tableExists(ref)
+    if mode == "ignore" and exists:
+        return
+    if mode in ("error", "errorifexists") and exists:
+        raise ValueError(f"table already exists: {ref}")
+
+    w = df.writeTo(ref)
+    if partition_by:
+        from pyspark.sql import functions as F
+
+        w = w.partitionedBy(*[F.col(c) for c in partition_by])
+    try:
+        if mode == "append" and exists:
+            w.append()
+        elif mode == "append":
+            w.create()  # first micro-batch of an ingest
+        elif exists:
+            w.createOrReplace()  # atomic RTAS / snapshot commit
+        else:
+            w.create()
+        return
+    except AnalysisException as e:
+        if not _v2_unsupported(e):
+            raise
+    wr = df.write.mode("append" if mode == "append" else "overwrite")
+    if partition_by:
+        wr = wr.partitionBy(*partition_by)
+    wr.saveAsTable(ref)

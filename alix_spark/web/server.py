@@ -67,11 +67,20 @@ class HttpError(Exception):
 
 
 def _split_op_format(segment: str) -> tuple[str, str | None]:
-    """``terms.json`` → (``terms``, ``json``); no dot → default html
-    (the reference's full-page default, Op.dispatch format==null)."""
+    """``terms.json`` → (``terms``, ``json``); no extension → default
+    html (the reference's full-page default, Op.dispatch format==null).
+
+    Doc-slug segments routinely contain dots (URLs): the suffix after
+    the last dot is treated as a format ONLY when the base is a
+    registered op (so ``terms.docx`` still 406s) or the suffix is a
+    known format (slug + explicit ``.json``); otherwise the WHOLE
+    segment is the op/slug. A slug whose url genuinely ends in a
+    format-named suffix (``…page.html``) is ambiguous and resolves as
+    format — inherent to the path grammar."""
     if "." in segment:
         op, fmt = segment.rsplit(".", 1)
-        return op, fmt
+        if op in OPS or fmt in FORMATS:
+            return op, fmt
     return segment, None
 
 
@@ -80,12 +89,20 @@ def _rows_to_payload(rows: list[dict], fmt: str | None) -> tuple[bytes, str]:
     fan-out; csv uses the reference's quote-doubling escape,
     Op.csvEscape)."""
     if fmt is None or fmt == "html":
+        from html import escape
+
         cols = list(rows[0].keys()) if rows else []
         buf = ["<table>"]
-        buf.append("<tr>" + "".join(f"<th>{c}</th>" for c in cols) + "</tr>")
+        buf.append(
+            "<tr>" + "".join(f"<th>{escape(str(c))}</th>" for c in cols)
+            + "</tr>"
+        )
+        # crawled text is attacker-controlled — every cell escapes
         for r in rows:
             buf.append(
-                "<tr>" + "".join(f"<td>{r[c]}</td>" for c in cols) + "</tr>"
+                "<tr>"
+                + "".join(f"<td>{escape(str(r[c]))}</td>" for c in cols)
+                + "</tr>"
             )
         buf.append("</table>")
         return "\n".join(buf).encode(), "text/html; charset=UTF-8"
@@ -313,7 +330,10 @@ class AlixHttpServer:
     def _list_indices(self) -> list[dict]:
         out = []
         for name in self._names():
-            eng = self._engine(name)
+            try:
+                eng = self._engine(name)
+            except HttpError:
+                continue  # unloaded by the poll thread mid-listing
             out.append(
                 {
                     "name": name,
@@ -325,6 +345,16 @@ class AlixHttpServer:
 
     def _dispatch(self, engine, op: str, pars: _Params) -> list[dict]:
         return getattr(self, "_op_" + op.replace("-", "_"))(engine, pars)
+
+    @staticmethod
+    def _require_corpus(engine):
+        """Registry-opened engines hold only the frozen index; ops
+        that need the source table (chrono, clades, focus terms, doc)
+        answer 404 there, not a 500 (the doc op's guard, generalized)."""
+        if engine.corpus is None:
+            raise HttpError(
+                404, "operation needs the corpus table; index serves none"
+            )
 
     def _op_results(self, engine, pars) -> list[dict]:
         """BM25 top-k over the parsed query — the pyarrow WAND serving
@@ -359,10 +389,20 @@ class AlixHttpServer:
         if not k:
             return []
         kth = -np.partition(-cf, k - 1)[k - 1]
-        # every term at or above the cutoff freq joins the candidate
-        # pool, so boundary ties resolve by the (freq desc, term asc)
-        # sort deterministically, not by partition order
-        cand = np.nonzero(cf >= kth)[0]
+        # terms strictly above the cutoff all win; ties AT the cutoff
+        # (with a Zipf tail this can be most of the vocabulary) are
+        # settled term-asc via an O(t) string partition of just the
+        # tie pool — never a full-vocabulary sort on the driver
+        above = np.nonzero(cf > kth)[0]
+        need = k - len(above)
+        tie_idx = np.nonzero(cf == kth)[0]
+        if need > 0 and len(tie_idx) > need:
+            tie_terms = np.asarray(
+                tbl["term"].take(tie_idx).to_pylist(), dtype=object
+            )
+            sel = np.argpartition(tie_terms, need - 1)[:need]
+            tie_idx = tie_idx[sel]
+        cand = np.concatenate([above, tie_idx[: max(need, 0)]])
         rows = sorted(
             zip(
                 tbl["term"].take(cand).to_pylist(),
@@ -384,6 +424,8 @@ class AlixHttpServer:
         top = pars.get_int("top", 50, 1, 1000)
         lang = pars.get("lang")
         scorer = pars.get("tsort", "g2")
+        if lang:
+            self._require_corpus(engine)  # focus filters the corpus
         focus = F.col("lang") == lang if lang else None
         return _df_rows(engine.terms(focus=focus, scorer=scorer, top=top))
 
@@ -395,6 +437,7 @@ class AlixHttpServer:
         return _df_rows(engine.suggest(q, top=top))
 
     def _op_chrono(self, engine, pars) -> list[dict]:
+        self._require_corpus(engine)
         return _df_rows(engine.chrono())
 
     def _op_cooc_profile(self, engine, pars) -> list[dict]:
@@ -412,6 +455,7 @@ class AlixHttpServer:
         )
 
     def _op_clades(self, engine, pars) -> list[dict]:
+        self._require_corpus(engine)  # parts come from the corpus lang
         top = pars.get_int("top", 100, 2, 2000)
         return _df_rows(engine.clades(top_terms=top))
 
@@ -434,9 +478,13 @@ class AlixHttpServer:
                 if isinstance(c, parser_mod.TermClause)
                 else c.terms
                 if isinstance(c, (parser_mod.OrClause, parser_mod.PhraseClause))
+                else engine._expand(c.pattern)
+                if isinstance(c, parser_mod.WildcardClause)
                 else []
             )
         ]
+        if not terms:
+            return []
         weights = engine.theme_weights()  # cached per index version
         return _df_rows(
             snip_mod.snippet_topk(

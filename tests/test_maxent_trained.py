@@ -171,3 +171,28 @@ def test_pos_specific_lemma_resolution(trained):
             lemma_lex.get((t.lower(), g), t) for t, g in zip(toks, tags)
         ]
         assert got == want, f"{sent}: {got}"
+
+
+def test_modified_utf8_round_trip():
+    """Java writeUTF emits MODIFIED UTF-8 (CESU-8 pairs for non-BMP,
+    C0 80 for NUL); writer and reader must agree on it, or a real
+    OpenNLP model with an astral-plane predicate mis-reads."""
+    import io
+    import struct
+
+    from alix_spark.analysis.gis_train import _w_utf, java_modified_utf8
+    from alix_spark.analysis.maxent import _read_utf
+
+    cases = ["plain", "héllo", "w=🙂", "\U0001d11e clef", "nul\x00mid"]
+    for s in cases:
+        b = io.BytesIO()
+        _w_utf(b, s)
+        b.seek(0)
+        assert _read_utf(b) == s, repr(s)
+    # the emoji encodes as a 6-byte surrogate pair, not 4-byte UTF-8
+    enc = java_modified_utf8("🙂")
+    assert len(enc) == 6 and enc[0] == 0xED
+    # NUL is the 2-byte overlong form (never a raw 0 byte)
+    assert b"\x00" not in java_modified_utf8("a\x00b")
+    # BMP text is byte-identical to standard UTF-8
+    assert java_modified_utf8("héllo") == "héllo".encode("utf-8")

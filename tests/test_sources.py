@@ -31,11 +31,25 @@ def test_parquet_path_round_trip(spark, tmp_path):
     assert (tmp_path / "t.parquet" / "p=0").is_dir()
 
 
+def _fresh_table(spark, name):
+    """Drop the table AND its leftover warehouse location: the
+    session catalog forgets managed tables across sessions while their
+    directories persist, and a stale location fails V2 create."""
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    shutil.rmtree(
+        wh.removeprefix("file:") + "/" + name, ignore_errors=True
+    )
+
+
 def test_catalog_table_round_trip(spark):
     """The catalog branch — the calls Iceberg implements. On the
     sandbox's session catalog the V2 writer handles create and the V1
     fallback handles replace/append; with an Iceberg catalog the V2
     path does all three atomically."""
+    _fresh_table(spark, "src_demo")
     df = spark.range(5).select(F.col("id").alias("x"))
     sources.write_table(df, "src_demo")
     assert sources.read_table(spark, "src_demo").count() == 5
@@ -49,7 +63,7 @@ def test_catalog_table_round_trip(spark):
 
 
 def test_append_creates_missing_table(spark):
-    spark.sql("DROP TABLE IF EXISTS src_fresh")
+    _fresh_table(spark, "src_fresh")
     df = spark.range(3).select(F.col("id").alias("x"))
     sources.write_table(df, "src_fresh", mode="append")
     assert sources.read_table(spark, "src_fresh").count() == 3
@@ -62,6 +76,7 @@ def test_build_from_table_ref(spark, tmp_path):
     from alix_spark.corpus import webtext
     from alix_spark.engine import AlixEngine
 
+    _fresh_table(spark, "src_landing")
     corpus = webtext.webtext(spark, 20, seed=5, partitions=2)
     sources.write_table(corpus, "src_landing")
     eng = AlixEngine.build(
@@ -76,3 +91,35 @@ def test_build_from_table_ref(spark, tmp_path):
     )
     assert hits == eng2.search("ville")
     spark.sql("DROP TABLE IF EXISTS src_landing")
+
+
+def test_catalog_mode_semantics(spark):
+    """ignore/error modes must honor path-writer semantics on catalog
+    refs too — never silently replace an existing table."""
+    _fresh_table(spark, "src_modes")
+    df = spark.range(4).select(F.col("id").alias("x"))
+    sources.write_table(df, "src_modes")
+    # ignore: no-op on existing
+    sources.write_table(df.filter("x < 1"), "src_modes", mode="ignore")
+    assert sources.read_table(spark, "src_modes").count() == 4
+    # error: refuses existing
+    with pytest.raises(ValueError):
+        sources.write_table(df, "src_modes", mode="error")
+    assert sources.read_table(spark, "src_modes").count() == 4
+    _fresh_table(spark, "src_modes")
+
+
+def test_catalog_append_schema_mismatch_raises(spark):
+    """A schema-mismatch append must surface the real error, not be
+    silently retried through the V1 writer."""
+    _fresh_table(spark, "src_schema")
+    df = spark.range(3).select(F.col("id").alias("x"))
+    sources.write_table(df, "src_schema")
+    bad = spark.range(3).select(
+        F.col("id").alias("x"), F.lit("extra").alias("y")
+    )
+    with pytest.raises(Exception) as e:
+        sources.write_table(bad, "src_schema", mode="append")
+    assert "y" in str(e.value) or "column" in str(e.value).lower()
+    assert sources.read_table(spark, "src_schema").count() == 3
+    spark.sql("DROP TABLE IF EXISTS src_schema")

@@ -241,3 +241,69 @@ def test_serving_continuous_through_republish(spark, tmp_path):
         server.stop()
     assert errors == []
     assert "alpha" in seen  # served v1 before the swap
+
+
+def test_html_cells_escaped(served):
+    """Crawled text is attacker-controlled: the HTML format must escape
+    cell content (a doc containing <script> is served inert)."""
+    from alix_spark.web.server import _rows_to_payload
+
+    body, ctype = _rows_to_payload(
+        [{"text": "<script>alert(1)</script>", "t&": 1}], "html"
+    )
+    assert b"<script>alert" not in body
+    assert b"&lt;script&gt;" in body and b"t&amp;" in body
+
+
+def test_doc_slug_without_extension(served):
+    """A dotted url slug with NO format extension must route to the doc
+    op with the html default, not 406 (URLs always contain dots)."""
+    server, _ = served
+    from urllib.parse import quote
+
+    url = _json(server, "/demo/doc.json?id=1")["rows"][0]["url"]
+    status, headers, body = _get(server, f"/demo/{quote(url, safe='')}")
+    assert status == 200 and headers["Content-Type"].startswith("text/html")
+
+
+def test_registry_engine_corpusless_ops_404_not_500(spark, tmp_path):
+    """Registry-opened engines have no corpus table: chrono/clades/
+    terms?lang= answer a clean 404 (like doc), never a 500."""
+    from alix_spark.index import segments, simple
+    from alix_spark.index.registry import IndexRegistry
+
+    root = tmp_path / "root"
+    root.mkdir()
+    root_ix = str(root / "bare")
+    staging, token = segments.begin_publish(root_ix)
+    docs = spark.createDataFrame(
+        [(i, "delta commun " * (i + 1)) for i in range(4)],
+        "doc_id long, text string",
+    )
+    segments.build_index(spark, simple.tokens(docs), staging, n_shards=2)
+    segments.commit_publish(root_ix, staging, token)
+    reg = IndexRegistry(spark, str(root))
+    server = AlixHttpServer(reg, poll_interval_s=3600).start()
+    try:
+        # index-only ops still serve
+        assert _json(server, "/bare/freqlist.json?top=3")["rows"]
+        assert _json(server, "/bare/results.json?q=delta")["rows"]
+        for path in (
+            "/bare/chrono.json",
+            "/bare/clades.json",
+            "/bare/terms.json?lang=fr",
+            "/bare/doc.json?id=1",
+        ):
+            with pytest.raises(urllib.error.HTTPError) as e:
+                _get(server, path)
+            assert e.value.code == 404, path
+    finally:
+        server.stop()
+
+
+def test_snippets_expand_wildcards(served):
+    """A wildcard query scores snippet windows over its expansions
+    (results and snippets must agree on what matches)."""
+    server, _ = served
+    rows = _json(server, "/demo/snippets.json?q=vill*&hits=5")["rows"]
+    assert rows, "wildcard snippets came back empty"
