@@ -37,8 +37,13 @@ class IndexRegistry:
         self,
         spark: SparkSession,
         root: str,
-        unload_grace_s: float = 0.0,
+        unload_grace_s: float = 30.0,
     ):
+        # unload_grace_s > 0 by default: a transiently-unreadable
+        # corpus.json (an in-place rebuild's rmtree window, a slow NFS
+        # stat) must NOT instantly unload a healthy serving engine —
+        # the docstring's "in-flight queries drain" promise. Tests that
+        # need immediate unload pass 0 explicitly.
         self.spark = spark
         self.root = root
         self.unload_grace_s = unload_grace_s
@@ -60,7 +65,16 @@ class IndexRegistry:
         seen = set()
         if os.path.isdir(self.root):
             for name in sorted(os.listdir(self.root)):
-                token = segments.publish_marker(os.path.join(self.root, name))
+                try:
+                    token = segments.publish_marker(
+                        os.path.join(self.root, name)
+                    )
+                except OSError:
+                    # rmtree'd between the existence check and the
+                    # marker read (TOCTOU) — treat as half-built; a
+                    # long-lived watch loop must survive any single
+                    # index's filesystem races
+                    token = None
                 if token is None:
                     continue  # half-built or foreign directory: skip
                 seen.add(name)

@@ -171,17 +171,30 @@ def decode_block(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return docs, tfs, dls
 
 
+def seg_cumsum(deltas: np.ndarray, seg_lens: np.ndarray) -> np.ndarray:
+    """Segmented cumsum: within-doc position deltas → absolute
+    positions, vectorized (each segment's first delta is absolute).
+    THE decoder for the pos_bytes layout — every reader of the
+    positions channel (decoded_rail, the phrase kernel's flat decode,
+    decode_block_positions) goes through this one transform, so a
+    future codec change (FORMAT_VERSION bump) has a single home."""
+    c = np.cumsum(deltas)
+    starts = np.concatenate(([0], np.cumsum(seg_lens)))[:-1]
+    # value to subtract for each segment = cumsum just before its start
+    base = np.zeros(seg_lens.size, dtype=np.int64)
+    base[1:] = c[starts[1:] - 1]
+    return c - np.repeat(base, seg_lens)
+
+
 def decode_block_positions(row, tfs: np.ndarray) -> list[np.ndarray]:
     """Per-doc position arrays for one block (requires pos_bytes)."""
     total = int(tfs.sum())
     if total == 0 or not row["pos_bytes"]:
         return [np.zeros(0, np.int64) for _ in tfs]
     dp = varint_decode(row["pos_bytes"], total)
+    flat = seg_cumsum(dp, tfs)
     bounds = np.concatenate(([0], np.cumsum(tfs)))
-    out = []
-    for i in range(tfs.size):
-        out.append(np.cumsum(dp[bounds[i] : bounds[i + 1]]))
-    return out
+    return [flat[bounds[i] : bounds[i + 1]] for i in range(tfs.size)]
 
 
 # ------------------------------------------------------------ build job
@@ -252,6 +265,12 @@ def build_index(
     crow = dstats.agg(
         F.count("*").alias("docs"), F.sum("dl").alias("tokens")
     ).collect()[0]
+    if not crow["docs"]:
+        raise ValueError(
+            "refusing to build an index from an empty token table "
+            "(build into a staging dir via begin_publish so an empty "
+            "input can never clobber a live index)"
+        )
     corpus = {
         "corpus_docs": int(crow["docs"]),
         "corpus_tokens": int(crow["tokens"]),
@@ -523,7 +542,7 @@ def bucketized_tokens(
             if not len(pdf):
                 continue
             out = _bucketize_arrays(
-                pdf[id_col].to_numpy(np.int64), pdf["terms"].tolist(),
+                pdf["doc_id"].to_numpy(np.int64), pdf["terms"].tolist(),
                 pdf["poss"].tolist(), n_shards, n_buckets,
             )
             if out is not None:
@@ -778,6 +797,12 @@ def build_index_packed(
     crow = dstats.agg(
         F.count("*").alias("docs"), F.sum("dl").alias("tokens")
     ).collect()[0]
+    if not crow["docs"]:
+        raise ValueError(
+            "refusing to build an index from an empty token table "
+            "(build into a staging dir via begin_publish so an empty "
+            "input can never clobber a live index)"
+        )
     corpus = {
         "corpus_docs": int(crow["docs"]),
         "corpus_tokens": int(crow["tokens"]),
@@ -913,11 +938,7 @@ def decoded_rail(spark: SparkSession, index_dir: str) -> DataFrame:
                 # within-doc delta decode: segmented cumsum via the
                 # "subtract previous segment's carry" trick
                 dp = varint_decode(row.pos_bytes, total).astype(np.int64)
-                starts = np.cumsum(tfs) - tfs
-                csum = np.cumsum(dp)
-                carry = np.zeros(total, np.int64)
-                carry[starts[1:]] = csum[starts[1:] - 1]
-                pos = csum - np.maximum.accumulate(carry)
+                pos = seg_cumsum(dp, tfs)
                 terms.append(np.full(total, row.term, object))
                 docs_l.append(np.repeat(docs, tfs))
                 poss_l.append(pos)
@@ -1004,6 +1025,11 @@ def commit_publish(index_dir: str, staging_dir: str, token: str) -> str:
     freshly-written temp pointer. A crash between the two leaves the
     old version live and the new one complete-but-unreferenced (next
     gc sweeps it)."""
+    import time as _time_mod
+
+    prev_live = None
+    if os.path.exists(os.path.join(index_dir, "CURRENT")):
+        prev_live = resolve_current(index_dir)
     final = os.path.join(index_dir, "versions", token)
     os.rename(staging_dir, final)
     tmp_ptr = os.path.join(index_dir, f".CURRENT.tmp-{token}")
@@ -1012,13 +1038,32 @@ def commit_publish(index_dir: str, staging_dir: str, token: str) -> str:
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp_ptr, os.path.join(index_dir, "CURRENT"))
+    # stamp the version we just superseded: gc's grace window counts
+    # from WHEN it stopped being live (a version that served for hours
+    # still gets its full drain window), not from its build mtime
+    if prev_live and os.path.isdir(prev_live):
+        try:
+            with open(os.path.join(prev_live, ".superseded_at"), "w") as f:
+                f.write(repr(_time_mod.time()))
+        except OSError:
+            pass  # gc stamps it lazily instead
     return final
 
 
-def gc_versions(index_dir: str, grace_s: float = 60.0) -> list[str]:
+def gc_versions(
+    index_dir: str, grace_s: float = 60.0,
+    stale_staging_s: float = 86400.0,
+) -> list[str]:
     """Remove non-live versions (and abandoned staging dirs) older than
     ``grace_s`` — the unload grace window that lets in-flight readers
-    of a superseded version drain. Returns the tokens removed."""
+    of a superseded version drain, measured from when the version was
+    SUPERSEDED (the ``.superseded_at`` stamp commit_publish writes),
+    never from its build mtime — a version that served for hours gets
+    its full drain window. A version with no stamp (crashed publish,
+    pre-stamp tree) is stamped now and collected on a later pass.
+    In-flight ``.tmp-*`` staging builds are only removed after
+    ``stale_staging_s`` (default 24 h) so gc can never kill a long
+    encode mid-publish. Returns the tokens removed."""
     import shutil
     import time
 
@@ -1032,7 +1077,23 @@ def gc_versions(index_dir: str, grace_s: float = 60.0) -> list[str]:
         if name == live:
             continue
         full = os.path.join(vdir, name)
-        if now - os.path.getmtime(full) >= grace_s:
+        if name.startswith(".tmp-"):
+            if now - os.path.getmtime(full) >= stale_staging_s:
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(name)
+            continue
+        stamp = os.path.join(full, ".superseded_at")
+        try:
+            with open(stamp) as f:
+                since = float(f.read())
+        except (OSError, ValueError):
+            try:  # stamp lazily; collect on a later pass
+                with open(stamp, "w") as f:
+                    f.write(repr(now))
+            except OSError:
+                pass
+            continue
+        if now - since >= grace_s:
             shutil.rmtree(full, ignore_errors=True)
             removed.append(name)
     return removed

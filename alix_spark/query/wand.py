@@ -31,7 +31,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from alix_spark.index.segments import decode_block, read_meta, varint_decode
+from alix_spark.index.segments import (
+    decode_block, read_meta, seg_cumsum, varint_decode,
+)
 from alix_spark.query.bm25 import B, K1
 from alix_spark.util import ensure_py_files, round6
 
@@ -39,16 +41,34 @@ _SENTINEL = 1 << 62
 
 
 class _Cursor:
-    """Posting-list cursor over encoded blocks with block-max skipping."""
+    """Posting-list cursor over encoded blocks with block-max skipping.
 
-    __slots__ = ("idf", "blocks", "bi", "docs", "tfs", "dls", "pos", "ub")
+    Block metadata (max_doc, block_ub) lives in pre-extracted numpy
+    arrays and the encoded byte columns in plain lists: the skip loop
+    and the per-pivot upper-bound read sit inside WAND's innermost
+    loop, where pandas ``.iloc`` row construction (~µs) would dominate
+    the decode it is meant to avoid. Block skipping is ONE
+    ``searchsorted`` over the max_doc array (ascending — blocks are
+    doc-ordered), not a per-block Python loop."""
+
+    __slots__ = (
+        "idf", "bi", "docs", "tfs", "dls", "pos", "ub", "n_blocks",
+        "_ns", "_max_docs", "_block_ubs", "_doc_bytes", "_tf_bytes",
+        "_dl_bytes",
+    )
 
     def __init__(self, idf: float, blocks: pd.DataFrame):
         # blocks: rows sorted by block_id with columns n, max_doc,
         # block_ub, doc_bytes, tf_bytes, dl_bytes
         self.idf = idf
-        self.blocks = blocks.reset_index(drop=True)
-        self.ub = float(idf * self.blocks["block_ub"].max())  # global UB
+        self._ns = blocks["n"].to_numpy(np.int64)
+        self._max_docs = blocks["max_doc"].to_numpy(np.int64)
+        self._block_ubs = blocks["block_ub"].to_numpy(np.float64)
+        self._doc_bytes = blocks["doc_bytes"].tolist()
+        self._tf_bytes = blocks["tf_bytes"].tolist()
+        self._dl_bytes = blocks["dl_bytes"].tolist()
+        self.n_blocks = len(self._ns)
+        self.ub = float(idf * self._block_ubs.max())  # global UB
         self.bi = -1
         self.docs = self.tfs = self.dls = None
         self.pos = 0
@@ -56,27 +76,26 @@ class _Cursor:
 
     def _next_block(self) -> None:
         self.bi += 1
-        if self.bi >= len(self.blocks):
+        if self.bi >= self.n_blocks:
             self.docs = np.array([_SENTINEL], dtype=np.int64)
             self.tfs = np.array([0], dtype=np.int64)
             self.dls = np.array([1], dtype=np.int64)
             self.pos = 0
             return
-        row = self.blocks.iloc[self.bi]
-        n = int(row["n"])
-        deltas = varint_decode(row["doc_bytes"], n)
+        n = int(self._ns[self.bi])
+        deltas = varint_decode(self._doc_bytes[self.bi], n)
         self.docs = np.cumsum(deltas)
-        self.tfs = varint_decode(row["tf_bytes"], n)
-        self.dls = varint_decode(row["dl_bytes"], n)
+        self.tfs = varint_decode(self._tf_bytes[self.bi], n)
+        self.dls = varint_decode(self._dl_bytes[self.bi], n)
         self.pos = 0
 
     def doc(self) -> int:
         return int(self.docs[self.pos])
 
     def block_ub(self) -> float:
-        if self.bi >= len(self.blocks):
+        if self.bi >= self.n_blocks:
             return 0.0
-        return self.idf * float(self.blocks.iloc[self.bi]["block_ub"])
+        return self.idf * float(self._block_ubs[self.bi])
 
     def score(self, avgdl: float, k1: float = K1, b: float = B) -> float:
         tf = float(self.tfs[self.pos])
@@ -90,22 +109,15 @@ class _Cursor:
             self._next_block()
 
     def advance_to(self, target: int) -> None:
-        """Skip whole blocks via max_doc metadata, then binary-search
-        inside the landing block — skipped blocks stay encoded."""
-        while self.bi < len(self.blocks) and int(
-            self.blocks.iloc[self.bi]["max_doc"]
-        ) < target:
-            self.bi += 1
-            self.docs = None
-        if self.bi >= len(self.blocks):
-            self.docs = np.array([_SENTINEL], dtype=np.int64)
-            self.tfs = np.array([0], dtype=np.int64)
-            self.dls = np.array([1], dtype=np.int64)
-            self.pos = 0
+        """Skip whole blocks via max_doc metadata (one searchsorted),
+        then binary-search inside the landing block — skipped blocks
+        stay encoded."""
+        nb = int(np.searchsorted(self._max_docs, target, side="left"))
+        if nb > self.bi:
+            self.bi = nb - 1
+            self._next_block()  # decodes block nb (or sets sentinel)
+        if self.bi >= self.n_blocks:
             return
-        if self.docs is None:
-            self.bi -= 1
-            self._next_block()
         self.pos = int(np.searchsorted(self.docs, target, side="left"))
         if self.pos >= self.docs.size:
             self._next_block()
@@ -239,8 +251,10 @@ def wand_topk(
     if not idf:
         return spark.createDataFrame([], "doc_id long, score double")
 
-    post = spark.read.parquet(os.path.join(index_dir, "postings")).filter(
-        F.col("term").isin(list(idf))
+    post = (
+        spark.read.parquet(os.path.join(index_dir, "postings"))
+        .filter(F.col("term").isin(list(idf)))
+        .select(*_BLOCK_COLS)  # never ship the positions channel for WAND
     )
     n_terms_req = len(idf)
     idf_b = dict(idf)
@@ -281,7 +295,6 @@ _POS_BITS = 33
 def _decode_term_flat(blocks: pd.DataFrame):
     """All of one term's shard postings as flat arrays:
     (docs asc, dls, flat positions, per-doc boundary offsets)."""
-    from alix_spark.index.segments import decode_block, varint_decode
 
     docs_l, tfs_l, dls_l, pos_l = [], [], [], []
     for row in blocks.sort_values("block_id").to_dict("records"):
@@ -295,7 +308,7 @@ def _decode_term_flat(blocks: pd.DataFrame):
             # within-doc delta decode: absolute value restarts at each
             # doc boundary (same layout decode_block_positions walks,
             # done here with one vectorized segmented cumsum)
-            pos_l.append(_seg_cumsum(dp, tfs))
+            pos_l.append(seg_cumsum(dp, tfs))
         else:
             pos_l.append(np.zeros(total, dtype=np.int64))
     docs = np.concatenate(docs_l) if docs_l else np.zeros(0, np.int64)
@@ -304,17 +317,6 @@ def _decode_term_flat(blocks: pd.DataFrame):
     poss = np.concatenate(pos_l) if pos_l else np.zeros(0, np.int64)
     bounds = np.concatenate(([0], np.cumsum(tfs)))
     return docs, dls, poss, bounds
-
-
-def _seg_cumsum(deltas: np.ndarray, seg_lens: np.ndarray) -> np.ndarray:
-    """Segmented cumsum: within-doc position deltas → absolute
-    positions, vectorized (each segment's first delta is absolute)."""
-    c = np.cumsum(deltas)
-    starts = np.concatenate(([0], np.cumsum(seg_lens)))[:-1]
-    # value to subtract for each segment = cumsum just before its start
-    base = np.zeros(seg_lens.size, dtype=np.int64)
-    base[1:] = c[starts[1:] - 1]
-    return c - np.repeat(base, seg_lens)
 
 
 def _ragged_gather(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
@@ -366,19 +368,23 @@ def _phrase_match_docs(
         keys.append((rank << _POS_BITS) + poss_i[sel])
 
     if ordered:
-        # extension chain: for every current start key, the smallest
-        # next-term position strictly after it and within 1+slop —
-        # inter-doc key gaps (≥ 2^33) can never satisfy the slop test,
-        # so same-doc-ness needs no extra mask
+        # reachable-set extension: a next-term position p continues a
+        # chain iff SOME reachable previous-term position q satisfies
+        # q < p ≤ q + 1 + slop. The largest q below p is the closest,
+        # so it alone decides — checking only the single smallest next
+        # position per start (the converse direction) misses valid
+        # chains when slop > 0 and a nearer next-position dead-ends
+        # (e.g. a@0 b@{1,2} c@4, slop=1: b@1 fails to reach c@4 but
+        # b@2 does). Inter-doc key gaps (≥ 2^33) can never satisfy the
+        # slop test, so same-doc-ness needs no extra mask.
         cur = keys[0]
         for nxt in keys[1:]:
             if cur.size == 0:
                 break
-            j = np.searchsorted(nxt, cur, side="right")
-            valid = j < nxt.size
-            cand = nxt[j[valid]]
-            ok = cand <= cur[valid] + 1 + slop
-            cur = np.unique(cand[ok])
+            i = np.searchsorted(cur, nxt, side="left") - 1
+            ok = i >= 0
+            ok[ok] = cur[i[ok]] >= nxt[ok] - 1 - slop
+            cur = nxt[ok]
         per_doc = np.bincount(
             (cur >> _POS_BITS).astype(np.int64), minlength=common.size
         )
@@ -577,13 +583,27 @@ def _term_dfs(index_dir: str, terms: list[str]) -> dict[str, int]:
     return dict(zip(t["term"].to_pylist(), t["df"].to_pylist()))
 
 
-def _load_blocks(index_dir: str, terms: list[str]) -> pd.DataFrame:
+_BLOCK_COLS = [
+    "shard", "term", "block_id", "n", "max_doc", "block_ub",
+    "doc_bytes", "tf_bytes", "dl_bytes",
+]
+
+
+def _load_blocks(
+    index_dir: str, terms: list[str], positions: bool = False
+) -> pd.DataFrame:
     """Serving-path block fetch: the query terms' rows only, via pyarrow
-    predicate pushdown on the term column (cached dataset handle)."""
+    predicate pushdown on the term column (cached dataset handle).
+    The positions channel — the largest column, ~1 byte/token vs
+    ~1 byte/POSTING for the others — is read only when a positional
+    clause needs it; pure term/WAND queries never pay its I/O."""
     import pyarrow.dataset as ds
 
     _, post = _datasets(index_dir)
-    return post.to_table(filter=ds.field("term").isin(terms)).to_pandas()
+    cols = _BLOCK_COLS + ["pos_bytes"] if positions else _BLOCK_COLS
+    return post.to_table(
+        columns=cols, filter=ds.field("term").isin(terms)
+    ).to_pandas()
 
 
 def _term_score_map(blocks: pd.DataFrame, idf: float, avgdl: float) -> dict[int, float]:
@@ -649,7 +669,10 @@ def query_local_mixed(index_dir: str, clauses, k: int = 10) -> list[tuple[int, f
     if not need or not clauses:
         return []
     dfmap = _term_dfs(index_dir, sorted(need))
-    blocks = _load_blocks(index_dir, sorted(need))
+    blocks = _load_blocks(
+        index_dir, sorted(need),
+        positions=any(isinstance(c, parser.PhraseClause) for c in clauses),
+    )
     by_term = {t: g for t, g in blocks.groupby("term", sort=False)}
 
     def idf_of(t: str) -> float:

@@ -42,7 +42,7 @@ class PhraseUdtf:
         term_list = [t for t in (terms or "").split(",") if t]
         # cached, republish-invalidated dataset handle — no directory
         # re-listing per invocation (wand serving-path cache)
-        pdf = _load_blocks(index_dir, term_list)
+        pdf = _load_blocks(index_dir, term_list, positions=True)
         hits: list[tuple[int, int]] = []
         for _shard, g in pdf.groupby("shard", sort=False):
             tb = {t: tg for t, tg in g.groupby("term", sort=False)}

@@ -313,3 +313,88 @@ def test_wand_on_analyzed_french_corpus(spark, tmp_path):
              for r in _brute(tok, terms, mode).collect()]
         assert w == b
         assert len(w) > 0
+
+
+def test_ordered_slop_alternative_positions(spark, tmp_path):
+    """Ordered near with slop>0 and 3 terms must consider ALL next-term
+    positions in the slop window, not just the nearest: a@0 b@{1,2} c@4
+    with slop=1 matches via b@2 (review regression)."""
+    from alix_spark.index import segments, simple
+    from alix_spark.query import wand
+
+    docs = spark.createDataFrame(
+        [(1, "alpha bravo bravo pad charlie")],  # a@0 b@1 b@2 c@4
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "slopix")
+    segments.build_index(spark, simple.tokens(docs), idx, n_shards=1)
+    hits = wand.phrase_topk(
+        spark, idx, ["alpha", "bravo", "charlie"], slop=1, ordered=True, k=5
+    ).collect()
+    assert [r["doc_id"] for r in hits] == [1]
+    # and slop=0 still rejects it (gap between bravo and charlie)
+    none = wand.phrase_topk(
+        spark, idx, ["alpha", "bravo", "charlie"], slop=0, ordered=True, k=5
+    ).collect()
+    assert none == []
+
+
+def test_build_empty_corpus_raises(spark, tmp_path):
+    from alix_spark.index import segments, simple
+
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="empty token table"):
+        segments.build_index(
+            spark, simple.tokens(docs), str(tmp_path / "emptyix"), n_shards=2
+        )
+
+
+def test_gc_grace_counts_from_supersession(spark, tmp_path):
+    """A version that served for a long time still gets its full drain
+    window after being superseded; in-flight .tmp staging dirs are
+    never collected before stale_staging_s."""
+    import os
+    import time
+
+    from alix_spark.index import segments, simple
+
+    root_ix = str(tmp_path / "ix")
+    docs = spark.createDataFrame(
+        [(1, "alpha commun"), (2, "alpha autre")], "doc_id long, text string"
+    )
+    s1, t1 = segments.begin_publish(root_ix)
+    segments.build_index(spark, simple.tokens(docs), s1, n_shards=1)
+    v1 = segments.commit_publish(root_ix, s1, t1)
+    # age the version dir's mtime far beyond any grace
+    old = time.time() - 10_000
+    os.utime(v1, (old, old))
+    # an in-flight staging build exists
+    s2, t2 = segments.begin_publish(root_ix)
+    # gc with a tiny grace: v1 is LIVE (kept); staging kept (fresh)
+    assert segments.gc_versions(root_ix, grace_s=1.0) == []
+    # supersede v1 now
+    segments.build_index(spark, simple.tokens(docs), s2, n_shards=1)
+    segments.commit_publish(root_ix, s2, t2)
+    # despite the ancient mtime, v1 was superseded milliseconds ago —
+    # a generous grace keeps it (drain window counts from supersession)
+    assert segments.gc_versions(root_ix, grace_s=3600.0) == []
+    assert os.path.isdir(v1)
+    # zero grace collects it
+    assert segments.gc_versions(root_ix, grace_s=0.0) == [t1]
+
+
+def test_bucketized_tokens_custom_id_col(spark):
+    """bucketized_tokens with a non-default id column must not KeyError
+    in the executor closure (review regression)."""
+    from alix_spark.index import segments
+
+    packed = spark.createDataFrame(
+        [(7, ["a", "b", "a"], [0, 1, 2])],
+        "page_id long, terms array<string>, poss array<int>",
+    )
+    rows = segments.bucketized_tokens(
+        packed, n_shards=2, id_col="page_id"
+    ).collect()
+    assert rows and all(r["doc_id"] == 7 for r in rows)

@@ -21,7 +21,9 @@ def test_registry_load_reload_unload(spark, tmp_path):
     corpus = webtext.webtext(spark, 30, seed=31, partitions=2).persist()
     corpus.count()
 
-    reg = IndexRegistry(spark, root)
+    # grace 0: this test exercises immediate unload (the default keeps
+    # a grace window so transient unreadability never drops a handle)
+    reg = IndexRegistry(spark, root, unload_grace_s=0.0)
     assert reg.poll() == {}
 
     # publish index "a" → loaded on next poll
