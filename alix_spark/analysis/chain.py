@@ -51,7 +51,13 @@ def extract_text(html: str | bytes) -> str:
     3. all remaining tags removed
     4. the 5 XML entities decoded (&amp; &lt; &gt; &quot; &apos;)
     5. lines stripped, empty lines dropped, joined with ``\\n``
+
+    NULL source → empty text: a crawl table routinely carries rows
+    with a failed fetch (html NULL); one such row must not kill the
+    whole index build.
     """
+    if html is None:
+        return ""
     if isinstance(html, (bytes, bytearray)):
         html = bytes(html).decode("utf-8", errors="replace")
     s = _STRIP_ZONES_RE.sub(" ", html)
@@ -73,7 +79,11 @@ def analyze(
     (+ ``start, end`` source offsets when ``with_offsets``).
 
     ``tagger_path``: optional OpenNLP POS model (.bin) — switches the
-    POS stage to maxent inference (loaded once per process)."""
+    POS stage to maxent inference (loaded once per process). A NULL
+    source yields zero tokens (failed-fetch rows are normal in a
+    crawl table)."""
+    if src is None:
+        return []
     if isinstance(src, (bytes, bytearray)):
         src = bytes(src).decode("utf-8", errors="replace")
     tagger = None

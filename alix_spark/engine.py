@@ -76,7 +76,10 @@ class AlixEngine:
         self.spark = spark
         # a versioned publish root (CURRENT + versions/<token>/) resolves
         # to its live version ONCE at open: this handle is frozen — a
-        # concurrent republish never changes the files it reads
+        # concurrent republish never changes the files it reads. The
+        # UNRESOLVED root is kept too: sibling indexes (the `_ascii`
+        # derived field) hang off the root, not off a version dir.
+        self.index_root = index_dir
         self.index_dir = segments.resolve_current(index_dir)
         self.meta = segments.read_meta(self.index_dir)
         self.corpus = corpus
@@ -126,29 +129,46 @@ class AlixEngine:
         so the chain runs once for both fields."""
         from pyspark.storagelevel import StorageLevel
 
+        ids = url_ranks(corpus)
+        if not ascii_variant:
+            # the scale path: dense ids join onto the landing table,
+            # then ONE fused Arrow pass runs the chain AND the per-doc
+            # bucket roll-up — the token payload shuffles as packed
+            # array rows (~2 orders of magnitude fewer rows than
+            # one-per-token; tests/test_packed_build.py asserts the
+            # result bit-identical to the exploded build)
+            with_ids = corpus.join(ids, "url").select("doc_id", "html")
+            buck = segments.analyzed_bucketized(
+                with_ids, n_shards, tagger_path=tagger_path
+            )
+            segments.build_index_packed(
+                spark, buck, index_dir, n_shards=n_shards, resume=resume,
+                bucketized=True,
+            )
+            return cls(spark, index_dir, corpus)
+        # ascii-variant build: the exploded token table is the shape the
+        # JVM-side fold (one translate over the term column) applies to,
+        # and the chain still runs once for both fields
         tok_url = analyzed_tokens(
             corpus, id_col="url", id_type="string", light=True,
             tagger_path=tagger_path,
         )
-        ids = url_ranks(corpus)
         tok = tok_url.join(ids, "url").select("doc_id", "pos", "term")
-        if ascii_variant:
-            tok = tok.persist(StorageLevel.MEMORY_AND_DISK)
+        tok = tok.persist(StorageLevel.MEMORY_AND_DISK)
         segments.build_index(spark, tok, index_dir, n_shards=n_shards, resume=resume)
-        if ascii_variant:
-            from alix_spark.lexicometry.suggest import FOLD_DST, FOLD_SRC
+        from alix_spark.lexicometry.suggest import FOLD_DST, FOLD_SRC
 
-            # lower + fold, matching the query side's fold_query — a
-            # capitalized indexed term ("Paris") must be reachable from
-            # the folded query term ("paris")
-            folded = tok.withColumn(
-                "term", F.lower(F.translate("term", FOLD_SRC, FOLD_DST))
-            )
-            segments.build_index(
-                spark, folded, index_dir + "_ascii", n_shards=n_shards,
-                resume=resume,
-            )
-            tok.unpersist()
+        # lower + fold, matching the query side's fold_query — a
+        # capitalized indexed term ("Paris") must be reachable from
+        # the folded query term ("paris")
+        folded = tok.withColumn(
+            "term", F.lower(F.translate("term", FOLD_SRC, FOLD_DST))
+        )
+        segments.build_index(
+            spark, folded, index_dir + "_ascii", n_shards=n_shards,
+            resume=resume,
+        )
+        tok.unpersist()
         return cls(spark, index_dir, corpus)
 
     # ---------------------------------------------------- token access
@@ -269,10 +289,16 @@ class AlixEngine:
         queries take the pruned fast paths (WAND / phrase matcher).
 
         ``ascii=True`` runs the query against the derived
-        ``<index_dir>_ascii`` field with diacritics folded on both the
+        ``<index_root>_ascii`` field with diacritics folded on both the
         query terms and the index — accent-insensitive search, the
-        reference's ``*_ascii`` route (FrenchAnalyzer.java:326-333)."""
-        idx = self.index_dir + "_ascii" if ascii else self.index_dir
+        reference's ``*_ascii`` route (FrenchAnalyzer.java:326-333).
+        The sibling hangs off the publish ROOT (resolved to its own
+        live version), not off this handle's version directory."""
+        idx = (
+            segments.resolve_current(self.index_root + "_ascii")
+            if ascii
+            else self.index_dir
+        )
         clauses = parser.parse(q)
         if ascii:
             from alix_spark.lexicometry.suggest import fold_query
@@ -342,10 +368,21 @@ class AlixEngine:
             simple.corpus_stats(tok).select("corpus_docs", "avgdl"),
         )
 
+    def _corpus_required(self, op: str) -> None:
+        """Ops that filter or read the source table need the corpus the
+        engine was opened with; an index-only handle (the registry's
+        shape) gets a clear error, not an AttributeError."""
+        if self.corpus is None:
+            raise ValueError(
+                f"{op} needs the corpus table; engine was opened index-only"
+            )
+
     def terms(self, focus=None, scorer: str = "g2", top: int = 50) -> DataFrame:
         """Ranked terms: theme weights for the whole corpus, or keyness
         focus-vs-rest when a focus predicate over the corpus is given
         (reference OpTerms branches 1/2)."""
+        if focus is not None:
+            self._corpus_required("terms(focus=...)")
         if focus is None:
             return (
                 self.theme_weights()
@@ -363,6 +400,7 @@ class AlixEngine:
 
     def chrono(self) -> DataFrame:
         """Docs per month of crawl date (reference OpChrono)."""
+        self._corpus_required("chrono")
         return (
             self.corpus.groupBy(
                 F.year("warc_ts").alias("y"), F.month("warc_ts").alias("m")
@@ -379,6 +417,7 @@ class AlixEngine:
     def clades(self, top_terms: int = 100, axes: int = 2):
         """Correspondence-analysis factor map over lang parts
         (reference OpClades)."""
+        self._corpus_required("clades")
         parts = (
             self.corpus.select("url", F.col("lang").alias("part"))
             .join(url_ranks(self.corpus), "url")
@@ -412,8 +451,7 @@ class AlixEngine:
         doc-population's freq instead of the global cf
         (TermSuggest.java:141 population-scoped ranking)."""
         if population is not None:
-            if self.corpus is None:
-                raise ValueError("population-scoped suggest needs a corpus")
+            self._corpus_required("suggest(population=...)")
             pop_docs = (
                 self.corpus.filter(population)
                 .join(url_ranks(self.corpus), "url")
@@ -422,5 +460,32 @@ class AlixEngine:
             return suggest_mod.suggest_population(
                 self.rail().select("doc_id", "term"), pop_docs, q, top=top
             )
-        ts = self.spark.read.parquet(os.path.join(self.index_dir, "term_stats"))
-        return suggest_mod.suggest_folded(ts, q, top=top)
+        # global path: pyarrow scan of the cached term_stats handle —
+        # autocomplete is a per-keystroke serving op and must not pay a
+        # Spark job per call (same no-Spark rule as search/_member/
+        # _expand); ranking is asserted identical to suggest_folded
+        from alix_spark.lexicometry.suggest import _FOLD_MAP, fold_query
+
+        tbl = wand.term_stats_dataset(self.index_dir).to_table(
+            columns=["term", "cf"]
+        )
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {"term": tbl["term"].to_pylist(), "cf": tbl["cf"].to_pylist()}
+        )
+        qf = fold_query(q)
+        foldf = pdf["term"].str.translate(_FOLD_MAP).str.lower()
+        mask = (
+            foldf.str.startswith(qf) if len(qf) < 3
+            else foldf.str.contains(qf, regex=False)
+        )
+        hit = (
+            pdf[mask]
+            .sort_values(["cf", "term"], ascending=[False, True])
+            .head(top)
+        )
+        return self.spark.createDataFrame(
+            list(zip(hit["term"].tolist(), [int(c) for c in hit["cf"]])),
+            "term string, cf long",
+        )

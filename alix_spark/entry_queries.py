@@ -409,16 +409,17 @@ def q_time_histogram(spark, sf_dir):
     # accumulation orders (double sums are order-sensitive). Day
     # granularity: the synthetic events span one month, so a (y, m)
     # histogram had a single bucket — a near-vacuous oracle (VERDICT r1)
+    from alix_spark.lexicometry import histogram as histo_mod
+
     ev = _events(spark, sf_dir)
     return (
-        ev.groupBy(
-            F.year("ts").cast("long").alias("y"),
-            F.month("ts").cast("long").alias("m"),
-            F.dayofmonth("ts").cast("long").alias("d"),
-        )
-        .agg(
-            F.count("*").alias("docs"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+        histo_mod.time_histogram(ev, "ts", "value", "day")
+        .select(
+            F.year("bin").cast("long").alias("y"),
+            F.month("bin").cast("long").alias("m"),
+            F.dayofmonth("bin").cast("long").alias("d"),
+            "docs",
+            "total",
         )
         .orderBy("y", "m", "d")
     )
@@ -1174,10 +1175,13 @@ SELECT term, cf FROM tstats WHERE {pred}
 ORDER BY cf DESC, term ASC LIMIT 20
 """
 
+    # population-scoped suggest folds its matching exactly like
+    # suggest_folded (reference folds the suggest dictionary once)
+    _sp_qf = fold_query(SUGGEST_PREFIX)
     _sp_pred = (
-        f"starts_with(term, '{SUGGEST_PREFIX}')"
-        if len(SUGGEST_PREFIX) < 3
-        else f"contains(term, '{SUGGEST_PREFIX}')"
+        f"starts_with(translate(lower(term), '{FOLD_SRC}', '{FOLD_DST}'), '{_sp_qf}')"
+        if len(_sp_qf) < 3
+        else f"contains(translate(lower(term), '{FOLD_SRC}', '{FOLD_DST}'), '{_sp_qf}')"
     )
     sqls["suggest_population"] = f"""
 WITH {TOKS_CTE},
@@ -1251,13 +1255,13 @@ post AS (SELECT doc_id, count(*) AS tf FROM toks
          WHERE term = '{CHRONO_TERM}' GROUP BY doc_id),
 dfc AS (SELECT count(*) AS df FROM post),
 base AS (
-  SELECT d.doc_id % {CHRONO_BINS} AS bin, s.dl,
+  SELECT d.doc_id % {CHRONO_BINS} AS bin, coalesce(s.dl, 0) AS dl,
          coalesce(p.tf, 0) AS tf,
          CASE WHEN p.tf IS NOT NULL THEN
            ln(1.0 + (c.n - f.df + 0.5) / (f.df + 0.5))
              * (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * s.dl / c.avgdl))
          ELSE 0.0 END AS w
-  FROM documents d JOIN dstats s ON d.doc_id = s.doc_id
+  FROM documents d LEFT JOIN dstats s ON d.doc_id = s.doc_id
   LEFT JOIN post p ON d.doc_id = p.doc_id, cstats c, dfc f
 )
 SELECT bin, count(*) AS docs, sum(dl) AS tokens, sum(tf) AS hits,

@@ -20,13 +20,22 @@ def time_histogram(
     value_col: str | None = "value",
     bin_: str = "month",
 ) -> DataFrame:
-    """(bin, docs, total) histogram over a timestamp column."""
+    """(bin, docs, total) histogram over a timestamp column.
+
+    The value channel sums over DECIMAL(18,2) and casts back to
+    double: exact, so bit-identical across engines AND accumulation
+    orders — a double sum is order-sensitive and would diverge from
+    any fixed-order oracle (this is the form the driver contract
+    checks; ``round6`` would only absorb, not remove, the order
+    dependence)."""
     key = F.date_trunc(bin_, F.col(ts_col)).alias("bin")
     aggs = [F.count("*").alias("docs")]
     if value_col:
-        # floor-based round6, never native round() — Spark HALF_UP vs
-        # DuckDB half-even diverge on exact .5 (repo-wide convention)
-        aggs.append(round6(F.sum(value_col)).alias("total"))
+        aggs.append(
+            F.sum(F.col(value_col).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total")
+        )
     return df.groupBy(key).agg(*aggs).orderBy("bin")
 
 
@@ -66,7 +75,10 @@ def chrono_channels(
     )
     dfc = post.agg(F.count("*").alias("df"))
     base = (
-        doc_bins.join(dstats, "doc_id")
+        # LEFT join: a zero-token doc (empty page, all-stopword
+        # boilerplate) has no dstats row but still counts in its bin's
+        # docs channel — the reference fills EVERY population doc
+        doc_bins.join(dstats, "doc_id", "left")
         .join(post, "doc_id", "left")
         .crossJoin(F.broadcast(cstats))
         .crossJoin(F.broadcast(dfc))
@@ -85,7 +97,7 @@ def chrono_channels(
     return (
         base.select(
             "bin",
-            "dl",
+            F.coalesce(F.col("dl"), F.lit(0)).alias("dl"),
             F.coalesce(F.col("tf"), F.lit(0)).alias("tf"),
             w.alias("w"),
         )

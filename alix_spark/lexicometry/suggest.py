@@ -38,12 +38,16 @@ def suggest_population(
     ``tok``: (doc_id, term) token table; ``pop_docs``: (doc_id) of the
     population. The population is a filter result (usually ≪ corpus),
     broadcast onto the token scan; ranking freq is computed on the
-    surviving tokens only."""
-    q = q.lower()
-    if len(q) < 3:
-        pred = F.col("term").startswith(q)
+    surviving tokens only. Matching is diacritic/case-folded exactly
+    like :func:`suggest_folded` — the reference folds the suggest
+    dictionary once, so the population-scoped path must not silently
+    lose accented or capitalized terms the global path returns."""
+    qf = fold_query(q)
+    folded = _fold_expr(F.col("term"))
+    if len(qf) < 3:
+        pred = folded.startswith(qf)
     else:
-        pred = F.col("term").contains(q)
+        pred = folded.contains(qf)
     return (
         tok.join(F.broadcast(pop_docs.select("doc_id")), "doc_id")
         .filter(pred)
@@ -58,8 +62,11 @@ def suggest_population(
 # Spark and DuckDB (the reference ASCII-folds with Lucene's
 # ASCIIFoldingFilter; this 1:1 table covers the French repertoire, with
 # the ligatures œ/æ folded to their first letter on both sides)
-FOLD_SRC = "àâäáãéèêëíìîïñóòôöõúùûüçýÿœæÀÂÄÁÃÉÈÊËÍÌÎÏÑÓÒÔÖÕÚÙÛÜÇÝŒÆ"
-FOLD_DST = "aaaaaeeeeiiiinooooouuuucyyoaAAAAAEEEEIIIINOOOOOUUUUCYOA"
+FOLD_SRC = "àâäáãéèêëíìîïñóòôöõúùûüçýÿœæÀÂÄÁÃÉÈÊËÍÌÎÏÑÓÒÔÖÕÚÙÛÜÇÝŸŒÆ"
+FOLD_DST = "aaaaaeeeeiiiinooooouuuucyyoaAAAAAEEEEIIIINOOOOOUUUUCYYOA"
+# the uppercase table must cover every lowercase entry's uppercase (Ÿ
+# included): only then do translate∘lower (the DuckDB oracle's order)
+# and lower∘translate (the Spark column order) agree on every input
 assert len(FOLD_SRC) == len(FOLD_DST)
 _FOLD_MAP = {ord(s): d for s, d in zip(FOLD_SRC, FOLD_DST)}
 

@@ -277,3 +277,61 @@ def test_theme_weights_cached_once(engine):
     # facade terms() serves from the cache with the same tie-break
     top = [r["term"] for r in engine.terms(top=10).collect()]
     assert len(top) == 10
+
+
+def test_engine_suggest_no_spark_job_matches_folded(engine):
+    """engine.suggest's global path (pyarrow term_stats scan) ranks
+    identically to lexicometry.suggest_folded on the same stats."""
+    import os
+
+    from alix_spark.lexicometry import suggest as sg
+
+    ts = engine.spark.read.parquet(
+        os.path.join(engine.index_dir, "term_stats")
+    )
+    for q in ["vi", "gue", "a"]:
+        want = [tuple(r) for r in sg.suggest_folded(ts, q, top=10).collect()]
+        got = [tuple(r) for r in engine.suggest(q, top=10).collect()]
+        assert got == want, q
+
+
+def test_engine_index_only_guards(spark, engine):
+    """Index-only handles raise a clear ValueError on corpus ops."""
+    from pyspark.sql import functions as F
+
+    from alix_spark.engine import AlixEngine
+
+    bare = AlixEngine(spark, engine.index_root)
+    for call in (
+        lambda: bare.chrono(),
+        lambda: bare.clades(),
+        lambda: bare.terms(focus=F.col("lang") == "fr"),
+        lambda: bare.suggest("vi", population=F.col("lang") == "fr"),
+    ):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="corpus"):
+            call()
+
+
+def test_null_html_rows_build_cleanly(spark, tmp_path):
+    """A failed-fetch row (html NULL) yields zero tokens instead of
+    killing the build (review regression)."""
+    from alix_spark.analysis.chain import analyze, extract_text
+    from alix_spark.engine import AlixEngine
+
+    assert analyze(None) == [] and extract_text(None) == ""
+    from pyspark.sql import functions as FF
+
+    from alix_spark.corpus import webtext
+
+    corpus = webtext.webtext(spark, 10, seed=2, partitions=2)
+    # one deterministic failed-fetch row
+    nulled = corpus.withColumn(
+        "html",
+        FF.when(FF.col("url").endswith("1"), FF.lit(None)).otherwise(
+            FF.col("html")
+        ),
+    )
+    eng = AlixEngine.build(spark, nulled, str(tmp_path / "nullix"), n_shards=2)
+    assert eng.meta["corpus_docs"] > 0

@@ -302,3 +302,50 @@ def test_kwic_lone_occurrence_kept(spark):
             for r in kwic.kwic(sdf, "pivot", width=2, limit=10).collect()}
     assert rows[(1, 0)] == ("", "")
     assert rows[(2, 0)] == ("", "next")
+
+
+def test_suggest_population_is_folded(spark):
+    """Population-scoped suggest folds its matching like suggest_folded:
+    accented/capitalized terms must not silently vanish from the
+    population path (review regression)."""
+    from alix_spark.lexicometry import suggest as sg
+
+    tok = spark.createDataFrame(
+        [(1, "école"), (1, "école"), (1, "Écologie"), (2, "autre")],
+        "doc_id long, term string",
+    )
+    pop = spark.createDataFrame([(1,)], "doc_id long")
+    got = [tuple(r) for r in sg.suggest_population(tok, pop, "eco").collect()]
+    assert got == [("école", 2), ("Écologie", 1)]
+
+
+def test_fold_orders_agree_including_uppercase_y(spark):
+    """lower∘translate (Spark column) and translate∘lower (DuckDB
+    oracle) must agree on every char — including Ÿ (U+0178), which the
+    table previously missed."""
+    from alix_spark.lexicometry.suggest import (
+        FOLD_DST, FOLD_SRC, _FOLD_MAP, fold_query,
+    )
+
+    probe = "Ÿàâ ÉÈ Œuf Haÿ" + FOLD_SRC
+    spark_order = probe.translate(_FOLD_MAP).lower()  # translate∘lower? no:
+    # fold_query = translate then lower; oracle = lower then translate
+    lower_first = probe.lower().translate(_FOLD_MAP)
+    assert spark_order == lower_first
+    assert fold_query("Ÿves") == "yves"
+
+
+def test_chrono_channels_counts_zero_token_docs(spark):
+    """A doc with no tokens still lands in its bin's docs channel
+    (reference HistoNum fills every population doc)."""
+    from alix_spark.lexicometry.histogram import chrono_channels
+
+    tok = spark.createDataFrame(
+        [(1, 0, "guerre"), (1, 1, "paix")], "doc_id long, pos int, term string"
+    )
+    bins = spark.createDataFrame(
+        [(1, 0), (2, 1)], "doc_id long, bin long"  # doc 2: zero tokens
+    )
+    rows = {r["bin"]: r.asDict() for r in chrono_channels(tok, bins, "guerre").collect()}
+    assert rows[1]["docs"] == 1 and rows[1]["tokens"] == 0
+    assert rows[0]["docs"] == 1 and rows[0]["hits"] == 1
