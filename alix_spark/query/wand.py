@@ -618,6 +618,23 @@ def _term_score_map(blocks: pd.DataFrame, idf: float, avgdl: float) -> dict[int,
     return out
 
 
+def phrase_shard_matches(
+    blocks: pd.DataFrame, terms: list[str], slop: int, ordered: bool
+) -> list[tuple[int, int, int]]:
+    """Per-shard phrase matching over a multi-shard block table →
+    [(doc_id, n_matches, dl)] — THE shard loop (group by shard, skip a
+    shard missing any query term, match the rest), shared by the
+    serving path, the scoring map, and the SQL surface so the skip
+    guard can never silently diverge between them."""
+    out: list[tuple[int, int, int]] = []
+    for _shard, g in blocks.groupby("shard", sort=False):
+        tb = {t: tg for t, tg in g.groupby("term", sort=False)}
+        if len(tb) < len(set(terms)):
+            continue
+        out.extend(_phrase_match_docs(tb, terms, slop, ordered))
+    return out
+
+
 def _phrase_score_map(
     blocks: pd.DataFrame, terms: list[str], slop: int, ordered: bool,
     n_docs: int, avgdl: float,
@@ -625,12 +642,7 @@ def _phrase_score_map(
     """doc → BM25 contribution of a phrase clause, scored as one
     synthetic term (tf = match count, df = matching docs) — same
     semantics as phrase_topk, evaluated on the serving node."""
-    matches: list[tuple[int, int, int]] = []
-    for _shard, g in blocks.groupby("shard", sort=False):
-        tb = {t: tg for t, tg in g.groupby("term", sort=False)}
-        if len(tb) < len(set(terms)):
-            continue
-        matches.extend(_phrase_match_docs(tb, terms, slop, ordered))
+    matches = phrase_shard_matches(blocks, terms, slop, ordered)
     if not matches:
         return {}
     df = len(matches)  # doc-sharded: shards are disjoint doc sets

@@ -20,6 +20,12 @@ from pyspark.sql import SparkSession
 from pyspark.sql.functions import udtf
 
 
+def _csv_terms(terms: str | None) -> list[str]:
+    """'a, b' → ['a', 'b'] — natural SQL input carries spaces, and an
+    unstripped ' b' silently matches nothing in the dictionary."""
+    return [t.strip() for t in (terms or "").split(",") if t.strip()]
+
+
 @udtf(returnType="doc_id bigint, score double")
 class Bm25Udtf:
     """alix_bm25(index_dir, csv_terms, k, mode) → (doc_id, score)."""
@@ -27,7 +33,7 @@ class Bm25Udtf:
     def eval(self, index_dir: str, terms: str, k: int = 10, mode: str = "and"):
         from alix_spark.query.wand import query_local
 
-        term_list = [t for t in (terms or "").split(",") if t]
+        term_list = _csv_terms(terms)
         for doc_id, score in query_local(index_dir, term_list, k=int(k), mode=mode):
             yield int(doc_id), float(score)
 
@@ -37,21 +43,19 @@ class PhraseUdtf:
     """alix_phrase(index_dir, csv_terms, slop, k) → (doc_id, tf)."""
 
     def eval(self, index_dir: str, terms: str, slop: int = 0, k: int = 10):
-        from alix_spark.query.wand import _load_blocks, _phrase_match_docs
+        from alix_spark.query.wand import _load_blocks, phrase_shard_matches
 
-        term_list = [t for t in (terms or "").split(",") if t]
+        term_list = _csv_terms(terms)
         # cached, republish-invalidated dataset handle — no directory
-        # re-listing per invocation (wand serving-path cache)
+        # re-listing per invocation (wand serving-path cache); the
+        # shard loop is wand's shared one
         pdf = _load_blocks(index_dir, term_list, positions=True)
-        hits: list[tuple[int, int]] = []
-        for _shard, g in pdf.groupby("shard", sort=False):
-            tb = {t: tg for t, tg in g.groupby("term", sort=False)}
-            if len(tb) < len(set(term_list)):
-                continue
-            for doc, n, _dl in _phrase_match_docs(
-                tb, term_list, int(slop), True
-            ):
-                hits.append((doc, n))
+        hits = [
+            (doc, n)
+            for doc, n, _dl in phrase_shard_matches(
+                pdf, term_list, int(slop), True
+            )
+        ]
         hits.sort(key=lambda t: (-t[1], t[0]))
         for doc, n in hits[: int(k)]:
             yield int(doc), int(n)
@@ -66,22 +70,48 @@ class SuggestUdtf:
 
     def eval(self, index_dir: str, q: str, k: int = 10):
         from alix_spark.lexicometry.suggest import fold_query
-        from alix_spark.query.wand import term_stats_dataset
 
         qf = fold_query(q or "")
-        # cached handle; the folded scan itself stays full-vocabulary —
-        # the reference's TermSuggest is likewise a whole-dictionary
-        # folded string scan (TermSuggest.java:1-28)
-        tbl = term_stats_dataset(index_dir).to_table(columns=["term", "cf"])
-        rows = []
-        for term, cf in zip(tbl["term"].to_pylist(), tbl["cf"].to_pylist()):
-            folded = fold_query(term)
+        # the folded vocabulary is computed ONCE per publish (cached
+        # against the dataset handle's identity, which _datasets swaps
+        # on republish) — per-call work is one scan over it, not a
+        # re-fold of every term (lateral use is O(rows·V) either way,
+        # but without the O(V) string-translate per row)
+        for term, folded, cf in _folded_vocab(index_dir):
             ok = folded.startswith(qf) if len(qf) < 3 else qf in folded
             if ok:
-                rows.append((term, cf))
-        rows.sort(key=lambda t: (-t[1], t[0]))
-        for term, cf in rows[: int(k)]:
-            yield term, int(cf)
+                yield term, int(cf)
+                k -= 1
+                if k <= 0:
+                    return
+
+
+_FOLDED_VOCAB: dict[str, tuple[object, list[tuple[str, str, int]]]] = {}
+
+
+def _folded_vocab(index_dir: str) -> list[tuple[str, str, int]]:
+    """(term, folded_term, cf) for the whole dictionary, pre-sorted by
+    (cf desc, term asc) so a scan in order IS the ranking; invalidated
+    when the serving cache swaps its dataset handle (republish)."""
+    from alix_spark.lexicometry.suggest import fold_query
+    from alix_spark.query.wand import term_stats_dataset
+
+    dset = term_stats_dataset(index_dir)
+    hit = _FOLDED_VOCAB.get(index_dir)
+    if hit is not None and hit[0] is dset:
+        return hit[1]
+    tbl = dset.to_table(columns=["term", "cf"])
+    rows = sorted(
+        (
+            (term, fold_query(term), int(cf))
+            for term, cf in zip(
+                tbl["term"].to_pylist(), tbl["cf"].to_pylist()
+            )
+        ),
+        key=lambda t: (-t[2], t[0]),
+    )
+    _FOLDED_VOCAB[index_dir] = (dset, rows)
+    return rows
 
 
 def register(spark: SparkSession) -> None:

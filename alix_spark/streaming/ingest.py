@@ -53,7 +53,13 @@ def _write_batch(batch_df: DataFrame, batch_id: int, staging_dir: str) -> None:
     # cross-batch case is resolved at compaction by batch_id)
     from pyspark.sql import Window
 
-    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+    # content-hash tiebreak: two fetches of a url in the SAME second
+    # (mirrors, duplicate WARC records) must pick a deterministic
+    # winner — a bare warc_ts order would leave it to shuffle order,
+    # breaking replay/cross-parallelism bit-identity
+    w = Window.partitionBy("url").orderBy(
+        F.desc("warc_ts"), F.desc(F.md5(F.col("html")))
+    )
     batch_df = (
         batch_df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -128,7 +134,11 @@ def compact(
     ).select("url", F.col("w.batch_id").alias("batch_id"))
 
     tok = spark.read.parquet(os.path.join(staging_dir, "tokens"))
-    live = tok.join(F.broadcast(latest), ["url", "batch_id"])
+    # plain shuffle join: `latest` holds EVERY distinct url of the
+    # crawl history — months of micro-batches make it far too large to
+    # broadcast (the repo rule: never driver-size a url dictionary);
+    # AQE still broadcasts it while it is genuinely small
+    live = tok.join(latest, ["url", "batch_id"])
 
     ids = url_ranks(pages.select("url").distinct())
     tok_ids = live.join(ids, "url").select("doc_id", "pos", "term")

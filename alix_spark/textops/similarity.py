@@ -3,9 +3,11 @@ approximate variant.
 
 Brute force is the exactness baseline (oracle-checkable); the
 random-hyperplane LSH variant is the 100 TB path — bucket vectors by
-sign pattern against seeded hyperplanes, search only within bucket
-(plus Hamming-1 neighbour probes), so the candidate join is near-linear
-instead of O(n·m).
+sign pattern against seeded hyperplanes and search only within the
+EXACT bucket (no multiprobe: Hamming-1 neighbour probing would raise
+recall ~n_planes× at ~n_planes× the candidates; size ``n_planes``
+accordingly — the recall test pins the exact-bucket behavior), so the
+candidate join is near-linear instead of O(n·m).
 
 All vector math stays JVM-side (`zip_with` + `aggregate` fold) for the
 brute-force scorer; the LSH signature uses one vectorized numpy
@@ -99,7 +101,10 @@ def lsh_signatures(
 
     def gen(it):
         for pdf in it:
-            m = np.stack(pdf[vec_col].to_numpy())
+            # float64 like ivf_assign (and the float64 oracle
+            # literals): float32 input must not compute signs in
+            # float32 and bucket differently than the contract's SQL
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             signs = (m @ planes.T) > 0
             buckets = (signs * (1 << np.arange(n_planes))).sum(axis=1)
             yield pd.DataFrame({"vec_id": pdf[id_col], "bucket": buckets.astype(np.int64)})
@@ -166,11 +171,22 @@ def ivf_centroids(
     identical at any parallelism. At 10^12 vectors the sample is still
     a driver-sized array (training data ≪ corpus, the standard IVF
     recipe); assignment below is the distributed part."""
+    key = F.concat_ws(",", F.col(vec_col).cast("array<string>"))
     rows = (
-        emb.select(vec_col).orderBy(F.crc32(F.concat_ws(",", F.col(vec_col)
-            .cast("array<string>")))).limit(sample).collect()
+        # the string key itself tie-breaks crc32 collisions (~n²/2³²
+        # expected pairs): sample membership and order must be
+        # identical at any parallelism, and a bare 32-bit hash order
+        # leaves collision pairs scheduler-ordered
+        emb.select(F.col(vec_col).alias(vec_col), key.alias("_k"))
+        .orderBy(F.crc32(F.col("_k")), F.col("_k"))
+        .limit(sample)
+        .collect()
     )
     x = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    if dim and x.shape[1] != dim:
+        raise ValueError(
+            f"embedding width {x.shape[1]} != declared dim {dim}"
+        )
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)
     cent = x[rng.choice(x.shape[0], size=min(n_lists, x.shape[0]), replace=False)]
@@ -238,7 +254,12 @@ def ann_ivf_topk(
         for li in top_lists:
             probes.append((r["q_id"], int(li)))
     spark = emb.sparkSession
-    probe_df = spark.createDataFrame(probes, "q_id long, list_id long")
+    # q_id keeps the queries table's own id type (string term keys,
+    # long vec ids, …) — only list_id is fixed
+    q_id_type = queries.schema["q_id"].dataType.simpleString()
+    probe_df = spark.createDataFrame(
+        probes, f"q_id {q_id_type}, list_id long"
+    )
 
     cand = (
         emb.join(assign, "vec_id")

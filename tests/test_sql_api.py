@@ -56,3 +56,14 @@ def test_sql_unknown_terms_empty(spark, sql_index):
         ).count()
         == 0
     )
+
+
+def test_csv_terms_stripped(spark, sql_index):
+    """'a, b' with natural spaces must match like 'a,b' (review fix)."""
+    a = spark.sql(
+        f"SELECT * FROM alix_bm25('{sql_index}', 'hash, join', 5, 'and')"
+    ).collect()
+    b = spark.sql(
+        f"SELECT * FROM alix_bm25('{sql_index}', 'hash,join', 5, 'and')"
+    ).collect()
+    assert a == b and a
