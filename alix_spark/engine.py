@@ -56,17 +56,9 @@ def _fold_clause(c, fold):
     return c
 
 
-def _flip_leading_case(text: str) -> str | None:
-    """The token with its first code point's case inverted, or None
-    when there is no distinct opposite case
-    (SpanQueryParser.java:327-346 flipLeadingCase)."""
-    if not text:
-        return None
-    head = text[0]
-    other = head.lower() if head.isupper() else head.upper()
-    if other == head:
-        return None
-    return other + text[1:]
+# one home for the case-flip rule (the in-memory and pushdown wildcard
+# expanders must agree): parser.flip_leading_case
+_flip_leading_case = parser.flip_leading_case
 
 
 class AlixEngine:

@@ -1153,7 +1153,7 @@ pairs AS (
 SELECT p.a, p.b, p.n_ab, ma.n_t AS n_a, mb.n_t AS n_b,
        {sql_round6("ln(CAST(p.n_ab AS DOUBLE) * nt.n / (CAST(ma.n_t AS DOUBLE) * mb.n_t))")} AS pmi,
        {sql_round6("2.0 * p.n_ab / (CAST(ma.n_t AS DOUBLE) + mb.n_t)")} AS dice,
-       {sql_round6("CAST(p.n_ab AS DOUBLE) / (ma.n_t + mb.n_t - p.n_ab)")} AS jaccard
+       {sql_round6("CASE WHEN p.n_ab >= nt.n THEN 1.0 ELSE ln(CAST(p.n_ab AS DOUBLE) * nt.n / (CAST(ma.n_t AS DOUBLE) * mb.n_t)) / ln(CAST(nt.n AS DOUBLE) / p.n_ab) END")} AS npmi
 FROM pairs p
 JOIN marg ma ON ma.term = p.a
 JOIN marg mb ON mb.term = p.b, nt

@@ -104,10 +104,7 @@ def cooc_profile(
         Window.partitionBy("term").orderBy("dist")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    wtot = Window.partitionBy("term")
-    ranked = per_tick.withColumn(
-        "cum_freq", F.sum("freq").over(wcum)
-    ).withColumn("total", F.sum("freq").over(wtot))
+    ranked = per_tick.withColumn("cum_freq", F.sum("freq").over(wcum))
     topterms = (
         neigh.groupBy("term").agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), F.asc("term")).limit(top).select("term")
@@ -129,11 +126,25 @@ def cooc_matrix(
     mutual-information family over cell count, marginals, and N).
 
     Pairs (a < b) of the given node terms co-occurring within ±window
-    in the same doc; each unordered occurrence pair counts once.
+    in the same doc. Pair counting is by occurrence MULTIPLICITY, like
+    the reference (CoocMatSnippets.java:50-52: a term occurring r times
+    and another c times in one window contribute r·c to the cell) —
+    which is why dice here is the reference's unbounded-under-
+    multiplicity form (AssociationMeasure.LogDice's core), not a
+    set-Jaccard family: a set-style jaccard over these counts can
+    exceed its bounds or divide by zero, so the third measure is the
+    reference's NPMI (AssociationMeasure.Npmi: pmi/−log p(a,b), −1 at
+    never-co-occur, 1 at always) instead.
     Measures: pmi = ln(n_ab·N/(n_a·n_b)), dice = 2·n_ab/(n_a+n_b),
-    jaccard = n_ab/(n_a+n_b−n_ab)."""
+    npmi = ln(n_ab·N/(n_a·n_b)) / ln(N/n_ab), clamped to 1 when the
+    multiplicity count reaches N (the reference's pCooc ≥ 1 branch —
+    under r·c counting n_ab may exceed N, where the probability form
+    is undefined)."""
     sel = tok.filter(F.col("term").isin(terms)).select("doc_id", "pos", "term")
-    n_total = tok.count()
+    # N via a broadcast 1-row agg INSIDE the plan — an eager tok.count()
+    # here would run a full scan at DataFrame-construction time and
+    # scan the token table twice
+    ntot = tok.agg(F.count("*").cast("double").alias("n_corpus"))
     marg = sel.groupBy("term").agg(F.count("*").alias("n_t"))
     pairs = (
         sel.alias("x")
@@ -153,15 +164,20 @@ def cooc_matrix(
     na = F.col("n_a").cast("double")
     nb = F.col("n_b").cast("double")
     nab = F.col("n_ab").cast("double")
-    n = F.lit(float(n_total))
+    n = F.col("n_corpus")
     return (
         pairs.join(F.broadcast(marg.withColumnRenamed("term", "a").withColumnRenamed("n_t", "n_a")), "a")
         .join(F.broadcast(marg.withColumnRenamed("term", "b").withColumnRenamed("n_t", "n_b")), "b")
+        .crossJoin(F.broadcast(ntot))
         .select(
             "a", "b", "n_ab", "n_a", "n_b",
             round6(F.log(nab * n / (na * nb))).alias("pmi"),
             round6(2.0 * nab / (na + nb)).alias("dice"),
-            round6(nab / (na + nb - nab)).alias("jaccard"),
+            round6(
+                F.when(nab >= n, F.lit(1.0)).otherwise(
+                    F.log(nab * n / (na * nb)) / F.log(n / nab)
+                )
+            ).alias("npmi"),
         )
         .orderBy("a", "b")
     )

@@ -46,7 +46,14 @@ def parts_from_numeric(
 
     Docs with a NULL value are EXCLUDED, like the reference's byte map
     rejecting unassigned docs (``NO_PART = -1``) — not silently routed
-    into the top range part (ADVICE r1)."""
+    into the top range part (ADVICE r1). NaN is excluded the same way:
+    in Spark SQL NaN compares greater than every double, so it would
+    otherwise fall through every range ``when()`` straight into the
+    ``>=bn`` part."""
+    if not bounds:
+        raise ValueError("bounds must name at least one boundary")
+    if list(bounds) != sorted(bounds):
+        raise ValueError(f"bounds must be ascending: {bounds}")
     if len(bounds) + 1 > MAX_PARTS:
         raise ValueError(f"at most {MAX_PARTS} parts (reference byte map)")
     expr = F.when(F.col(col) < bounds[0], F.lit(f"<{bounds[0]}"))
@@ -55,7 +62,8 @@ def parts_from_numeric(
             (F.col(col) >= lo) & (F.col(col) < hi), F.lit(f"[{lo},{hi})")
         )
     expr = expr.otherwise(F.lit(f">={bounds[-1]}"))
-    return df.filter(F.col(col).isNotNull()).select(
+    keep = F.col(col).isNotNull() & ~F.isnan(F.col(col).cast("double"))
+    return df.filter(keep).select(
         F.col(id_col).alias("doc_id"), expr.alias("part")
     )
 
@@ -100,7 +108,9 @@ def partition_keyness(
     Returns (term, score) top-k, score desc then term asc.
     scorer: 'min' (LogLikelihood strict dominance) or 'tail'
     (LogLikelihoodTail, mean of worst 20%)."""
-    t = tok.join(F.broadcast(doc_parts), "doc_id")
+    from alix_spark.util import maybe_broadcast
+
+    t = tok.join(maybe_broadcast(doc_parts), "doc_id")  # per-doc labels grow with the corpus
 
     part_tokens = t.groupBy("part").agg(F.count("*").alias("part_toks"))
     term_part = t.groupBy("term", "part").agg(F.count("*").alias("freq"))

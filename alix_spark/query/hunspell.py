@@ -53,6 +53,7 @@ class Hunspell:
         self.words: dict[str, set[str]] = {}   # headword → flags
         self.sfx: dict[str, list[_Rule]] = {}  # flag → rules
         self.pfx: dict[str, list[_Rule]] = {}
+        self.flag_mode = "char"  # FLAG directive: char | long | num
 
     # ------------------------------------------------------- loading
 
@@ -75,14 +76,26 @@ class Hunspell:
     def _parse_aff(self, text: str) -> None:
         for line in text.splitlines():
             parts = line.split()
+            if len(parts) >= 2 and parts[0] == "FLAG":
+                # flag systems (hunspell(5)): default 1-char, 'long'
+                # 2-char pairs, 'num' comma-separated integers — the
+                # standard French dictionaries (Dicollecte) use 'long',
+                # where per-character flag reads silently derive zero
+                # roots
+                self.flag_mode = parts[1].strip().lower()
+                continue
             if len(parts) >= 4 and parts[0] in ("SFX", "PFX"):
                 if parts[2] in ("Y", "N") and parts[3].isdigit():
                     continue  # class header "SFX flag cross count"
                 if len(parts) < 5:
                     continue
                 kind, flag, strip, add, cond = parts[:5]
-                strip = "" if strip == "0" else strip
+                # strip/condition text folds like headwords and adds —
+                # an unfolded curly apostrophe in a rule could never
+                # match the folded words dict
+                strip = "" if strip == "0" else _fold(strip)
                 add = "" if add == "0" else _fold(add.split("/")[0])
+                cond = _fold(cond)
                 rx = ".*" if cond == "." else (
                     cond + "$" if kind == "SFX" else "^" + cond
                 )
@@ -90,6 +103,15 @@ class Hunspell:
                 (self.sfx if kind == "SFX" else self.pfx).setdefault(
                     flag, []
                 ).append(rule)
+
+    def _split_flags(self, flags: str) -> list[str]:
+        """One flag token → flag list per the declared FLAG mode."""
+        mode = getattr(self, "flag_mode", "char")
+        if mode == "long":
+            return [flags[i : i + 2] for i in range(0, len(flags) - 1, 2)]
+        if mode == "num":
+            return [f for f in flags.split(",") if f]
+        return list(flags)
 
     def _parse_dic(self, text: str) -> None:
         lines = text.splitlines()
@@ -107,7 +129,9 @@ class Hunspell:
                 m = re.search(r"\s+[a-z]{2}:", head)
                 if m:
                     head = head[: m.start()]
-            self.words.setdefault(_fold(head.strip()), set()).update(flags)
+            self.words.setdefault(_fold(head.strip()), set()).update(
+                self._split_flags(flags)
+            )
 
     # -------------------------------------------------------- lookup
 

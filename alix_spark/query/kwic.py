@@ -27,13 +27,15 @@ def kwic(
     """(doc_id, pos, left_ctx, right_ctx) for each occurrence of
     ``term``; contexts are space-joined terms in position order within
     ±width. Ordered (doc_id, pos) with a deterministic limit."""
+    from alix_spark.util import maybe_broadcast
+
     hits = tok.filter(F.col("term") == term).select(
         F.col("doc_id").alias("h_doc"), F.col("pos").alias("h_pos")
     )
     band = (
         tok.alias("t")
         .join(
-            F.broadcast(hits),
+            maybe_broadcast(hits),  # stop-word-grade terms must not broadcast
             (F.col("t.doc_id") == F.col("h_doc"))
             & (F.col("t.pos") >= F.col("h_pos") - width)
             & (F.col("t.pos") <= F.col("h_pos") + width)

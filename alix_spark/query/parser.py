@@ -99,17 +99,41 @@ def glob_to_regex(pattern: str) -> re.Pattern:
     )
 
 
+def flip_leading_case(text: str) -> str | None:
+    """The token with its first code point's case inverted, or None
+    when there is no distinct opposite case
+    (SpanQueryParser.java:327-346 flipLeadingCase)."""
+    if not text:
+        return None
+    head = text[0]
+    other = head.lower() if head.isupper() else head.upper()
+    if other == head:
+        return None
+    return other + text[1:]
+
+
 def expand_wildcard(pattern: str, vocabulary: list[str]) -> list[str]:
-    """Glob → matching index terms, capped (reference :579-591; the
-    leading-case-flip alternative is covered because the chain
-    lowercases unknown titlecase forms)."""
-    rx = glob_to_regex(pattern)
-    out = []
-    for t in vocabulary:
-        if rx.match(t):
-            out.append(t)
-            if len(out) >= MAX_EXPANSIONS:
-                break
+    """Glob → matching index terms, capped, PLUS the leading-case-flip
+    alternative (reference :579-591 + flipLeadingCase :327-346): the
+    chain indexes PROPN surface forms titlecase, so ``pari*`` must also
+    match ``Paris`` — each spelling expands under its own cap, union
+    dedups (same contract as engine._expand, the pushdown twin)."""
+
+    def one(pat: str) -> list[str]:
+        rx = glob_to_regex(pat)
+        out = []
+        for t in vocabulary:
+            if rx.match(t):
+                out.append(t)
+                if len(out) >= MAX_EXPANSIONS:
+                    break
+        return out
+
+    out = one(pattern)
+    flipped = flip_leading_case(pattern)
+    if flipped is not None:
+        seen = set(out)
+        out = out + [t for t in one(flipped) if t not in seen]
     return out
 
 

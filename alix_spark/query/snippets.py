@@ -37,13 +37,15 @@ def snippet_topk(
     Returns (doc_id, pos, n_terms, score): window center (the match
     position), distinct scored terms in the ±width window, and the
     theme-weight sum; ordered score desc, doc_id asc, pos asc."""
+    from alix_spark.util import maybe_broadcast
+
     hits = tok.filter(F.col("term").isin(sorted(set(query_terms)))).select(
         F.col("doc_id").alias("h_doc"), F.col("pos").alias("h_pos")
     )
     window_terms = (
         tok.alias("t")
         .join(
-            F.broadcast(hits),
+            maybe_broadcast(hits),  # guarded: common query terms
             (F.col("t.doc_id") == F.col("h_doc"))
             & (F.col("t.pos") >= F.col("h_pos") - width)
             & (F.col("t.pos") <= F.col("h_pos") + width),
@@ -56,7 +58,9 @@ def snippet_topk(
         .distinct()  # each distinct term counts once per window (ThemeWords)
     )
     scored = (
-        window_terms.join(F.broadcast(weights.select("term", "score")), "term")
+        window_terms.join(
+            maybe_broadcast(weights.select("term", "score")), "term"
+        )  # guarded: a web-scale vocabulary's weights are not driver-size
         .groupBy("doc_id", "pos")
         .agg(
             F.count("*").alias("n_terms"),
@@ -80,16 +84,20 @@ def hilite(src: str, query_terms: list[str], open_tag: str = "<mark>",
     INDEXED form (lemma-projected), and the highlight splices its
     source span; ``tagger`` selects the maxent path like the build.
     Only indexable tokens can highlight — stopwords and cleanup-dropped
-    tokens don't match, mirroring what the index can actually find."""
+    tokens don't match, mirroring what the index can actually find.
+    Matching is CASE-SENSITIVE like every index-side lookup (WAND,
+    kwic, member): a lowercased comparison here would highlight
+    'Paris' for a query the search layer reported as matching
+    nothing."""
     from alix_spark.analysis.filters import run_chain
     from alix_spark.analysis.tokenizer import tokenize
 
-    want = {t.lower() for t in query_terms}
+    want = set(query_terms)
     spans = []
     for term, _pos, _tag, _lemma, start, end in run_chain(
         tokenize(src), tagger=tagger, with_offsets=True
     ):
-        if term.lower() in want:
+        if term in want:
             spans.append((start, end))
     # splice right-to-left so earlier offsets stay valid
     out = src

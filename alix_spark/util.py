@@ -129,6 +129,21 @@ def dense_ranks(
     )
 
 
+MAX_BROADCAST_ROWS = 2_000_000
+
+
+def maybe_broadcast(df, max_rows: int = MAX_BROADCAST_ROWS):
+    """Broadcast hint only while the side is GENUINELY small (one
+    count job decides). An unconditional ``F.broadcast`` on a
+    data-dependent side — query-term hits, the vocabulary weights, a
+    per-doc label table — ships the whole set to every executor and
+    can OOM the driver on a stop-word-grade term or a web-scale
+    vocabulary; above the cap the plain shuffle join is the correct
+    plan (and AQE may still choose broadcast from real sizes)."""
+    n = df.count()
+    return F.broadcast(df) if n <= max_rows else df
+
+
 def balance_partitions(df, min_parts: int | None = None):
     """Small-file guard: a table read from one or two parquet files
     arrives as 1-2 input splits, which SERIALIZES every downstream

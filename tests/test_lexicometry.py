@@ -349,3 +349,46 @@ def test_chrono_channels_counts_zero_token_docs(spark):
     rows = {r["bin"]: r.asDict() for r in chrono_channels(tok, bins, "guerre").collect()}
     assert rows[1]["docs"] == 1 and rows[1]["tokens"] == 0
     assert rows[0]["docs"] == 1 and rows[0]["hits"] == 1
+
+
+def test_cooc_matrix_npmi_bounds(spark):
+    """npmi replaces the multiplicity-broken jaccard: bounded (-1, 1]
+    even when cross-multiplicity pushes dice above 1."""
+    from alix_spark.lexicometry.cooc import cooc_matrix
+
+    tok = spark.createDataFrame(
+        [(1, p, t) for p, t in enumerate(["a", "b", "a", "b", "a", "b", "x", "y"])],
+        "doc_id long, pos int, term string",
+    )
+    rows = {(r["a"], r["b"]): r.asDict() for r in cooc_matrix(tok, ["a", "b"], window=5).collect()}
+    ab = rows[("a", "b")]
+    assert ab["n_ab"] == 9 and ab["dice"] > 1  # reference multiplicity semantics
+    assert ab["npmi"] == 1.0  # n_ab >= N → the reference's pCooc≥1 clamp
+    # a normal-density pair stays in the probability regime
+    tok2 = spark.createDataFrame(
+        [(1, 0, "a"), (1, 1, "b")]
+        + [(1, 10 + i, "z") for i in range(50)],
+        "doc_id long, pos int, term string",
+    )
+    rows2 = {
+        (r["a"], r["b"]): r.asDict()
+        for r in cooc_matrix(tok2, ["a", "b"], window=5).collect()
+    }
+    assert -1 <= rows2[("a", "b")]["npmi"] <= 1
+
+
+def test_parts_from_numeric_rejects_nan_and_bad_bounds(spark):
+    from alix_spark.lexicometry.partition import parts_from_numeric
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, float("nan")), (3, None), (4, 2000.0)],
+        "doc_id long, v double",
+    )
+    got = {r["doc_id"]: r["part"] for r in parts_from_numeric(df, "v", [100]).collect()}
+    assert got == {1: "<100", 4: ">=100"}  # NaN and NULL both excluded
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="ascending"):
+        parts_from_numeric(df, "v", [200, 100])
+    with _pytest.raises(ValueError, match="at least one"):
+        parts_from_numeric(df, "v", [])

@@ -167,3 +167,43 @@ def test_alt_similarities_semantics(spark):
     freq = {r["doc_id"]: r["score"]
             for r in similarities.alt_topk(*args, ["x"], sim="freq", k=10).collect()}
     assert freq == {0: 50.0, 1: 99.0, 2: 1.0}
+
+
+def test_expand_wildcard_case_flip():
+    """The in-memory expander applies the leading-case-flip alternative
+    like the pushdown one: 'pari*' finds titlecase-indexed 'Paris'."""
+    from alix_spark.query.parser import expand_wildcard, flip_leading_case
+
+    vocab = ["Paris", "parier", "part"]
+    assert set(expand_wildcard("pari*", vocab)) == {"Paris", "parier"}
+    assert set(expand_wildcard("Pari*", vocab)) == {"Paris", "parier"}
+    assert flip_leading_case("1a") is None
+
+
+def test_hunspell_flag_long_mode():
+    """FLAG long (Dicollecte-style 2-char flags) derives affix roots;
+    per-character flag reads would silently derive none."""
+    from alix_spark.query.hunspell import Hunspell
+
+    aff = """
+FLAG long
+SFX a0 Y 1
+SFX a0 0 s .
+"""
+    dic = """1
+chat/a0b1
+"""
+    h = Hunspell.loads(aff, dic)
+    assert h.flag_mode == "long"
+    assert h.words["chat"] == {"a0", "b1"}
+    assert h.roots("chats") == ["chat"]
+
+
+def test_hilite_case_sensitive():
+    """hilite matches the indexed form exactly — no lowercased
+    side-channel that the search layer cannot see."""
+    from alix_spark.query.snippets import hilite
+
+    src = "<p>Paris est grande.</p>"
+    assert "<mark>" not in hilite(src, ["paris"])
+    assert "<mark>Paris</mark>" in hilite(src, ["Paris"])
