@@ -834,7 +834,10 @@ def _keyness_sql(scorer: str, lang: str) -> str:
     elif scorer == "logdice":
         score = "14.0 + ln(2.0 * a / (fa + (a + b))) / ln(2.0)"
     elif scorer == "simplemaths":
-        score = "(a * 1000000.0 / fa + 1.0) / (b * 1000000.0 / fb + 1.0)"
+        score = (
+            "(a * 1000000.0 / fa + 1.0) / "
+            "((CASE WHEN fb > 0 THEN b * 1000000.0 / fb ELSE 0.0 END) + 1.0)"
+        )
     else:
         raise KeyError(scorer)
     where = "WHERE a > 0" if scorer == "logdice" else ""
@@ -1400,7 +1403,13 @@ ORDER BY doc_a, doc_b
     # 60-bit md5 SimHash, chunk-blocked, exactly as the Spark side:
     # per-token md5-60bit hash, per-bit tf-weighted sums, fingerprint
     # bit b set iff the signed sum is > 0, candidates = pairs sharing
-    # one of four 15-bit chunks, verified by bit_count(xor).
+    # one of max_hamming+1 chunks (dedup.simhash_chunks — the SAME
+    # offsets/masks), verified by bit_count(xor).
+    _sh_off, _sh_mask = dedup.simhash_chunks(12)
+    _sh_values = ", ".join(
+        f"({c}, {off}, {mask})"
+        for c, (off, mask) in enumerate(zip(_sh_off, _sh_mask))
+    )
     sqls["dedup_simhash"] = f"""
 WITH {TOKS_CTE},
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
@@ -1427,8 +1436,8 @@ fp AS (
 ),
 chunks AS (
   SELECT doc_id, simhash, c.c AS chunk,
-         (simhash >> (c.c * 15)) & 32767 AS key
-  FROM fp, (VALUES (0), (1), (2), (3)) c(c)
+         (simhash >> c.off) & c.mask AS key
+  FROM fp, (VALUES {_sh_values}) c(c, off, mask)
 ),
 cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
@@ -1535,7 +1544,8 @@ scores AS (
   FROM t
 )
 SELECT doc_id, de, en, es, fr,
-       CASE WHEN de = greatest(de, en, es, fr) THEN 'de'
+       CASE WHEN greatest(de, en, es, fr) = 0 THEN NULL
+            WHEN de = greatest(de, en, es, fr) THEN 'de'
             WHEN en = greatest(de, en, es, fr) THEN 'en'
             WHEN es = greatest(de, en, es, fr) THEN 'es'
             ELSE 'fr' END AS lang_pred

@@ -91,9 +91,20 @@ def logdice_expr() -> Column:
 
 
 def simplemaths_expr(k: float = 1.0) -> Column:
-    """Kilgarriff smoothed ppm ratio (KeynessScorer.java:233-262)."""
+    """Kilgarriff smoothed ppm ratio (KeynessScorer.java:233-262).
+    fb == 0 (all-corpus focus) means b is necessarily 0: the rest-side
+    ppm is 0, not NULL — the same empty-rest convention g2/chi2
+    special-case."""
     a, b, fa, fb = _cols()
-    return (a * 1_000_000.0 / fa + k) / (b * 1_000_000.0 / fb + k)
+    b_ppm = F.when(fb > 0, b * 1_000_000.0 / fb).otherwise(0.0)
+    return (a * 1_000_000.0 / fa + k) / (b_ppm + k)
+
+
+def count_expr() -> Column:
+    """Raw focus count (KeynessScorer.java:124-134 Count — the
+    reference's 'count'/'raw' tsort)."""
+    a, _b, _fa, _fb = _cols()
+    return a
 
 
 SCORERS = {
@@ -102,6 +113,8 @@ SCORERS = {
     "logratio": logratio_expr,
     "logdice": logdice_expr,
     "simplemaths": simplemaths_expr,
+    "count": count_expr,
+    "raw": count_expr,
 }
 
 
@@ -131,9 +144,10 @@ def keyness(
         F.sum("is_focus").alias("a"),
         F.sum(1 - F.col("is_focus")).alias("b"),
     )
-    marg = tagged.agg(
-        F.sum("is_focus").alias("fa"), F.sum(1 - F.col("is_focus")).alias("fb")
-    )
+    # marginals derive from the (vocab-sized) per-term counts — every
+    # token has a term, so Σa/Σb ARE the token marginals; a second
+    # aggregation over the full token table would scan it twice
+    marg = counts.agg(F.sum("a").alias("fa"), F.sum("b").alias("fb"))
     scored = counts.crossJoin(F.broadcast(marg))
     if scorer == "logdice":
         scored = scored.filter(F.col("a") > 0)

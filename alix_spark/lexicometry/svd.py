@@ -165,6 +165,16 @@ def ca_map(
     axis_power: 0 → U, 0.5 → U√Σ, 1 → UΣ (weightAxes,
     ContingencySvd.java:571)."""
     terms, parts, obs = contingency(tok, doc_parts, top_terms)
+    if obs.size == 0 or not terms:
+        # no rows/parts matched (e.g. a part column NULL everywhere):
+        # an empty factor map, not an argmax-of-empty crash downstream
+        cols = [f"axis{i + 1}" for i in range(axes)]
+        empty = pd.DataFrame(
+            {"term": [], **{c: [] for c in cols}, "cos2": []}
+        )
+        empty.attrs["axis_inertia"] = []
+        empty.attrs["parts"] = parts
+        return empty
     exp = ipf_expectation(obs)
     res = residuals(obs, exp, assoc)
     u, s = _residual_svd(res, axes)

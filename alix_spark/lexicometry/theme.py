@@ -103,16 +103,21 @@ def theme_weights_focus(
         )
         .withColumn("isf", F.coalesce(F.col("isf"), F.lit(0)))
     )
-    n_focus_docs = focus.count()
+    # in-plan 1-row agg, not an eager focus.count(): constructing the
+    # (lazy) result must not run a Spark job, and the focus subplan
+    # should evaluate once
+    nfd = focus.agg(F.count("*").cast("double").alias("n_focus_docs"))
     per_term = marked.groupBy("term").agg(
         F.sum(F.when(F.col("isf") == 1, _local_expr()).otherwise(0.0)).alias("acc"),
         F.sum(F.when(F.col("isf") == 0, _local_expr()).otherwise(0.0)).alias("other_acc"),
         F.sum(F.col("isf")).alias("focus_df"),
         F.first("corpus_docs").alias("n"),
     )
-    joined = per_term.join(F.broadcast(tstats.select("term", "df")), "term")
+    joined = per_term.join(
+        F.broadcast(tstats.select("term", "df")), "term"
+    ).crossJoin(F.broadcast(nfd))
     if mode == "irdf":
-        rest_docs = F.col("n") - F.lit(float(n_focus_docs))
+        rest_docs = F.col("n") - F.col("n_focus_docs")
         rest_df = F.col("df") - F.col("focus_df")
         irdf = F.pow(
             F.log(

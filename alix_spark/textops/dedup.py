@@ -121,15 +121,6 @@ def jaccard_pairs(
     )
 
 
-def _hash64(arr) -> "np.ndarray":
-    """Stable vectorized 64-bit hash of an array of strings.
-
-    pandas' hash_array (SipHash-based, fixed key) is deterministic
-    across processes, machines, and cluster sizes, and runs at C speed
-    over the whole array — no per-character Python."""
-    return pd.util.hash_array(np.asarray(arr, dtype=object), categorize=False)
-
-
 def _md5_hash60(strings) -> "np.ndarray":
     """Deterministic 60-bit hash = first 15 hex chars of md5, as uint64.
 
@@ -219,11 +210,19 @@ def minhash_lsh_pairs(
     identical. Candidates are verified with the exact shingle Jaccard so
     the output is deterministic (LSH only prunes the pair space).
     """
+    if num_perm % bands:
+        raise ValueError(
+            f"bands={bands} must divide num_perm={num_perm} — a remainder "
+            "silently drops permutations and weakens the configured LSH"
+        )
     rows = num_perm // bands
     # the shingle table feeds signature generation AND both sides of the
-    # candidate verification join — persist or it is computed 3x (at
-    # scale: materialize to a staging table)
-    sh = doc_shingles(df, id_col, text_col, n).persist()
+    # candidate verification join — materialize or it is computed 3x.
+    # localCheckpoint (lazy), not persist(): the ContextCleaner reclaims
+    # the blocks when this query's DataFrame goes out of scope, so a
+    # long-lived serving session does not leak one cached shingle table
+    # per call (at scale: a staging table instead)
+    sh = doc_shingles(df, id_col, text_col, n).localCheckpoint(eager=False)
     sig = minhash_signatures(sh, num_perm, seed)
     band_cols = F.explode(
         F.expr(
@@ -298,6 +297,26 @@ def simhash_fingerprints(
     return toks.mapInPandas(gen, schema)
 
 
+def simhash_chunks(max_hamming: int) -> tuple[list[int], list[int]]:
+    """(bit offsets, masks) of the ``max_hamming + 1`` chunks covering
+    the 60-bit fingerprint — shared with the DuckDB oracle so both
+    engines block identically."""
+    n_chunks = max_hamming + 1
+    base, rem = divmod(SIMHASH_BITS, n_chunks)
+    if base == 0:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs {n_chunks} chunks over "
+            f"{SIMHASH_BITS} bits — threshold too high for this scheme"
+        )
+    widths = [base + 1] * rem + [base] * (n_chunks - rem)
+    offsets, off = [], 0
+    for w in widths:
+        offsets.append(off)
+        off += w
+    masks = [(1 << w) - 1 for w in widths]
+    return offsets, masks
+
+
 def simhash_pairs(
     df: DataFrame,
     max_hamming: int = 3,
@@ -306,18 +325,32 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash_a, simhash_b) <= max_hamming.
 
-    Scale path: block on 15-bit chunks (pigeonhole — any pair within
-    Hamming<=3 shares at least one of 4 chunks exactly), join per chunk,
-    verify with bit_count. Avoids the O(n²) cross join.
+    Scale path: block on ``max_hamming + 1`` bit chunks (pigeonhole —
+    with h differing bits and h+1 chunks, SOME chunk is untouched, so
+    every qualifying pair shares at least one exact chunk key), join
+    per chunk, verify with bit_count. Avoids the O(n²) cross join.
+    A FIXED chunk count independent of the threshold silently loses
+    pairs: 4×15-bit blocking is complete only for Hamming ≤ 3, and a
+    pair differing in 4 bits spread one-per-chunk shares nothing.
+    Trade-off: higher thresholds mean narrower chunks (denser buckets,
+    more candidates) — the inherent recall/cost dial of this scheme.
     """
+    offsets, masks = simhash_chunks(max_hamming)
     fp = simhash_fingerprints(df, id_col, text_col)
     chunks = fp.select(
         "doc_id",
         "simhash",
         F.explode(
-            F.expr(
-                "transform(sequence(0, 3), "
-                "c -> struct(c as chunk, shiftright(simhash, c * 15) & 32767 as key))"
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), off)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for c, (off, mask) in enumerate(zip(offsets, masks))
+                ]
             )
         ).alias("ck"),
     ).select("doc_id", "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))

@@ -34,7 +34,10 @@ STOPWORDS = sorted({w for ws in LANG_MARKERS.values() for w in ws})
 
 def lang_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, lang_pred, en, fr, de, es): marker-hit counts per
-    language + argmax (ties broken by language name asc)."""
+    language + argmax (ties broken by language name asc). A doc with
+    ZERO marker hits in every language gets lang_pred NULL — a bare
+    argmax over all-zero scores would confidently label every
+    out-of-profile document with the alphabetically first language."""
     toks = df.select(F.col(id_col).alias("doc_id"), tokens_array(df, text_col).alias("toks"))
     out = toks.select(
         "doc_id",
@@ -45,8 +48,11 @@ def lang_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
     langs = sorted(LANG_MARKERS)
     best = F.greatest(*[F.col(lang) for lang in langs])
-    pred = F.coalesce(
-        *[F.when(F.col(lang) == best, F.lit(lang)) for lang in langs]
+    pred = F.when(
+        best > 0,
+        F.coalesce(
+            *[F.when(F.col(lang) == best, F.lit(lang)) for lang in langs]
+        ),
     )
     return out.withColumn("lang_pred", pred)
 

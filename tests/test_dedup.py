@@ -61,3 +61,38 @@ def test_cap_none_is_exact(spark, hot_corpus):
     for r in rows:
         assert 0.5 <= r["jac"] <= 1.0
     assert {(r["doc_a"], r["doc_b"]) for r in rows} >= {(0, 1), (2, 3)}
+
+
+def test_simhash_blocking_complete_for_threshold(spark):
+    """Pigeonhole blocking must use max_hamming+1 chunks: a pair whose
+    differing bits spread one-per-old-chunk (bits 0,15,30,45) is within
+    Hamming 4 and MUST be found (review regression — 4 fixed chunks
+    missed it)."""
+    from alix_spark.textops import dedup
+
+    offs, masks = dedup.simhash_chunks(12)
+    assert len(offs) == 13
+    assert sum(m.bit_length() for m in masks) == dedup.SIMHASH_BITS
+
+    # synthesize two fingerprints differing at bits 0/15/30/45 via a
+    # direct candidate check on the chunk keys
+    a = 0
+    b = (1 << 0) | (1 << 15) | (1 << 30) | (1 << 45)
+    shared = any(
+        ((a >> off) & m) == ((b >> off) & m) for off, m in zip(offs, masks)
+    )
+    assert shared, "13-chunk blocking must give the pair a shared key"
+    old_offs = [0, 15, 30, 45]
+    assert not any(
+        ((a >> off) & 32767) == ((b >> off) & 32767) for off in old_offs
+    ), "the old 4x15 blocking loses exactly this pair"
+
+
+def test_minhash_rejects_indivisible_bands(spark):
+    from alix_spark.textops import dedup
+
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="divide"):
+        dedup.minhash_lsh_pairs(docs, num_perm=64, bands=10)

@@ -150,14 +150,22 @@ def test_cooc_profile_cumulative(spark, data):
             assert r["cum_freq"] == cum
 
 
-def test_cooc_matrix_symmetric_bounds(spark, data):
-    _, tok = data
-    rows = cooc.cooc_matrix(tok, ["select", "from", "where"], window=4).collect()
+def test_cooc_matrix_symmetric_bounds(spark):
+    # seeded rows so the pair set is guaranteed non-empty (the old
+    # corpus-term variant collected zero pairs and asserted nothing)
+    tok = spark.createDataFrame(
+        [(1, 0, "alpha"), (1, 2, "beta"), (1, 7, "alpha"), (1, 9, "gamma"),
+         (2, 0, "beta"), (2, 3, "gamma")]
+        + [(3, i, "pad") for i in range(40)],
+        "doc_id long, pos int, term string",
+    )
+    rows = cooc.cooc_matrix(tok, ["alpha", "beta", "gamma"], window=4).collect()
+    assert rows, "pair set must be non-empty"
     for r in rows:
         assert r["a"] < r["b"]
-        assert 0 < r["dice"] <= 1.0
-        assert 0 < r["jaccard"] <= r["dice"]
-        assert r["n_ab"] <= min(r["n_a"], r["n_b"]) * 9  # window multiplicity bound
+        assert 0 < r["dice"] <= 1.0  # no multiplicity excess in this data
+        assert -1.0 <= r["npmi"] <= 1.0
+        assert r["n_ab"] <= r["n_a"] * r["n_b"]  # r*c multiplicity bound
 
 
 # ------------------------------------------------------------------- CA
@@ -392,3 +400,41 @@ def test_parts_from_numeric_rejects_nan_and_bad_bounds(spark):
         parts_from_numeric(df, "v", [200, 100])
     with _pytest.raises(ValueError, match="at least one"):
         parts_from_numeric(df, "v", [])
+
+
+def test_keyness_count_scorer_and_empty_rest(spark):
+    """The reference's Count scorer exists, and simplemaths handles an
+    all-corpus focus (fb=0) like g2/chi2 instead of returning NULLs."""
+    from alix_spark.lexicometry.keyness import keyness
+
+    tok = spark.createDataFrame(
+        [(1, 0, "a"), (1, 1, "b"), (2, 0, "a")],
+        "doc_id long, pos int, term string",
+    )
+    all_docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    counted = {r["term"]: r["score"] for r in keyness(tok, all_docs, "count").collect()}
+    assert counted == {"a": 2.0, "b": 1.0}
+    sm = [r["score"] for r in keyness(tok, all_docs, "simplemaths").collect()]
+    assert all(s is not None for s in sm)
+
+
+def test_lang_id_no_evidence_is_null(spark):
+    from alix_spark.textops.textstats import lang_scores
+
+    df = spark.createDataFrame(
+        [(1, "ciao mondo come stai"), (2, "the cat and the dog")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in lang_scores(df).collect()}
+    assert got[1] is None and got[2] == "en"
+
+
+def test_ca_map_empty_parts_returns_empty(spark):
+    from alix_spark.lexicometry.svd import ca_map
+
+    tok = spark.createDataFrame(
+        [(1, 0, "a")], "doc_id long, pos int, term string"
+    )
+    no_parts = spark.createDataFrame([], "doc_id long, part string")
+    out = ca_map(tok, no_parts, top_terms=10)
+    assert len(out) == 0 and "term" in out.columns
