@@ -215,17 +215,17 @@ def analyzed_tokens_with_offsets(
     cols = docs.select(F.col(id_col).alias("_id"), F.col(src_col).alias("src"))
     schema = (
         f"{id_col} {id_type}, pos int, term string, pos_tag string, "
-        "lemma string, start int, end int"
+        "lemma string, start int, end int, orth string"
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: dict[str, list] = {
                 id_col: [], "pos": [], "term": [], "pos_tag": [],
-                "lemma": [], "start": [], "end": [],
+                "lemma": [], "start": [], "end": [], "orth": [],
             }
             for doc_id, src in zip(pdf["_id"], pdf["src"]):
-                for term, pos, tag, lemma, start, end in analyze(
+                for term, pos, tag, lemma, start, end, orth in analyze(
                     src, tagger_path=tagger_path, with_offsets=True
                 ):
                     rows[id_col].append(doc_id)
@@ -235,6 +235,7 @@ def analyzed_tokens_with_offsets(
                     rows["lemma"].append(lemma)
                     rows["start"].append(start)
                     rows["end"].append(end)
+                    rows["orth"].append(orth)
             yield pd.DataFrame(rows)
 
     return cols.mapInPandas(run, schema=schema)

@@ -140,7 +140,7 @@ def _split_clitics_one(t: Tok) -> list[Tok]:
                 changed = True
                 break
     # strip one trailing apostrophe (reference :214-221)
-    if term.endswith("'") and len(term) > 1 and term.lower() + "" not in lx.CLITIC_PREFIX:
+    if term.endswith("'") and len(term) > 1 and term.lower() not in lx.CLITIC_PREFIX:
         term = term[:-1]
     if term:
         out.append(Tok(term, start, start + len(term), W))
@@ -366,8 +366,10 @@ def mwe_filter(toks: list[Tok]) -> list[Tok]:
         if lem != low:
             lc = _MWE_BY_FIRST.get(lem)
             if lc:
+                # no re-sort: only the deduplicated LENGTH set below is
+                # consumed, and ties prefer form over lemma via list
+                # order (form candidates first)
                 cands = (cands or []) + lc
-                cands.sort(key=lambda c: -c[0])
         best = None  # (length, canonical, tag)
         if cands:
             for length in sorted({c[0] for c in cands}, reverse=True):
@@ -476,7 +478,10 @@ def cleanup_filter(
             continue
         term = t.lemma if t.lemma else t.term  # lemma copy (:346-349)
         if with_offsets:
-            out.append((term, pos, t.pos_tag, t.lemma, t.start, t.end))
+            # the SURFACE rides along: offset consumers (sqlite orth
+            # dictionary, hilite) need the form the analyzer consumed,
+            # which the lemma copy just overwrote in `term`
+            out.append((term, pos, t.pos_tag, t.lemma, t.start, t.end, surf))
         else:
             out.append((term, pos, t.pos_tag, t.lemma))
         pos += 1

@@ -233,5 +233,5 @@ def doc_ids(corpus: DataFrame) -> DataFrame:
     (skinny rows) — joining here shuffles the html payload; kept for
     small-corpus convenience and tests."""
     return corpus.join(url_ranks(corpus), "url").select(
-        "doc_id", "url", "text", "lang", "html"
+        "doc_id", "url", "warc_ts", "text", "lang", "html"
     )

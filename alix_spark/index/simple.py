@@ -30,7 +30,11 @@ TOKEN_SPLIT_RE = "[^a-z0-9]+"
 
 
 def tokens_array(df: DataFrame, text_col: str = "text") -> "F.Column":
-    """Array<string> of simple tokens for one text column (JVM-side)."""
+    """Array<string> of simple tokens for one text column (JVM-side).
+
+    NOTE: the returned Column is UNBOUND — it references ``text_col``
+    by name and binds to whatever DataFrame it is used in; ``df`` is
+    accepted only for call-site symmetry and is not consulted."""
     return F.filter(
         F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE), lambda x: x != F.lit("")
     )

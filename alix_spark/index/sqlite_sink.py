@@ -64,13 +64,17 @@ def export_sqlite(docs: DataFrame, tok: DataFrame, path: str) -> dict:
     """Write the analyzed corpus to a SQLite file in the reference's
     table shape.
 
-    docs: (doc_id, url[, html, warc_ts]) — doc.code = url.
-    tok:  (doc_id, term, pos_tag, lemma, start, end) analyzed tokens
-          with source offsets (``analyzed_tokens`` /
-          ``run_chain(with_offsets=True)`` output). ``orth`` rows are
-          the surface/projected forms; ``lem`` rows the lemma forms
-          (falling back to the orth form when no lemma applies, like
-          the reference's sparse lemma channel).
+    docs: (doc_id, url[, html, warc_ts]) — doc.code = url; doc.date =
+          the crawl timestamp (epoch seconds) when warc_ts is present.
+    tok:  (doc_id, term, pos_tag, lemma, start, end, orth) analyzed
+          tokens with source offsets
+          (``analyzed_tokens_with_offsets`` output). ``orth`` rows are
+          the SURFACE forms (the chain's pre-lemma-projection term —
+          without this channel the orth dictionary would just duplicate
+          lem, because the canonical ``term`` column is already
+          lemma-projected); ``lem`` rows the lemma forms (falling back
+          to the surface when no lemma applies, like the reference's
+          sparse lemma channel).
 
     Returns {"docs": n, "toks": n, "orth": n, "lem": n}.
     """
@@ -83,9 +87,12 @@ def export_sqlite(docs: DataFrame, tok: DataFrame, path: str) -> dict:
     n_docs = 0
     for row in docs.toLocalIterator():
         html = bytes(row["html"]) if "html" in cols and row["html"] is not None else None
+        date = None
+        if "warc_ts" in cols and row["warc_ts"] is not None:
+            date = int(row["warc_ts"].timestamp())
         con.execute(
-            "INSERT INTO doc(id, code, html) VALUES (?, ?, ?)",
-            (int(row["doc_id"]), row["url"], html),
+            "INSERT INTO doc(id, code, html, date) VALUES (?, ?, ?, ?)",
+            (int(row["doc_id"]), row["url"], html, date),
         )
         n_docs += 1
 
@@ -93,8 +100,13 @@ def export_sqlite(docs: DataFrame, tok: DataFrame, path: str) -> dict:
     lem_ids: dict[tuple[str, str], int] = {}
     n_toks = 0
     batch = []
+    tok_cols = {f.name for f in tok.schema.fields}
     for row in tok.toLocalIterator():
-        form, cat = row["term"], row["pos_tag"]
+        # orth = the true surface form; the canonical term column is
+        # lemma-projected, so using it here would make orth a copy of
+        # lem and lose the surface forever
+        form = row["orth"] if "orth" in tok_cols else row["term"]
+        cat = row["pos_tag"]
         lemma = row["lemma"] or form
         lk = (lemma, cat)
         if lk not in lem_ids:

@@ -94,7 +94,7 @@ def hilite(src: str, query_terms: list[str], open_tag: str = "<mark>",
 
     want = set(query_terms)
     spans = []
-    for term, _pos, _tag, _lemma, start, end in run_chain(
+    for term, _pos, _tag, _lemma, start, end, _orth in run_chain(
         tokenize(src), tagger=tagger, with_offsets=True
     ):
         if term in want:

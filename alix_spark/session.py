@@ -44,5 +44,18 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
     )
     spark = builder.getOrCreate()
+    got = spark.sparkContext.master
+    if got != master:
+        import warnings
+
+        # getOrCreate returns the EXISTING session: a different master/
+        # shuffle config is silently ignored — exactly the in-process
+        # parallelism-comparison hazard CLAUDE.md warns about (use
+        # spark-submit subprocesses for A/B timing)
+        warnings.warn(
+            f"get_spark: existing session has master={got!r}, "
+            f"requested {master!r} ignored (getOrCreate reuse)",
+            stacklevel=2,
+        )
     spark.sparkContext.setLogLevel("WARN")
     return spark

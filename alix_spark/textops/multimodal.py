@@ -58,6 +58,9 @@ def decode_features(
 
     ensure_py_files(media.sparkSession)
 
+    if not 1 <= feat_dim <= 256:
+        raise ValueError(f"feat_dim must be in [1, 256], got {feat_dim}")
+
     def gen(it):
         for pdf in it:
             feats = []
@@ -66,7 +69,13 @@ def decode_features(
                 if arr.size == 0:
                     feats.append([0.0] * feat_dim)
                     continue
-                hist = np.bincount((arr // (256 // feat_dim)).astype(np.int64), minlength=feat_dim)
+                # equal-width bins over [0, 256): integer bin arithmetic
+                # (256 // feat_dim) silently dropped the high bytes for
+                # non-divisor dims (and divided by zero above 256)
+                bins = np.minimum(
+                    (arr * feat_dim / 256.0).astype(np.int64), feat_dim - 1
+                )
+                hist = np.bincount(bins, minlength=feat_dim)
                 feats.append((hist[:feat_dim] / arr.size).round(6).tolist())
             yield pd.DataFrame(
                 {
@@ -143,6 +152,13 @@ def resize_images(decoded: DataFrame, size: int = 8) -> DataFrame:
                     r["height"], r["width"], r["channels"]
                 )
                 fh, fw = r["height"] // size, r["width"] // size
+                if fh == 0 or fw == 0:
+                    raise ValueError(
+                        f"resize target {size} exceeds raster "
+                        f"{r['height']}x{r['width']} — block-mean "
+                        "pooling only downsamples (an empty-slice mean "
+                        "would emit NaN-garbage pixels silently)"
+                    )
                 pooled = (
                     a[: fh * size, : fw * size]
                     .reshape(size, fh, size, fw, r["channels"])
@@ -180,9 +196,16 @@ def frame_sample(
             rows = []
             for mid, buf in zip(pdf["media_id"], pdf["media"]):
                 arr = np.frombuffer(bytes(buf), dtype=np.uint8)
-                if arr.size == 0:
-                    continue
                 side, need = 16, 16 * 16 * 3
+                if arr.size == 0:
+                    # empty media → n_frames zero rasters, consistent
+                    # with decode_features' zero vector (dropping the
+                    # media_id entirely would read as "missing" rather
+                    # than "empty" to any downstream join)
+                    zero = bytes(need)
+                    for fi in range(n_frames):
+                        rows.append((mid, fi, side, side, 3, zero))
+                    continue
                 starts = np.linspace(0, max(arr.size - need, 0), n_frames).astype(int)
                 for fi, s in enumerate(starts):
                     frame = np.resize(arr[s : s + need], need)

@@ -57,3 +57,27 @@ def test_export_sqlite_roundtrip(spark, tmp_path):
     ).fetchone()
     assert any_lem and any_lem[0]
     con.close()
+
+
+def test_orth_keeps_surface_form(spark, tmp_path):
+    """orth stores the SURFACE the analyzer consumed; a lemmatized
+    token must show orth.form != lem.form (review regression — the
+    projected term made orth a row-for-row copy of lem)."""
+    corpus = webtext.doc_ids(webtext.webtext(spark, 20, seed=7, partitions=2))
+    tok = analyzed_tokens_with_offsets(corpus)
+    path = str(tmp_path / "alix_orth.sqlite")
+    export_sqlite(
+        corpus.select("doc_id", "url", "html", "warc_ts"), tok, path
+    )
+    con = sqlite3.connect(path)
+    diff = con.execute(
+        "SELECT count(*) FROM tok t JOIN orth o ON o.id = t.orth "
+        "JOIN lem l ON l.id = t.lem WHERE o.form <> l.form"
+    ).fetchone()[0]
+    assert diff > 0, "no surface/lemma divergence — orth duplicates lem"
+    # doc.date populated from warc_ts
+    dated = con.execute(
+        "SELECT count(*) FROM doc WHERE date IS NOT NULL"
+    ).fetchone()[0]
+    assert dated == 20
+    con.close()
