@@ -488,16 +488,195 @@ def cleanup_filter(
     return out
 
 
+# ------------------------------------- optional filters (not in chain)
+# The reference ships four more token filters that are NOT part of
+# canonicChain (FrenchAnalyzer.java:288-305) — they serve OCR'd and
+# line-oriented corpora (RewriteFilterBenchmark.java:59, demos). They
+# are opt-in here too, via run_chain keywords.
+
+_OCR_ALLOWED_PUNCT = frozenset({"-", "'", "’", " ", "."})
+_OCR_VOWELS = frozenset("aàâäæeéèêëiîïoôöœuùûüyÿ")  # kept for parity; the
+# reference's hasVowel test is commented out (OCRGarbageFilter.java:100)
+_LATIN_RE = re.compile(r"[A-Za-zÀ-ÖØ-öø-ÿŒœŸ]")
+
+
+def _ocr_accept(term: str) -> bool:
+    """The reference's word-likeness test
+    (OCRGarbageFilter.java:50-100 accept())."""
+    if not term:
+        return False
+    if term[-1] in (".", "-"):
+        return False
+    letters = 0
+    prev = ""
+    repeats = 0
+    for c in term:
+        if c.isalpha():
+            if not _LATIN_RE.match(c):
+                return False
+            letters += 1
+            folded = c.lower()
+            if folded == prev:
+                repeats += 1
+                if repeats >= 3:
+                    return False
+            else:
+                prev = folded
+                repeats = 1
+            continue
+        if c not in _OCR_ALLOWED_PUNCT:
+            return False
+        prev = ""
+        repeats = 0
+    return letters >= 2
+
+
+def ocr_garbage_filter(toks: list[Tok]) -> list[Tok]:
+    """Drop unresolved tokens structurally unlikely to be words
+    (reference OCRGarbageFilter.java). Dictionary-resolved tokens
+    (keyword analogue: ``mwe``/``kw`` flags) always pass; rejected
+    tokens become position gaps (FilteringTokenFilter preserves
+    position increments). Applied to word/number tokens only — tag and
+    punctuation handling belongs to the main chain (the reference runs
+    this on OCR word streams)."""
+    for t in toks:
+        if t.ttype not in (W, N):
+            continue
+        if not t.term or "mwe" in t.flags or "kw" in t.flags:
+            continue
+        if not _ocr_accept(t.term):
+            t.term = ""
+            t.flags.add("gap")
+    return toks
+
+
+def sentence_start_lower_filter(toks: list[Tok]) -> list[Tok]:
+    """Lowercase the first lexical token after a sentence boundary when
+    its lowercase form is a lexicon word
+    (reference SentenceStartLowerCaseFilter.java:104-160):
+
+    - start of stream = sentence start;
+    - PUNCTsent / PUNCTpara / PUNCTsection set the pending state;
+    - XML and PUNCTclause pass through without consuming it;
+    - any other token consumes it; keyword tokens are not rewritten
+      but still consume the state.
+
+    Needs POS tags, so runs after the tagger (the reference reads
+    PosAttribute)."""
+    pending = True
+    for t in toks:
+        tag = t.pos_tag
+        if tag in (lx.PUNCT_SENT, lx.PUNCT_PARA, lx.PUNCT_SECTION) or (
+            not tag and t.ttype in (S, B)
+        ):
+            pending = True
+            continue
+        if t.ttype == X or tag == lx.PUNCT_CLAUSE or (
+            not tag and t.ttype == C
+        ):
+            continue
+        if not pending:
+            continue
+        pending = False
+        if "mwe" in t.flags or "kw" in t.flags or not t.term:
+            continue
+        low = t.term.lower()
+        if low != t.term and (low in lx.POS or low in lx.LEMMA):
+            t.term = low  # the lexicon's canonical form
+    return toks
+
+
+def _is_pers_initial(term: str) -> bool:
+    """``E`` or ``E.`` (uppercase, É folds to E, never ``M`` — Monsieur)
+    (reference PersInitialFilter.java:184-196 isInitial())."""
+    if not 1 <= len(term) <= 2:
+        return False
+    c0 = term[0]
+    if not (c0.isupper() and c0.isalpha()):
+        return False
+    if len(term) == 2 and term[1] != ".":
+        return False
+    return c0 != "M"
+
+
+def _is_family_name(term: str) -> bool:
+    """Uppercase-initial token of letters / apostrophes / hyphens
+    (reference PersInitialFilter.java:158-176 isFamilyName())."""
+    if len(term) < 2 or not (term[0].isupper() and term[0].isalpha()):
+        return False
+    return all(c.isalpha() or c in ("-", "'", "’") for c in term[1:])
+
+
+def pers_initial_filter(toks: list[Tok]) -> list[Tok]:
+    """Merge a person initial with the following family name into one
+    token ``E. Meyerson`` (reference PersInitialFilter.java:83-140).
+    The initial is ASCII-folded (É→E); a merge only happens when the
+    family name is the immediately following token (the reference's
+    positionIncrement == 1 test — an intervening tag or punctuation
+    token blocks it). Runs immediately after the tokenizer
+    (PersInitialFilter.java:32-34)."""
+    from alix_spark.lexicometry.suggest import _FOLD_MAP
+
+    out: list[Tok] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if t.ttype != W or not _is_pers_initial(t.term):
+            out.append(t)
+            i += 1
+            continue
+        nxt = toks[i + 1] if i + 1 < len(toks) else None
+        if nxt is None or nxt.ttype != W or not _is_family_name(nxt.term):
+            out.append(t)
+            i += 1
+            continue
+        # fold the initial only (É→E), case preserved — the reference
+        # folds exactly one char (PersInitialFilter.java:194)
+        initial = t.term[0].translate(_FOLD_MAP).upper()
+        merged = Tok(
+            term=f"{initial}. {nxt.term}",
+            start=t.start,
+            end=nxt.end,
+            ttype=W,
+            flags={"kw"},  # resolved: protect from downstream rewrite
+        )
+        out.append(merged)
+        i += 2
+    return out
+
+
+def line_tokenizer(text: str) -> list[Token]:
+    """One token per non-empty line, offsets as the reference computes
+    them (LineTokenizer.java:30-56: empty lines consume their newline;
+    a line token spans [start, start+len), next offset = end + 1)."""
+    out: list[Token] = []
+    offset = 0
+    for line in text.split("\n"):
+        if line:
+            out.append(Token(line, offset, offset + len(line), W))
+        offset += len(line) + 1
+    return out
+
+
 def run_chain(
-    tokens: list[Token], tagger=None, with_offsets: bool = False
+    tokens: list[Token],
+    tagger=None,
+    with_offsets: bool = False,
+    pers_initials: bool = False,
+    sentence_decap: bool = False,
+    ocr_garbage: bool = False,
 ) -> list[tuple]:
     """tokenize() output → final indexable tokens.
 
     ``tagger=None`` uses the deterministic lexicon tagger (goldens are
     pinned to it, SURVEY §7 option iii); passing a
     ``maxent.MaxentTagger`` switches to the reference's OpenNLP model
-    path (option i)."""
+    path (option i). The three boolean switches enable the reference's
+    optional OCR/names filters (off in canonicChain and off here — the
+    goldens pin the default chain)."""
     toks = annotate(tokens)
+    if pers_initials:
+        toks = pers_initial_filter(toks)  # right after the tokenizer
     toks = boundary_filter(toks)
     toks = clitic_filter(toks)
     toks = replace_filter(toks)
@@ -506,7 +685,11 @@ def run_chain(
         toks = pos_filter(toks)
     else:
         toks = pos_filter_maxent(toks, tagger)
+    if sentence_decap:
+        toks = sentence_start_lower_filter(toks)  # needs POS tags
     toks = lemma_filter(toks)
     toks = mwe_filter(toks)
+    if ocr_garbage:
+        toks = ocr_garbage_filter(toks)  # after the dictionary filters
     toks = stop_filter(toks)
     return cleanup_filter(toks, with_offsets=with_offsets)
