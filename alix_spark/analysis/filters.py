@@ -151,7 +151,11 @@ def _split_clitics_one(t: Tok) -> list[Tok]:
 def clitic_filter(toks: list[Tok]) -> list[Tok]:
     out: list[Tok] = []
     for t in toks:
-        if t.ttype == W and ("'" in t.term or "-" in t.term):
+        # "kw" marks dictionary-resolved tokens (merged person names);
+        # the reference's KeywordAttribute stops re-analysis of those
+        if t.ttype == W and "kw" not in t.flags and (
+            "'" in t.term or "-" in t.term
+        ):
             out.extend(_split_clitics_one(t))
         else:
             out.append(t)
@@ -190,7 +194,11 @@ def _decap(term: str) -> str:
 def uppercase_filter(toks: list[Tok]) -> list[Tok]:
     out: list[Tok] = []
     for t in toks:
-        if t.ttype != W or any(c.islower() for c in t.term):
+        if (
+            t.ttype != W
+            or "kw" in t.flags  # resolved (merged person name): keep as-is
+            or any(c.islower() for c in t.term)
+        ):
             out.append(t)
             continue
         letters = sum(1 for c in t.term if c.isalpha())
@@ -540,7 +548,9 @@ def ocr_garbage_filter(toks: list[Tok]) -> list[Tok]:
     punctuation handling belongs to the main chain (the reference runs
     this on OCR word streams)."""
     for t in toks:
-        if t.ttype not in (W, N):
+        # W only: the reference runs this on OCR word streams, and N
+        # tokens are unconditional position gaps in cleanup_filter
+        if t.ttype != W:
             continue
         if not t.term or "mwe" in t.flags or "kw" in t.flags:
             continue
@@ -575,10 +585,15 @@ def sentence_start_lower_filter(toks: list[Tok]) -> list[Tok]:
             not tag and t.ttype == C
         ):
             continue
+        if not t.term:
+            # upstream-deleted gap token: in the reference a
+            # FilteringTokenFilter deletion only bumps posInc and never
+            # reaches this filter, so it must not consume the state
+            continue
         if not pending:
             continue
         pending = False
-        if "mwe" in t.flags or "kw" in t.flags or not t.term:
+        if "mwe" in t.flags or "kw" in t.flags:
             continue
         low = t.term.lower()
         if low != t.term and (low in lx.POS or low in lx.LEMMA):
@@ -615,7 +630,7 @@ def pers_initial_filter(toks: list[Tok]) -> list[Tok]:
     positionIncrement == 1 test — an intervening tag or punctuation
     token blocks it). Runs immediately after the tokenizer
     (PersInitialFilter.java:32-34)."""
-    from alix_spark.lexicometry.suggest import _FOLD_MAP
+    import unicodedata
 
     out: list[Tok] = []
     i = 0
@@ -631,8 +646,9 @@ def pers_initial_filter(toks: list[Tok]) -> list[Tok]:
             i += 1
             continue
         # fold the initial only (É→E), case preserved — the reference
-        # folds exactly one char (PersInitialFilter.java:194)
-        initial = t.term[0].translate(_FOLD_MAP).upper()
+        # folds exactly one char (PersInitialFilter.java:194); NFD base
+        # char = ASCII fold for single uppercase Latin letters
+        initial = unicodedata.normalize("NFD", t.term[0])[0].upper()
         merged = Tok(
             term=f"{initial}. {nxt.term}",
             start=t.start,
@@ -648,12 +664,15 @@ def pers_initial_filter(toks: list[Tok]) -> list[Tok]:
 def line_tokenizer(text: str) -> list[Token]:
     """One token per non-empty line, offsets as the reference computes
     them (LineTokenizer.java:30-56: empty lines consume their newline;
-    a line token spans [start, start+len), next offset = end + 1)."""
+    a line token spans [start, start+len), next offset = end + 1).
+    CRLF line ends are handled like the reference's readLine — the
+    ``\\r`` is neither part of the token nor a token of its own."""
     out: list[Token] = []
     offset = 0
     for line in text.split("\n"):
-        if line:
-            out.append(Token(line, offset, offset + len(line), W))
+        core = line[:-1] if line.endswith("\r") else line
+        if core:
+            out.append(Token(core, offset, offset + len(core), W))
         offset += len(line) + 1
     return out
 

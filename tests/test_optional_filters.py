@@ -114,6 +114,16 @@ def test_sentence_start_unknown_word_kept():
     assert sentence_start_lower_filter(toks)[0].term == "Zorglub"
 
 
+def test_sentence_start_gap_does_not_consume():
+    # an upstream-deleted token (term == "", e.g. uppercase_filter
+    # garbage) never reaches the reference's filter — it must not eat
+    # the pending sentence-start state
+    gap = _w("", flags={"gap"})
+    toks = [gap, _w("Le", pos_tag="DET")]
+    out = sentence_start_lower_filter(toks)
+    assert out[1].term == "le"
+
+
 # -------------------------------------------------------- pers initial
 
 
@@ -154,6 +164,14 @@ def test_pers_initial_requires_adjacent_family_name():
 # ------------------------------------------------------- line tokenizer
 
 
+def test_line_tokenizer_crlf():
+    # CRLF endings: \r is neither part of the token nor a token itself
+    toks = line_tokenizer("abc\r\n\r\ndef\r\n")
+    assert [(t.term, t.start, t.end) for t in toks] == [
+        ("abc", 0, 3), ("def", 7, 10)
+    ]
+
+
 def test_line_tokenizer_offsets_skip_empty_lines():
     toks = line_tokenizer("a\n\nbb\n")
     assert [(t.term, t.start, t.end) for t in toks] == [
@@ -185,3 +203,17 @@ def test_run_chain_optional_switches():
     pos = [t[1] for t in run_chain(toks, pers_initials=True,
                                    ocr_garbage=True)]
     assert pos == sorted(pos)
+
+
+def test_merged_names_survive_downstream_filters():
+    # the kw flag must protect merged names from clitic re-splitting
+    # ('-Le' is a clitic suffix), uppercase decap, and the short
+    # all-caps deletion rule
+    for text, want in [
+        ("E. Nguyen-Le arrive.", "E. Nguyen-Le"),
+        ("E. DUPONT parle.", "E. DUPONT"),
+        ("E. HO parle.", "E. HO"),
+        ("E. O'Brien parle.", "E. O'Brien"),
+    ]:
+        out = [t[0] for t in run_chain(tokenize(text), pers_initials=True)]
+        assert want in out, (text, out)
