@@ -78,24 +78,35 @@ def run_pair(
     identical jobs (shared machine / turbo effects); interleaving the
     two configurations and taking each one's best run measures the
     engine, not the noise."""
+    best, runs = run_levels([n, n * 4], n_docs, repeats, doc_scale)
+    return best[n], best[n * 4], runs
+
+
+def run_levels(
+    levels: list[int], n_docs: int, repeats: int = 3, doc_scale: int = 1
+) -> tuple[dict, list]:
+    """Interleaved best-of-R runs at each parallelism level in
+    ``levels`` (same corpus, clean spark-submit JVMs). Returns
+    ``({cores: best_metrics}, all_runs)``. One 8-core series can then
+    serve two N-vs-4N ratios (2→8 and 8→32) without doubling the runs."""
     zpath = make_zip()
     work = tempfile.mkdtemp(prefix="alix_scale_")
     runs = []
     try:
         for r in range(repeats):
-            for cores, tag in [(n, "small"), (n * 4, "large")]:
-                m = run_build(
-                    f"local[{cores}]", zpath, n_docs,
-                    os.path.join(work, f"ix_{tag}_{r}"), doc_scale,
-                )
+            for cores in levels:
+                ix = os.path.join(work, f"ix_{cores}_{r}")
+                m = run_build(f"local[{cores}]", zpath, n_docs, ix, doc_scale)
                 m["cores"] = cores
                 runs.append(m)
-                shutil.rmtree(os.path.join(work, f"ix_{tag}_{r}"), ignore_errors=True)
+                shutil.rmtree(ix, ignore_errors=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
-    small = min((m for m in runs if m["cores"] == n), key=lambda m: m["build_sec"])
-    large = min((m for m in runs if m["cores"] == n * 4), key=lambda m: m["build_sec"])
-    return small, large, runs
+    best = {
+        c: min((m for m in runs if m["cores"] == c), key=lambda m: m["build_sec"])
+        for c in levels
+    }
+    return best, runs
 
 
 def main() -> None:
