@@ -77,6 +77,10 @@ SCALING_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
 # fast leg.
 SCALING_LOW_N = int(os.environ.get("SPARK_GRAFT_SCALING_LOW_N", "2"))
 SCALING_LOW_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_LOW_DOCS", "8000"))
+# best-of-3 for the low pair: its fast (8-core) leg is short enough
+# that catching vs missing one turbo window moves the raw ratio by
+# ~0.1; a third interleaved round costs ~2.5 min and halves that risk
+SCALING_LOW_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALING_LOW_REPEATS", "3"))
 # headline queries use the same interleaved best-of-N protocol as the
 # scaling probe (this box shows 50-100% run-to-run variance; a single
 # shot measures the weather, not the engine — VERDICT r02)
@@ -103,7 +107,7 @@ def _scaling_probe(n_docs: int) -> dict:
 
     # second pair at 2→8 (raw gate readable: hardware ceiling ~1.0 there)
     lo_small, lo_large, lo_runs = run_pair(
-        SCALING_LOW_N, SCALING_LOW_DOCS, SCALING_REPEATS, SCALING_DOC_SCALE
+        SCALING_LOW_N, SCALING_LOW_DOCS, SCALING_LOW_REPEATS, SCALING_DOC_SCALE
     )
     lo_eff = lo_large["docs_per_sec"] / (4.0 * lo_small["docs_per_sec"])
     lo_ceil = mp_ceiling(SCALING_LOW_N)
