@@ -452,32 +452,12 @@ class AlixEngine:
             return suggest_mod.suggest_population(
                 self.rail().select("doc_id", "term"), pop_docs, q, top=top
             )
-        # global path: pyarrow scan of the cached term_stats handle —
-        # autocomplete is a per-keystroke serving op and must not pay a
-        # Spark job per call (same no-Spark rule as search/_member/
-        # _expand); ranking is asserted identical to suggest_folded
-        from alix_spark.lexicometry.suggest import _FOLD_MAP, fold_query
-
-        tbl = wand.term_stats_dataset(self.index_dir).to_table(
-            columns=["term", "cf"]
-        )
-        import pandas as pd
-
-        pdf = pd.DataFrame(
-            {"term": tbl["term"].to_pylist(), "cf": tbl["cf"].to_pylist()}
-        )
-        qf = fold_query(q)
-        foldf = pdf["term"].str.translate(_FOLD_MAP).str.lower()
-        mask = (
-            foldf.str.startswith(qf) if len(qf) < 3
-            else foldf.str.contains(qf, regex=False)
-        )
-        hit = (
-            pdf[mask]
-            .sort_values(["cf", "term"], ascending=[False, True])
-            .head(top)
-        )
+        # global path: the SHARED no-Spark fold+rank table
+        # (suggest_mod.suggest_local — cached per publish token, also
+        # the SQL alix_suggest backend) — autocomplete is a
+        # per-keystroke serving op and must not pay a Spark job per
+        # call; ranking is asserted identical to suggest_folded
         return self.spark.createDataFrame(
-            list(zip(hit["term"].tolist(), [int(c) for c in hit["cf"]])),
+            suggest_mod.suggest_local(self.index_dir, q, top=top),
             "term string, cf long",
         )

@@ -230,6 +230,16 @@ def build_index(
     """
     ensure_py_files(spark)
     if not resume and os.path.isdir(index_dir):
+        # the empty-input guard must run BEFORE the old index is
+        # destroyed, or a rebuild fed an accidentally-empty corpus
+        # deletes the live index and then raises (one early-terminating
+        # job; only paid on in-place rebuilds)
+        if tok.isEmpty():
+            raise ValueError(
+                "refusing to build an index from an empty token table "
+                "(build into a staging dir via begin_publish so an "
+                "empty input can never clobber a live index)"
+            )
         import shutil
 
         shutil.rmtree(index_dir)
@@ -424,14 +434,20 @@ def _write_postings_and_manifests(
         )
         .collect()
     )
-    for r in seg_stats:
-        with open(_manifest_path(index_dir, r["shard"]), "w") as f:
+    # EVERY todo shard gets a manifest — a shard that happened to get
+    # no postings (tiny corpus, doc_id gaps) is still DONE; without
+    # its (zero-row) manifest, resume=True would treat it as lost
+    # work forever and re-run the full encode scan on every restart
+    stats_by_shard = {r["shard"]: r for r in seg_stats}
+    for s in todo:
+        r = stats_by_shard.get(s)
+        with open(_manifest_path(index_dir, s), "w") as f:
             json.dump(
                 {
-                    "shard": r["shard"],
-                    "n_terms": r["n_terms"],
-                    "n_postings": r["n_postings"],
-                    "n_blocks": r["n_blocks"],
+                    "shard": s,
+                    "n_terms": r["n_terms"] if r else 0,
+                    "n_postings": int(r["n_postings"]) if r else 0,
+                    "n_blocks": r["n_blocks"] if r else 0,
                     "n_shards": n_shards,
                     "block_size": BLOCK,
                     "format": FORMAT_VERSION,
@@ -763,6 +779,14 @@ def build_index_packed(
     pass."""
     ensure_py_files(spark)
     if not resume and os.path.isdir(index_dir):
+        # empty-input guard BEFORE destroying the old index (see
+        # build_index; same rationale)
+        if packed.isEmpty():
+            raise ValueError(
+                "refusing to build an index from an empty token table "
+                "(build into a staging dir via begin_publish so an "
+                "empty input can never clobber a live index)"
+            )
         import shutil
 
         shutil.rmtree(index_dir)

@@ -22,6 +22,7 @@ makes WAND matter at 10^12 docs.
 
 from __future__ import annotations
 
+import collections
 import heapq
 import math
 import os
@@ -188,8 +189,7 @@ def wand_shard_topk(
             bm = 0.0
             for c in live[: pivot + 1]:
                 if c.doc() <= pivot_doc:
-                    c_ub = c.block_ub() if c.doc() >= 0 else c.ub
-                    bm += c_ub
+                    bm += c.block_ub()
             if bm <= threshold():
                 # current blocks can't beat θ: advance the leading cursor
                 live[0].advance_to(pivot_doc if live[0].doc() < pivot_doc else pivot_doc + 1)
@@ -309,8 +309,17 @@ def _decode_term_flat(blocks: pd.DataFrame):
             # doc boundary (same layout decode_block_positions walks,
             # done here with one vectorized segmented cumsum)
             pos_l.append(seg_cumsum(dp, tfs))
+        elif total:
+            # zero-filling here would turn every all-terms doc into a
+            # slop-0 "match" for unordered near and silently empty
+            # ordered phrases — refuse instead
+            raise ValueError(
+                "positional query on an index built with "
+                "with_positions=False (no pos_bytes channel); rebuild "
+                "the index with positions to run phrase/near queries"
+            )
         else:
-            pos_l.append(np.zeros(total, dtype=np.int64))
+            pos_l.append(np.zeros(0, dtype=np.int64))
     docs = np.concatenate(docs_l) if docs_l else np.zeros(0, np.int64)
     tfs = np.concatenate(tfs_l) if tfs_l else np.zeros(0, np.int64)
     dls = np.concatenate(dls_l) if dls_l else np.zeros(0, np.int64)
@@ -492,7 +501,12 @@ def phrase_topk(
 # ------------------------------------------------- driver fast path
 
 
-_LOCAL_CACHE: dict[str, tuple] = {}
+# LRU-bounded: long-lived servers pass per-version directories
+# (versions/<token>) whose keys would otherwise accumulate one pyarrow
+# handle pair per republish, pinning dataset metadata for directories
+# gc_versions has already deleted
+_LOCAL_CACHE: collections.OrderedDict[str, tuple] = collections.OrderedDict()
+_LOCAL_CACHE_MAX = 16
 
 
 def query_local(
@@ -551,9 +565,14 @@ def _datasets(index_dir: str):
     from alix_spark.index import segments as _seg
 
     live = _seg.resolve_current(index_dir)
-    key = _seg.publish_marker(index_dir) or os.path.getmtime(
-        os.path.join(live, "corpus.json")
-    )
+    marker = os.path.join(live, "corpus.json")
+    if not os.path.exists(marker):
+        raise FileNotFoundError(
+            f"no index at {live} (corpus.json missing) — e.g. "
+            "search(ascii=True) on an engine built without "
+            "ascii_variant, or an unbuilt/deleted index root"
+        )
+    key = _seg.publish_marker(index_dir) or os.path.getmtime(marker)
     hit = _LOCAL_CACHE.get(index_dir)
     if hit is None or hit[0] != key:
         tstats = ds.dataset(os.path.join(live, "term_stats"))
@@ -561,6 +580,9 @@ def _datasets(index_dir: str):
             os.path.join(live, "postings"), partitioning="hive"
         )
         _LOCAL_CACHE[index_dir] = (key, tstats, post)
+    _LOCAL_CACHE.move_to_end(index_dir)
+    while len(_LOCAL_CACHE) > _LOCAL_CACHE_MAX:
+        _LOCAL_CACHE.popitem(last=False)
     return _LOCAL_CACHE[index_dir][1], _LOCAL_CACHE[index_dir][2]
 
 
@@ -671,6 +693,25 @@ def query_local_mixed(index_dir: str, clauses, k: int = 10) -> list[tuple[int, f
     meta = read_meta(index_dir)
     avgdl = float(meta["avgdl"])
     n_docs = int(meta["corpus_docs"])
+
+    # collapse duplicate clauses — the all-terms fast path dedupes via
+    # sorted(set(terms)) (and the reference parser collapses duplicate
+    # MUST terms), so 'ville ville "a b"' must not score ville twice
+    seen: set = set()
+    uniq = []
+    for c in clauses:
+        if isinstance(c, parser.TermClause):
+            key = ("t", c.term)
+        elif isinstance(c, parser.OrClause):
+            key = ("o", tuple(sorted(c.terms)))
+        elif isinstance(c, parser.PhraseClause):
+            key = ("p", tuple(c.terms), c.slop, c.ordered)
+        else:
+            key = ("x", id(c))
+        if key not in seen:
+            seen.add(key)
+            uniq.append(c)
+    clauses = uniq
 
     need: set[str] = set()
     for c in clauses:

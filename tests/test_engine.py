@@ -184,6 +184,22 @@ def test_suggest(engine):
     assert any(r["term"] == "ville" for r in rows)
 
 
+def test_suggest_caches_folded_vocab(engine):
+    """Per-keystroke serving must not re-materialize + re-fold the full
+    vocabulary on every call (review finding): the folded frame is
+    cached per publish token in the SHARED suggest_local backend (also
+    used by SQL alix_suggest)."""
+    from alix_spark.lexicometry import suggest as suggest_mod
+
+    first = engine.suggest("vil").collect()
+    cached = suggest_mod._VOCAB_CACHE[engine.index_dir][1]
+    again = engine.suggest("vi").collect()
+    assert suggest_mod._VOCAB_CACHE[engine.index_dir][1] is cached
+    assert len(again) >= len(first) > 0
+    # k<=0 yields no rows on the shared path
+    assert suggest_mod.suggest_local(engine.index_dir, "vil", top=0) == []
+
+
 def test_rail_equals_chain_tokens(engine):
     """The index-decoded rail (segments.decoded_rail) is row-for-row
     the token table the index was built from — lexicometry served from

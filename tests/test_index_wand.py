@@ -398,3 +398,84 @@ def test_bucketized_tokens_custom_id_col(spark):
         packed, n_shards=2, id_col="page_id"
     ).collect()
     assert rows and all(r["doc_id"] == 7 for r in rows)
+
+
+def test_build_empty_does_not_clobber_live_index(spark, tmp_path):
+    """The empty-input guard must fire BEFORE the old index is
+    destroyed (review regression: rmtree ran first, so a rebuild fed an
+    accidentally-empty corpus deleted the live index, then raised)."""
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "beta gamma")], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "liveix")
+    segments.build_index(spark, simple.tokens(docs), idx, n_shards=2)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(ValueError, match="empty token table"):
+        segments.build_index(spark, simple.tokens(empty), idx, n_shards=2)
+    # the live index survived and still serves
+    assert segments.read_meta(idx)["corpus_docs"] == 2
+    assert wand.query_local(idx, ["beta"], k=5)
+
+
+def test_empty_shards_get_manifests_and_resume_converges(spark, tmp_path):
+    """Shards that receive no postings are still DONE: without their
+    zero-row manifests, resume=True re-ran the full encode scan on
+    every restart (review regression)."""
+    docs = spark.createDataFrame(
+        [(0, "alpha beta alpha")], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "sparseix")
+    tok = simple.tokens(docs)
+    segments.build_index(spark, tok, idx, n_shards=4)
+    for s in range(4):
+        assert os.path.exists(segments._manifest_path(idx, s)), s
+    meta = segments.build_index(spark, tok, idx, n_shards=4, resume=True)
+    assert meta["resumed_from"] == [0, 1, 2, 3]
+
+
+def test_positionless_index_refuses_phrase(spark, tmp_path):
+    """Phrase/near on an index built with_positions=False must raise,
+    not zero-fill positions (review regression: unordered near counted
+    every all-terms doc as a match)."""
+    from alix_spark.query import parser
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "beta delta alpha")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "nopos")
+    segments.build_index(
+        spark, simple.tokens(docs), idx, n_shards=1, with_positions=False
+    )
+    clauses = [parser.PhraseClause(terms=["alpha", "beta"], slop=0,
+                                   ordered=True)]
+    with pytest.raises(ValueError, match="with_positions"):
+        wand.query_local_mixed(idx, clauses, k=5)
+
+
+def test_mixed_duplicate_term_scored_once(spark, built_index):
+    """Duplicate MUST terms collapse in the mixed path exactly like the
+    all-terms fast path's sorted(set(terms)) (review regression: the
+    mixed path summed one score map per duplicate clause)."""
+    from alix_spark.query import parser
+
+    idx, _ = built_index
+    once = wand.query_local_mixed(
+        idx, [parser.TermClause("hash"), parser.TermClause("join")], k=10
+    )
+    dup = wand.query_local_mixed(
+        idx,
+        [parser.TermClause("hash"), parser.TermClause("hash"),
+         parser.TermClause("join")],
+        k=10,
+    )
+    assert once and dup == once
+    fast = wand.query_local(idx, ["hash", "hash", "join"], k=10, mode="and")
+    assert [(d, round(s, 6)) for d, s in dup] == [
+        (d, round(s, 6)) for d, s in fast
+    ]
+
+
+def test_missing_index_clear_error(tmp_path):
+    with pytest.raises(FileNotFoundError, match="no index at"):
+        wand.term_stats_dataset(str(tmp_path / "never_built"))
