@@ -27,11 +27,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from alix_spark.analysis.filters import run_chain
-from alix_spark.analysis.tokenizer import _ENT, _ENT_RE, tokenize
+from alix_spark.analysis.tokenizer import _ENT, _ENT_RE, _ZONE_RE, tokenize
 from alix_spark.util import ensure_py_files
 
+# the SAME excluded-zone definition the tokenizer uses (one source of
+# truth — extraction and tokenization must agree on what is zone
+# content), plus comments, which extraction also drops
 _STRIP_ZONES_RE = re.compile(
-    r"<(script|style|head)\b[^>]*>.*?</\1\s*>|<!--.*?-->",
+    _ZONE_RE.pattern + r"|<!--.*?-->",
     re.IGNORECASE | re.DOTALL,
 )
 _BLOCK_CLOSE_RE = re.compile(
@@ -76,7 +79,8 @@ def analyze(
     with_offsets: bool = False,
 ) -> list[tuple]:
     """Full chain on one document: ``[(term, pos, pos_tag, lemma)]``
-    (+ ``start, end`` source offsets when ``with_offsets``).
+    (with ``with_offsets``: 7-tuples ``+ start, end, orth`` — source
+    offsets and the true surface form).
 
     ``tagger_path``: optional OpenNLP POS model (.bin) — switches the
     POS stage to maxent inference (loaded once per process). A NULL
@@ -124,7 +128,6 @@ def analyzed_tokens(
     so the doc id is never duplicated per token row. On realistic page
     sizes this roughly halves the Python→JVM transfer."""
     ensure_py_files(docs.sparkSession)
-    cols = docs.select(F.col(id_col).alias("_id"), F.col(src_col).alias("src"))
 
     if light:
         packed = analyzed_packed(
@@ -134,6 +137,8 @@ def analyzed_tokens(
         return packed.select(
             id_col, F.expr("inline(arrays_zip(poss, terms))")
         ).select(id_col, F.col("poss").alias("pos"), F.col("terms").alias("term"))
+
+    cols = docs.select(F.col(id_col).alias("_id"), F.col(src_col).alias("src"))
 
     schema = (
         f"{id_col} {id_type}, pos int, term string, "

@@ -79,6 +79,62 @@ def fold_query(q: str) -> str:
     return q.translate(_FOLD_MAP).lower()
 
 
+# ---------------------------------------------------- serving path
+# The no-Spark fold+rank table shared by EVERY suggest surface
+# (engine.suggest, SQL alix_suggest, HTTP) — one fold of the vocabulary
+# per publish, keyed by publish token, LRU-bounded so per-version
+# directories don't accumulate across republishes in a long-lived
+# server. Keeping the <3-prefix/≥3-infix rule and the (cf desc, term
+# asc) ranking in ONE place stops the surfaces diverging.
+
+import collections as _collections
+
+_VOCAB_CACHE: _collections.OrderedDict = _collections.OrderedDict()
+_VOCAB_CACHE_MAX = 8
+
+
+def folded_vocab(index_dir: str):
+    """pandas (term, fold, cf) for the whole dictionary, pre-sorted by
+    (cf desc, term asc) so a masked scan in order IS the ranking."""
+    import pandas as pd
+
+    from alix_spark.index.segments import publish_marker
+    from alix_spark.query.wand import term_stats_dataset
+
+    key = publish_marker(index_dir)
+    hit = _VOCAB_CACHE.get(index_dir)
+    if hit is None or hit[0] != key:
+        tbl = term_stats_dataset(index_dir).to_table(columns=["term", "cf"])
+        pdf = pd.DataFrame(
+            {"term": tbl["term"].to_pylist(), "cf": tbl["cf"].to_pylist()}
+        )
+        pdf["fold"] = pdf["term"].str.translate(_FOLD_MAP).str.lower()
+        pdf = pdf.sort_values(
+            ["cf", "term"], ascending=[False, True], ignore_index=True
+        )
+        _VOCAB_CACHE[index_dir] = (key, pdf)
+    _VOCAB_CACHE.move_to_end(index_dir)
+    while len(_VOCAB_CACHE) > _VOCAB_CACHE_MAX:
+        _VOCAB_CACHE.popitem(last=False)
+    return _VOCAB_CACHE[index_dir][1]
+
+
+def suggest_local(index_dir: str, q: str, top: int = 20) -> list[tuple]:
+    """(term, cf) completions via the cached folded vocabulary — the
+    per-keystroke serving op (no Spark job; reference TermSuggest
+    semantics: prefix <3 folded chars, infix ≥3, cf desc / term asc)."""
+    if top <= 0:
+        return []
+    pdf = folded_vocab(index_dir)
+    qf = fold_query(q or "")
+    mask = (
+        pdf["fold"].str.startswith(qf) if len(qf) < 3
+        else pdf["fold"].str.contains(qf, regex=False)
+    )
+    hit = pdf[mask].head(top)
+    return [(t, int(c)) for t, c in zip(hit["term"], hit["cf"])]
+
+
 def suggest_folded(tstats: DataFrame, q: str, top: int = 20) -> DataFrame:
     """Diacritic-insensitive completion (reference TermSuggest.java:1-28:
     terms ASCII-folded at index time; query folded; prefix match for <3

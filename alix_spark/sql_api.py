@@ -69,53 +69,24 @@ class SuggestUdtf:
     match under 3 folded chars, infix at 3+."""
 
     def eval(self, index_dir: str, q: str, k: int = 10):
-        from alix_spark.lexicometry.suggest import fold_query
+        # the SHARED fold+rank serving helper (publish-token-keyed,
+        # LRU-bounded cache; same backend as engine.suggest and the
+        # HTTP layer — one place owns the <3-prefix/≥3-infix rule and
+        # the cf-desc/term-asc ranking); k<=0 yields no rows
+        from alix_spark.lexicometry.suggest import suggest_local
 
-        qf = fold_query(q or "")
-        # the folded vocabulary is computed ONCE per publish (cached
-        # against the dataset handle's identity, which _datasets swaps
-        # on republish) — per-call work is one scan over it, not a
-        # re-fold of every term (lateral use is O(rows·V) either way,
-        # but without the O(V) string-translate per row)
-        for term, folded, cf in _folded_vocab(index_dir):
-            ok = folded.startswith(qf) if len(qf) < 3 else qf in folded
-            if ok:
-                yield term, int(cf)
-                k -= 1
-                if k <= 0:
-                    return
-
-
-_FOLDED_VOCAB: dict[str, tuple[object, list[tuple[str, str, int]]]] = {}
-
-
-def _folded_vocab(index_dir: str) -> list[tuple[str, str, int]]:
-    """(term, folded_term, cf) for the whole dictionary, pre-sorted by
-    (cf desc, term asc) so a scan in order IS the ranking; invalidated
-    when the serving cache swaps its dataset handle (republish)."""
-    from alix_spark.lexicometry.suggest import fold_query
-    from alix_spark.query.wand import term_stats_dataset
-
-    dset = term_stats_dataset(index_dir)
-    hit = _FOLDED_VOCAB.get(index_dir)
-    if hit is not None and hit[0] is dset:
-        return hit[1]
-    tbl = dset.to_table(columns=["term", "cf"])
-    rows = sorted(
-        (
-            (term, fold_query(term), int(cf))
-            for term, cf in zip(
-                tbl["term"].to_pylist(), tbl["cf"].to_pylist()
-            )
-        ),
-        key=lambda t: (-t[2], t[0]),
-    )
-    _FOLDED_VOCAB[index_dir] = (dset, rows)
-    return rows
+        for term, cf in suggest_local(index_dir, q, top=int(k)):
+            yield term, int(cf)
 
 
 def register(spark: SparkSession) -> None:
     """Register all table functions on the session."""
+    from alix_spark.util import ensure_py_files
+
+    # UDTF eval bodies import alix_spark inside executor Python
+    # workers — ship the package, or the functions only work when the
+    # driver's cwd IS the repo (CLAUDE.md contract rule)
+    ensure_py_files(spark)
     spark.udtf.register("alix_bm25", Bm25Udtf)
     spark.udtf.register("alix_phrase", PhraseUdtf)
     spark.udtf.register("alix_suggest", SuggestUdtf)

@@ -72,7 +72,12 @@ def _write_batch(batch_df: DataFrame, batch_id: int, staging_dir: str) -> None:
     tok.write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("batch_id").parquet(os.path.join(staging_dir, "tokens"))
-    batch_df.select("url", "warc_ts", "lang").withColumn(
+    # content_md5 rides to staging so compaction can use the SAME
+    # content-first tiebreak across batches (batch boundaries are an
+    # accident of file listing, not an ordering signal)
+    batch_df.select(
+        "url", "warc_ts", "lang", F.md5(F.col("html")).alias("content_md5")
+    ).withColumn(
         "batch_id", F.lit(batch_id)
     ).write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
@@ -124,13 +129,17 @@ def compact(
 ) -> dict:
     """Fold staged tokens into a freshly published full index.
 
-    Duplicate urls keep the row from the latest (warc_ts, batch_id)
-    crawl. Dense docIDs are (re)assigned over the surviving url set, so
-    the published index is byte-identical to a cold batch build over
-    the same page set — asserted in tests."""
+    Duplicate urls keep the latest (warc_ts, content_md5) crawl — the
+    same content-first tiebreak _write_batch applies within a batch, so
+    the winner does not depend on how files happened to split into
+    micro-batches; batch_id breaks only the identical-content tie
+    (either batch's token rows are identical then). Dense docIDs are
+    (re)assigned over the surviving url set, so the published index is
+    byte-identical to a cold batch build over the same page set —
+    asserted in tests."""
     pages = spark.read.parquet(os.path.join(staging_dir, "pages"))
     latest = pages.groupBy("url").agg(
-        F.max(F.struct("warc_ts", "batch_id")).alias("w")
+        F.max(F.struct("warc_ts", "content_md5", "batch_id")).alias("w")
     ).select("url", F.col("w.batch_id").alias("batch_id"))
 
     tok = spark.read.parquet(os.path.join(staging_dir, "tokens"))

@@ -110,3 +110,40 @@ def test_batch_replay_is_idempotent(spark, tmp_path):
     tok3 = spark.read.parquet(f"{staging}/tokens")
     assert tok3.filter("batch_id = 0").count() == n1
     assert tok3.filter("batch_id = 1").count() > 0
+
+
+def test_compaction_winner_is_batching_invariant(spark, tmp_path):
+    """Same url, same warc_ts, DIFFERENT content landing in different
+    micro-batches: the winner must be decided by content hash (the same
+    tiebreak _write_batch uses within a batch), not by which batch the
+    file listing happened to assign (review regression)."""
+    from alix_spark.streaming.ingest import _write_batch
+
+    rows = [
+        ("https://a/1", "2024-01-01 00:00:00", b"<p>premier choix</p>", "x", "fr"),
+        ("https://a/1", "2024-01-01 00:00:00", b"<p>second choix</p>", "x", "fr"),
+    ]
+    schema = "url string, warc_ts string, html binary, text string, lang string"
+
+    def stage(order, stg):
+        for bid, row in enumerate(order):
+            df = spark.createDataFrame([row], schema).withColumn(
+                "warc_ts", F.col("warc_ts").cast("timestamp")
+            )
+            _write_batch(df, bid, stg)
+
+    idx_a = str(tmp_path / "ix_a")
+    idx_b = str(tmp_path / "ix_b")
+    stage(rows, str(tmp_path / "stg_a"))
+    stage(rows[::-1], str(tmp_path / "stg_b"))
+    ingest.compact(spark, str(tmp_path / "stg_a"), idx_a, n_shards=2)
+    ingest.compact(spark, str(tmp_path / "stg_b"), idx_b, n_shards=2)
+
+    import hashlib
+
+    md5 = lambda b: hashlib.md5(b).hexdigest()
+    want = "premier" if md5(rows[0][2]) > md5(rows[1][2]) else "second"
+    for idx in (idx_a, idx_b):
+        assert wand.query_local(idx, [want], k=5, mode="and"), want
+        other = "second" if want == "premier" else "premier"
+        assert not wand.query_local(idx, [other], k=5, mode="and")
