@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from alix_spark.index.simple import tokens_array
-from alix_spark.util import ensure_py_files, round6
+from alix_spark.util import ensure_py_files, maybe_broadcast, round6
 
 MERSENNE61 = (1 << 61) - 1
 
@@ -51,12 +51,15 @@ def doc_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", 
     distinct) is unchanged and shared with the DuckDB oracle."""
     ensure_py_files(df.sparkSession)
     toks = df.select(F.col(id_col).alias("doc_id"), tokens_array(df, text_col).alias("toks"))
+    # preserve the caller's id dtype (url string keys work, like the
+    # minhash/simhash tiers); NULL text (failed fetches) yields no row
+    id_type = toks.schema["doc_id"].dataType.simpleString()
 
     def gen(it):
         for pdf in it:
             ids, shs, ns = [], [], []
             for doc_id, tl in zip(pdf["doc_id"], pdf["toks"]):
-                tl = list(tl)
+                tl = list(tl) if tl is not None else []
                 sh = list(dict.fromkeys(
                     " ".join(tl[i : i + n]) for i in range(len(tl) - n + 1)
                 ))
@@ -64,9 +67,17 @@ def doc_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", 
                     ids.append(doc_id)
                     shs.append(sh)
                     ns.append(len(sh))
-            yield pd.DataFrame({"doc_id": ids, "shingles": shs, "n_sh": ns})
+            if ids:
+                # an all-empty batch must yield NOTHING: a fresh empty
+                # DataFrame defaults every column to float64, which
+                # Arrow cannot coerce to array<string>
+                yield pd.DataFrame(
+                    {"doc_id": ids, "shingles": shs, "n_sh": ns}
+                )
 
-    return toks.mapInPandas(gen, "doc_id long, shingles array<string>, n_sh long")
+    return toks.mapInPandas(
+        gen, f"doc_id {id_type}, shingles array<string>, n_sh long"
+    )
 
 
 def jaccard_pairs(
@@ -101,7 +112,10 @@ def jaccard_pairs(
             .filter(F.col("sdf") > max_shingle_df)
             .select("sh")
         )
-        ex = ex.join(F.broadcast(hot), "sh", "left_anti")
+        # count-guarded: with a low cap on a web-scale corpus the hot
+        # set can be a large fraction of the shingle vocabulary —
+        # above the guard the plain shuffle anti-join is the right plan
+        ex = ex.join(maybe_broadcast(hot), "sh", "left_anti")
     a = ex.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), "sh")
     b = ex.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"), "sh")
     inter = (
@@ -276,7 +290,7 @@ def simhash_fingerprints(
         for pdf in it:
             fps = []
             for tl in pdf["toks"]:
-                if len(tl) == 0:
+                if tl is None or len(tl) == 0:  # NULL text: empty doc
                     fps.append(0)
                     continue
                 vals, counts = np.unique(np.asarray(tl, dtype=object), return_counts=True)

@@ -31,9 +31,18 @@ MEDIA_SCHEMA = T.StructType(
 
 def as_media_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Wrap a text table as a media table (payload = utf-8 bytes) —
-    the plumbing fixture used until real image/audio payloads exist."""
+    the plumbing fixture used until real image/audio payloads exist.
+
+    String ids (urls) hash to a stable long via ``xxhash64`` — a bare
+    ``cast('long')`` would turn every non-numeric key into a NULL
+    media_id and silently merge all rows in downstream joins."""
+    id_is_str = isinstance(df.schema[id_col].dataType, T.StringType)
+    media_id = (
+        F.xxhash64(F.col(id_col)) if id_is_str
+        else F.col(id_col).cast("long")
+    )
     return df.select(
-        F.col(id_col).cast("long").alias("media_id"),
+        media_id.alias("media_id"),
         F.encode(F.col(text_col), "utf-8").alias("media"),
         F.lit("text/plain").alias("mime"),
         F.octet_length(F.encode(F.col(text_col), "utf-8")).cast("long").alias("n_bytes"),
@@ -65,7 +74,10 @@ def decode_features(
         for pdf in it:
             feats = []
             for buf in pdf["media"]:
-                arr = np.frombuffer(bytes(buf), dtype=np.uint8).astype(np.float64)
+                # NULL payload (failed fetch) = empty payload
+                arr = np.frombuffer(
+                    bytes(buf) if buf is not None else b"", dtype=np.uint8
+                ).astype(np.float64)
                 if arr.size == 0:
                     feats.append([0.0] * feat_dim)
                     continue
@@ -119,7 +131,9 @@ def decode_image(media: DataFrame, real_decode: bool = False) -> DataFrame:
         for pdf in it:
             w_, h_, c_, px = [], [], [], []
             for buf in pdf["media"]:
-                arr = np.frombuffer(bytes(buf), dtype=np.uint8)
+                arr = np.frombuffer(
+                    bytes(buf) if buf is not None else b"", dtype=np.uint8
+                )
                 # fake decode: payload bytes tiled into a 32x32x3 raster
                 side = 32
                 need = side * side * 3
@@ -147,27 +161,26 @@ def resize_images(decoded: DataFrame, size: int = 8) -> DataFrame:
     def gen(it):
         for pdf in it:
             out = []
-            for _, r in pdf.iterrows():
-                a = np.frombuffer(bytes(r["pixels"]), dtype=np.uint8).reshape(
-                    r["height"], r["width"], r["channels"]
-                )
-                fh, fw = r["height"] // size, r["width"] // size
+            for mid, w, h, ch, pix in zip(
+                pdf["media_id"], pdf["width"], pdf["height"],
+                pdf["channels"], pdf["pixels"],
+            ):
+                a = np.frombuffer(bytes(pix), dtype=np.uint8).reshape(h, w, ch)
+                fh, fw = h // size, w // size
                 if fh == 0 or fw == 0:
                     raise ValueError(
                         f"resize target {size} exceeds raster "
-                        f"{r['height']}x{r['width']} — block-mean "
+                        f"{h}x{w} — block-mean "
                         "pooling only downsamples (an empty-slice mean "
                         "would emit NaN-garbage pixels silently)"
                     )
                 pooled = (
                     a[: fh * size, : fw * size]
-                    .reshape(size, fh, size, fw, r["channels"])
+                    .reshape(size, fh, size, fw, ch)
                     .mean(axis=(1, 3))
                     .astype(np.uint8)
                 )
-                out.append(
-                    (r["media_id"], size, size, int(r["channels"]), pooled.tobytes())
-                )
+                out.append((mid, size, size, int(ch), pooled.tobytes()))
             yield pd.DataFrame(
                 out, columns=["media_id", "width", "height", "channels", "pixels"]
             )
@@ -195,7 +208,9 @@ def frame_sample(
         for pdf in it:
             rows = []
             for mid, buf in zip(pdf["media_id"], pdf["media"]):
-                arr = np.frombuffer(bytes(buf), dtype=np.uint8)
+                arr = np.frombuffer(
+                    bytes(buf) if buf is not None else b"", dtype=np.uint8
+                )
                 side, need = 16, 16 * 16 * 3
                 if arr.size == 0:
                     # empty media → n_frames zero rasters, consistent
@@ -220,20 +235,33 @@ def frame_sample(
 
 
 def image_embedding(resized: DataFrame, dim: int = 16) -> DataFrame:
-    """Pooled raster → unit-norm embedding vector (channel-wise pixel
-    moments — a deterministic stand-in for a CNN forward pass; the
-    Spark shape is identical). Returns (media_id, embedding)."""
+    """Pooled raster → unit-norm embedding vector: per-channel mean and
+    std (the channel-wise moments), then block means over the full
+    flattened raster to fill ``dim`` — every pixel contributes (a
+    deterministic stand-in for a CNN forward pass; the Spark shape is
+    identical). Returns (media_id, embedding)."""
     ensure_py_files(resized.sparkSession)
 
     def gen(it):
         for pdf in it:
             ids, vecs = [], []
-            for _, r in pdf.iterrows():
-                a = np.frombuffer(bytes(r["pixels"]), dtype=np.uint8).astype(np.float64)
-                a = np.resize(a, dim)
-                n = np.linalg.norm(a)
-                vecs.append((a / n if n > 0 else a).round(6).tolist())
-                ids.append(r["media_id"])
+            for mid, ch, pix in zip(
+                pdf["media_id"], pdf["channels"], pdf["pixels"]
+            ):
+                a = np.frombuffer(bytes(pix), dtype=np.uint8).astype(np.float64)
+                px = a.reshape(-1, ch) if a.size else np.zeros((1, ch))
+                moments = np.concatenate([px.mean(axis=0), px.std(axis=0)])
+                if dim <= moments.size:
+                    v = moments[:dim]
+                else:
+                    chunks = np.array_split(a, dim - moments.size)
+                    v = np.concatenate([
+                        moments,
+                        np.array([c.mean() if c.size else 0.0 for c in chunks]),
+                    ])
+                n = np.linalg.norm(v)
+                vecs.append((v / n if n > 0 else v).round(6).tolist())
+                ids.append(mid)
             yield pd.DataFrame({"media_id": ids, "embedding": vecs})
 
     return resized.mapInPandas(

@@ -48,8 +48,13 @@ def cosine_topk(
     (q_id, vec_id, cos, rank) with cos rounded to 6 dp; rank by rounded
     cos desc then vec_id asc (deterministic across engines/parallelism).
     """
+    # self-exclusion compares as STRINGS: with a string q_id (term
+    # keys) against a numeric vec_id, Spark would promote both to
+    # double, cast the key to NULL, and the filter would silently drop
+    # every row; string-vs-string is type-safe and agrees with numeric
+    # equality for numeric ids
     joined = emb.crossJoin(F.broadcast(queries)).filter(
-        F.col(id_col) != F.col(q_id_col)
+        F.col(id_col).cast("string") != F.col(q_id_col).cast("string")
     )
     scored = joined.select(
         F.col(q_id_col).alias("q_id"),
@@ -143,7 +148,9 @@ def ann_lsh_topk(
             F.broadcast(queries.join(q_sig, "q_id")),
             F.col("bucket") == F.col("q_bucket"),
         )
-        .filter(F.col("vec_id") != F.col("q_id"))
+        .filter(  # string compare: see cosine_topk's self-exclusion note
+            F.col("vec_id").cast("string") != F.col("q_id").cast("string")
+        )
     )
     scored = cand.select(
         "q_id",
@@ -265,7 +272,9 @@ def ann_ivf_topk(
         emb.join(assign, "vec_id")
         .join(F.broadcast(probe_df), "list_id")
         .join(F.broadcast(queries), "q_id")
-        .filter(F.col("vec_id") != F.col("q_id"))
+        .filter(  # string compare: see cosine_topk's self-exclusion note
+            F.col("vec_id").cast("string") != F.col("q_id").cast("string")
+        )
     )
     scored = cand.select(
         "q_id",

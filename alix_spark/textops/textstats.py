@@ -1,17 +1,22 @@
 """Text analysis for training-data pipelines: language-ID heuristic,
 quality scoring, token counting, document fingerprinting.
 
-All four are pure column expressions (JVM-side, codegen'd) so they cost
-one scan at 100 TB; each has an exact DuckDB oracle in entry_queries.
+lang-ID/quality/token counts are pure column expressions (JVM-side,
+codegen'd) so they cost one scan at 100 TB; fingerprinting hashes its
+shingles in an Arrow-batched python pass (Spark's transform/sequence
+array lambdas are interpreted, measured ~6x slower for this shape —
+same trade as dedup.doc_shingles). Each op has an exact DuckDB oracle
+in entry_queries.
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from alix_spark.index.simple import tokens_array
-from alix_spark.util import round6
+from alix_spark.util import ensure_py_files, round6
 
 
 def _member(words: list[str]):
@@ -110,7 +115,10 @@ def token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         F.size(F.filter(F.split(F.col(text_col), "\\s+"), lambda x: x != F.lit("")))
         .cast("long")
         .alias("ws_tokens"),
-        F.size(F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+|[^a-z0-9\\\\s]', 0)"))
+        F.size(F.expr(
+            f"regexp_extract_all(lower(`{text_col}`), "
+            "'[a-z0-9]+|[^a-z0-9\\\\s]', 0)"
+        ))
         .cast("long")
         .alias("bpe_ish_tokens"),
     )
@@ -121,19 +129,39 @@ def fingerprints(
 ) -> DataFrame:
     """(doc_id, fp_full, fp_min): md5 of the normalized token stream
     (exact-dup key) and the minimum md5 over word n-gram shingles (a
-    winnowing-style rolling fingerprint stable under local edits)."""
-    toks = df.select(F.col(id_col).alias("doc_id"), tokens_array(df, text_col).alias("__toks"))
-    parts = ", ".join(f"__toks[i + {j}]" for j in range(n))
-    sh = toks.select(
-        "doc_id",
-        F.md5(F.concat_ws(" ", F.col("__toks"))).alias("fp_full"),
-        F.expr(
-            f"IF(size(__toks) >= {n}, "
-            f"transform(sequence(0, size(__toks) - {n}), "
-            f"i -> md5(concat_ws(' ', {parts}))), "
-            f"CAST(array() AS ARRAY<STRING>))"
-        ).alias("sh_hashes"),
+    winnowing-style rolling fingerprint stable under local edits).
+
+    Shingle hashing runs in mapInPandas (hashlib md5 — bit-identical
+    hex to Spark/DuckDB ``md5()``): the transform/sequence lambda
+    alternative is interpreted, not codegen'd, and measured ~6x slower
+    for exactly this shape. NULL text fingerprints as an empty token
+    stream (fp_min NULL), matching the SQL oracle's semantics."""
+    ensure_py_files(df.sparkSession)
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokens_array(df, text_col).alias("toks")
     )
-    return sh.select(
-        "doc_id", "fp_full", F.array_min("sh_hashes").alias("fp_min")
+    id_type = toks.schema["doc_id"].dataType.simpleString()
+
+    def gen(it):
+        import hashlib
+
+        md5 = lambda s: hashlib.md5(s.encode("utf-8")).hexdigest()
+        for pdf in it:
+            ids, fulls, mins = [], [], []
+            for doc_id, tl in zip(pdf["doc_id"], pdf["toks"]):
+                tl = list(tl) if tl is not None else []
+                fulls.append(md5(" ".join(tl)))
+                hs = [
+                    md5(" ".join(tl[i : i + n]))
+                    for i in range(len(tl) - n + 1)
+                ]
+                mins.append(min(hs) if hs else None)
+                ids.append(doc_id)
+            if ids:  # empty batch: fresh empty frames default to
+                yield pd.DataFrame(  # float64 columns, breaking Arrow
+                    {"doc_id": ids, "fp_full": fulls, "fp_min": mins}
+                )
+
+    return toks.mapInPandas(
+        gen, f"doc_id {id_type}, fp_full string, fp_min string"
     )

@@ -96,3 +96,32 @@ def test_minhash_rejects_indivisible_bands(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="divide"):
         dedup.minhash_lsh_pairs(docs, num_perm=64, bands=10)
+
+
+def test_jaccard_string_ids_and_null_text(spark):
+    """url keys flow through the jaccard/minhash tiers (doc_shingles
+    previously hardcoded `doc_id long`), and NULL text rows (failed
+    fetches) are skipped instead of crashing the executor (review
+    regressions)."""
+    docs = spark.createDataFrame(
+        [
+            ("https://a/1", "un deux trois quatre cinq"),
+            ("https://a/2", "un deux trois quatre six"),
+            ("https://a/3", None),
+        ],
+        "url string, text string",
+    )
+    pairs = dedup.jaccard_pairs(
+        docs, threshold=0.1, id_col="url", n=3
+    ).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in pairs] == [
+        ("https://a/1", "https://a/2")
+    ]
+    mh = dedup.minhash_lsh_pairs(
+        docs, threshold=0.1, id_col="url", num_perm=16, bands=8, n=3
+    ).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in mh] == [
+        ("https://a/1", "https://a/2")
+    ]
+    fps = dedup.simhash_fingerprints(docs, id_col="url").collect()
+    assert {r["doc_id"]: r["simhash"] for r in fps}["https://a/3"] == 0

@@ -73,3 +73,23 @@ def test_pipeline_deterministic(spark, media):
         multimodal.resize_images(multimodal.decode_image(media), size=8)
     ).orderBy("media_id").collect()
     assert [tuple(r) for r in p()] == [tuple(r) for r in p()]
+
+
+def test_string_ids_and_null_payloads(spark):
+    """String doc ids hash to stable non-NULL media_ids (a bare long
+    cast NULLed them), and NULL payloads flow as empty media instead of
+    crashing the Arrow stage (review regressions)."""
+    docs = spark.createDataFrame(
+        [("https://a/1", "bonjour"), ("https://a/2", None)],
+        "url string, text string",
+    )
+    media = multimodal.as_media_table(docs, id_col="url")
+    rows = media.collect()
+    ids = [r["media_id"] for r in rows]
+    assert all(i is not None for i in ids) and len(set(ids)) == 2
+    feats = multimodal.decode_features(media, feat_dim=4).collect()
+    assert len(feats) == 2
+    null_feat = [r for r in feats if r["features"] == [0.0] * 4]
+    assert len(null_feat) == 1  # the NULL-text doc: zero vector
+    frames = multimodal.frame_sample(media, n_frames=2).collect()
+    assert len(frames) == 4

@@ -78,3 +78,22 @@ def test_ivf_deterministic(emb, queries):
     a = similarity.ann_ivf_topk(emb, queries, k=5, n_lists=8, nprobe=2).collect()
     b = similarity.ann_ivf_topk(emb, queries, k=5, n_lists=8, nprobe=2).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_string_query_ids_not_silently_empty(spark):
+    """String q_ids (term keys) vs numeric vec_ids: the self-exclusion
+    filter previously promoted both to double, cast the key to NULL,
+    and dropped EVERY candidate row (review regression)."""
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [("cat", [1.0, 0.1])], "q_id string, q_vec array<double>"
+    )
+    rows = similarity.cosine_topk(emb, q, k=2).collect()
+    assert len(rows) == 2 and rows[0]["vec_id"] == 0
+    rows = similarity.ann_ivf_topk(
+        emb, q, k=2, n_lists=1, nprobe=1, dim=2
+    ).collect()
+    assert len(rows) == 2 and rows[0]["vec_id"] == 0
