@@ -434,7 +434,15 @@ class AlixHttpServer:
         if not q:
             raise HttpError(400, "missing parameter: q")
         top = pars.get_int("top", 20, 1, 200)
-        return _df_rows(engine.suggest(q, top=top))
+        # zero-Spark per-keystroke path: the shared fold+rank backend
+        # directly (engine.suggest wraps the same rows in a Spark
+        # DataFrame, which costs a createDataFrame+collect per request)
+        from alix_spark.lexicometry.suggest import suggest_local
+
+        return [
+            {"term": t, "cf": c}
+            for t, c in suggest_local(engine.index_dir, q, top=top)
+        ]
 
     def _op_chrono(self, engine, pars) -> list[dict]:
         self._require_corpus(engine)
