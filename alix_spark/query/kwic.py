@@ -32,14 +32,18 @@ def kwic(
     hits = tok.filter(F.col("term") == term).select(
         F.col("doc_id").alias("h_doc"), F.col("pos").alias("h_pos")
     )
+    # the hit's own row stays IN the band: it falls into neither the
+    # left nor the right when() bucket, so it contributes nothing to
+    # the contexts — but it guarantees every occurrence a group row,
+    # which previously cost a second full band join + aggregation via
+    # an anti-join/union for context-less hits
     band = (
         tok.alias("t")
         .join(
             maybe_broadcast(hits),  # stop-word-grade terms must not broadcast
             (F.col("t.doc_id") == F.col("h_doc"))
             & (F.col("t.pos") >= F.col("h_pos") - width)
-            & (F.col("t.pos") <= F.col("h_pos") + width)
-            & (F.col("t.pos") != F.col("h_pos")),
+            & (F.col("t.pos") <= F.col("h_pos") + width),
         )
         .select(
             F.col("h_doc").alias("doc_id"),
@@ -78,21 +82,4 @@ def kwic(
             ),
         ).alias("right_ctx"),
     )
-    # an occurrence with NO context tokens in the ±width window produced
-    # no band rows — add it back with empty contexts so every occurrence
-    # appears (the inner band join stays broadcast; this anti-join is
-    # small × small)
-    lone = (
-        hits.join(
-            sides,
-            (F.col("h_doc") == F.col("doc_id")) & (F.col("h_pos") == F.col("pos")),
-            "left_anti",
-        )
-        .select(
-            F.col("h_doc").alias("doc_id"),
-            F.col("h_pos").alias("pos"),
-            F.lit("").alias("left_ctx"),
-            F.lit("").alias("right_ctx"),
-        )
-    )
-    return sides.unionByName(lone).orderBy("doc_id", "pos").limit(limit)
+    return sides.orderBy("doc_id", "pos").limit(limit)

@@ -10,7 +10,11 @@ Re-expresses the reference's ``SpanQueryParser`` semantics
 - ``"quoted words"``    → exact phrase, in order, slop 0 (:24-48)
 - ``(a b c)``           → OR group (SpanOrQuery, :151-201)
 - ``wild*`` / ``wi?d``  → wildcard expanded against the term dictionary,
-                          capped at 256 expansions (:52-53, :327-398)
+                          capped at 256 expansions (:52-53, :327-398).
+                          Top-level tokens only — a wildcard inside a
+                          quoted phrase or OR group is analyzed as a
+                          literal (known divergence from the
+                          reference's composed SpanOrQuery rewrite)
 - stopwords dropped (:477-479); terms absent from the index dropped
   (:510-513) — both decided against the index's term dictionary
 - query text runs through the SAME analysis chain as the index
@@ -70,17 +74,31 @@ def parse(q: str) -> list[Clause]:
     for m in _TOKEN_RE.finditer(q):
         tok = m.group(0)
         if tok.startswith('"') and tok.endswith('"'):
-            terms = _analyze_words(tok[1:-1])
+            toks = run_chain(tokenize(tok[1:-1]))
+            terms = [t[0] for t in toks]
             if len(terms) == 1:
                 clauses.append(TermClause(terms[0]))
             elif terms:
-                clauses.append(PhraseClause(terms))
+                # stopwords dropped from the phrase leave position gaps
+                # in BOTH the query and the index ('chat et chien' →
+                # chat@0, chien@2): budget those holes as slop, or the
+                # exact phrase could never match its own source text.
+                # (Approximation vs the reference's exact-hole
+                # PhraseQuery: the matcher may spend the budget at any
+                # gap, slightly wider.)
+                holes = (toks[-1][1] - toks[0][1] + 1) - len(terms)
+                clauses.append(PhraseClause(terms, slop=holes))
         elif tok.startswith("(") and tok.endswith(")"):
             terms = _analyze_words(tok[1:-1])
             if terms:
                 clauses.append(OrClause(terms))
         elif "*" in tok or "?" in tok:
-            clauses.append(WildcardClause(tok.lower()))
+            # pattern AS TYPED (engine._expand tries it plus the
+            # leading-case flip — lowercasing here made interior
+            # capitals like 'Jean-P*' unreachable); trailing
+            # punctuation would be stripped by the analyzer on a bare
+            # term, so strip it from the pattern too
+            clauses.append(WildcardClause(tok.rstrip(".,;:!?")))
         else:
             terms = _analyze_words(tok)
             for t in terms:
@@ -176,8 +194,24 @@ def resolve_with(clauses: list[Clause], member, expand, roots=None) -> list[Clau
             elif kept:
                 out.append(OrClause(kept))
         elif isinstance(c, PhraseClause):
-            if all(member(t) for t in c.terms):
-                out.append(c)
+            # per-slot resolution like the reference's spanTerm
+            # (:482-518): each phrase term resolves roots-first; a term
+            # with no indexed form is DROPPED (reference :510-513) and
+            # its hole becomes slop — narrowing the phrase instead of
+            # discarding the whole clause (which silently WIDENED the
+            # query: 'chien "chat zzz"' returned chat-less docs)
+            kept = []
+            slop = c.slop
+            for t in c.terms:
+                alts = term_alts(t)
+                if alts:
+                    kept.append(alts[0])
+                else:
+                    slop += 1
+            if len(kept) == 1:
+                out.append(TermClause(kept[0]))
+            elif kept:
+                out.append(PhraseClause(kept, slop=slop, ordered=c.ordered))
         elif isinstance(c, WildcardClause):
             hits = expand(c.pattern)
             if len(hits) == 1:

@@ -207,3 +207,34 @@ def test_hilite_case_sensitive():
     src = "<p>Paris est grande.</p>"
     assert "<mark>" not in hilite(src, ["paris"])
     assert "<mark>Paris</mark>" in hilite(src, ["Paris"])
+
+
+def test_phrase_interior_stopword_gets_slop():
+    """'chat et chien' indexes as chat@p, chien@p+2 (the stopword hole
+    keeps its position); the parsed phrase must budget that hole as
+    slop or the exact phrase never matches its own source text
+    (review regression)."""
+    (p,) = parser.parse('"chat et chien"')
+    assert isinstance(p, parser.PhraseClause)
+    assert p.terms == ["chat", "chien"] and p.slop == 1
+
+
+def test_wildcard_pattern_as_typed():
+    """The pattern keeps its case (engine._expand tries as-typed plus
+    the leading-case flip — lowercasing made interior capitals
+    unreachable) and sheds trailing punctuation like a bare term
+    (review regressions)."""
+    w1, w2 = parser.parse("Jean-P* pari*,")
+    assert w1.pattern == "Jean-P*" and w2.pattern == "pari*"
+
+
+def test_phrase_narrows_instead_of_vanishing():
+    """A phrase term absent from the index drops THAT term (reference
+    :510-513), not the whole clause — wholesale dropping silently
+    widened the query (review regression)."""
+    clauses = parser.parse('chien "chat zzzqqq absent"')
+    res = parser.resolve(clauses, {"chien", "chat", "absent"})
+    phrases = [c for c in res if isinstance(c, parser.PhraseClause)]
+    assert len(phrases) == 1
+    assert phrases[0].terms == ["chat", "absent"]
+    assert phrases[0].slop == 1  # the dropped term's hole
