@@ -625,10 +625,12 @@ def _is_family_name(term: str) -> bool:
 def pers_initial_filter(toks: list[Tok]) -> list[Tok]:
     """Merge a person initial with the following family name into one
     token ``E. Meyerson`` (reference PersInitialFilter.java:83-140).
-    The initial is ASCII-folded (É→E); a merge only happens when the
-    family name is the immediately following token (the reference's
-    positionIncrement == 1 test — an intervening tag or punctuation
-    token blocks it). Runs immediately after the tokenizer
+    The initial is ASCII-folded (É→E) whether or not a merge happens
+    (java:194 folds before the merge decision). XML tag tokens carry no
+    position, so they are skipped when probing for the family name —
+    ``E. <span>Meyerson</span>`` still merges (java:111: "offset gap is
+    not relevant"); a punctuation or word token between them blocks
+    the merge. Runs immediately after the tokenizer
     (PersInitialFilter.java:32-34)."""
     import unicodedata
 
@@ -640,15 +642,21 @@ def pers_initial_filter(toks: list[Tok]) -> list[Tok]:
             out.append(t)
             i += 1
             continue
-        nxt = toks[i + 1] if i + 1 < len(toks) else None
-        if nxt is None or nxt.ttype != W or not _is_family_name(nxt.term):
-            out.append(t)
-            i += 1
-            continue
         # fold the initial only (É→E), case preserved — the reference
         # folds exactly one char (PersInitialFilter.java:194); NFD base
         # char = ASCII fold for single uppercase Latin letters
         initial = unicodedata.normalize("NFD", t.term[0])[0].upper()
+        j = i + 1
+        while j < len(toks) and toks[j].ttype == X:
+            j += 1  # tags are position-less (ADVICE r3)
+        nxt = toks[j] if j < len(toks) else None
+        if nxt is None or nxt.ttype != W or not _is_family_name(nxt.term):
+            if initial != t.term[0]:
+                t = Tok(initial + t.term[1:], t.start, t.end, t.ttype,
+                        t.pos_tag, t.lemma, set(t.flags))
+            out.append(t)
+            i += 1
+            continue
         merged = Tok(
             term=f"{initial}. {nxt.term}",
             start=t.start,
@@ -657,7 +665,8 @@ def pers_initial_filter(toks: list[Tok]) -> list[Tok]:
             flags={"kw"},  # resolved: protect from downstream rewrite
         )
         out.append(merged)
-        i += 2
+        out.extend(toks[i + 1 : j])  # skipped tag tokens stay in stream
+        i = j + 1
     return out
 
 

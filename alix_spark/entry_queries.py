@@ -1267,8 +1267,10 @@ base AS (
   FROM documents d LEFT JOIN dstats s ON d.doc_id = s.doc_id
   LEFT JOIN post p ON d.doc_id = p.doc_id, cstats c, dfc f
 )
-SELECT bin, count(*) AS docs, sum(dl) AS tokens, sum(tf) AS hits,
-       {sql_round6("sum(w)")} AS score
+SELECT bin, count(*) AS docs,
+       CAST(sum(dl) AS BIGINT) AS tokens, CAST(sum(tf) AS BIGINT) AS hits,
+       CAST(sum(CAST(floor(w * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+         / 1000000.0 AS score
 FROM base GROUP BY bin ORDER BY bin
 """
 

@@ -11,8 +11,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from alix_spark.util import round6
-
 
 def time_histogram(
     df: DataFrame,
@@ -56,7 +54,12 @@ def chrono_channels(
       docs   — documents in the bin
       tokens — Σ doc length
       hits   — Σ tf of the query term over the bin's docs
-      score  — Σ per-doc BM25 contribution of the term (round6)
+      score  — Σ per-doc BM25 contribution of the term, accumulated
+               as integer micro-units (per-doc floor-round to 6 dp,
+               exact long sum): order-insensitive and bit-identical
+               across engines — a raw double sum is accumulation-order
+               dependent and a post-sum round only narrows, never
+               closes, the half-case window (r03 driver red row)
 
     Scale shape: two partial-aggregated groupBys on doc_id (map-side
     combine), one broadcast of the 1-row corpus stats, one tiny final
@@ -94,19 +97,20 @@ def chrono_channels(
         F.col("tf").isNotNull(),
         idf * (F.col("tf") * F.lit(k1 + 1.0)) / (F.col("tf") + norm),
     ).otherwise(F.lit(0.0))
+    w_micro = F.floor(w * F.lit(1000000.0) + F.lit(0.5)).cast("long")
     return (
         base.select(
             "bin",
-            F.coalesce(F.col("dl"), F.lit(0)).alias("dl"),
-            F.coalesce(F.col("tf"), F.lit(0)).alias("tf"),
-            w.alias("w"),
+            F.coalesce(F.col("dl"), F.lit(0)).cast("long").alias("dl"),
+            F.coalesce(F.col("tf"), F.lit(0)).cast("long").alias("tf"),
+            w_micro.alias("w_micro"),
         )
         .groupBy("bin")
         .agg(
             F.count("*").alias("docs"),
             F.sum("dl").alias("tokens"),
             F.sum("tf").alias("hits"),
-            round6(F.sum("w")).alias("score"),
+            (F.sum("w_micro") / F.lit(1000000.0)).alias("score"),
         )
         .orderBy("bin")
     )

@@ -88,9 +88,15 @@ def fold_query(q: str) -> str:
 # asc) ranking in ONE place stops the surfaces diverging.
 
 import collections as _collections
+import threading as _threading
 
 _VOCAB_CACHE: _collections.OrderedDict = _collections.OrderedDict()
 _VOCAB_CACHE_MAX = 8
+# served from ThreadingHTTPServer request threads (web/server.py):
+# unguarded move_to_end/popitem/insert can corrupt the OrderedDict
+# under concurrent load (ADVICE r3); the lock also dedups concurrent
+# cold loads of the same index
+_VOCAB_LOCK = _threading.Lock()
 
 
 def folded_vocab(index_dir: str):
@@ -102,21 +108,22 @@ def folded_vocab(index_dir: str):
     from alix_spark.query.wand import term_stats_dataset
 
     key = publish_marker(index_dir)
-    hit = _VOCAB_CACHE.get(index_dir)
-    if hit is None or hit[0] != key:
-        tbl = term_stats_dataset(index_dir).to_table(columns=["term", "cf"])
-        pdf = pd.DataFrame(
-            {"term": tbl["term"].to_pylist(), "cf": tbl["cf"].to_pylist()}
-        )
-        pdf["fold"] = pdf["term"].str.translate(_FOLD_MAP).str.lower()
-        pdf = pdf.sort_values(
-            ["cf", "term"], ascending=[False, True], ignore_index=True
-        )
-        _VOCAB_CACHE[index_dir] = (key, pdf)
-    _VOCAB_CACHE.move_to_end(index_dir)
-    while len(_VOCAB_CACHE) > _VOCAB_CACHE_MAX:
-        _VOCAB_CACHE.popitem(last=False)
-    return _VOCAB_CACHE[index_dir][1]
+    with _VOCAB_LOCK:
+        hit = _VOCAB_CACHE.get(index_dir)
+        if hit is None or hit[0] != key:
+            tbl = term_stats_dataset(index_dir).to_table(columns=["term", "cf"])
+            pdf = pd.DataFrame(
+                {"term": tbl["term"].to_pylist(), "cf": tbl["cf"].to_pylist()}
+            )
+            pdf["fold"] = pdf["term"].str.translate(_FOLD_MAP).str.lower()
+            pdf = pdf.sort_values(
+                ["cf", "term"], ascending=[False, True], ignore_index=True
+            )
+            _VOCAB_CACHE[index_dir] = (key, pdf)
+        _VOCAB_CACHE.move_to_end(index_dir)
+        while len(_VOCAB_CACHE) > _VOCAB_CACHE_MAX:
+            _VOCAB_CACHE.popitem(last=False)
+        return _VOCAB_CACHE[index_dir][1]
 
 
 def suggest_local(index_dir: str, q: str, top: int = 20) -> list[tuple]:

@@ -48,7 +48,10 @@ class OrClause:
 
 @dataclass
 class PhraseClause:
-    terms: list[str] = field(default_factory=list)
+    # a slot is one term, or (after resolve) a tuple of indexed
+    # alternatives — Hunspell multi-root slots become a positional OR,
+    # the reference's per-slot SpanOr (SpanQueryParser.java:482-518)
+    terms: list[str | tuple[str, ...]] = field(default_factory=list)
     slop: int = 0
     ordered: bool = True
 
@@ -97,8 +100,10 @@ def parse(q: str) -> list[Clause]:
             # leading-case flip — lowercasing here made interior
             # capitals like 'Jean-P*' unreachable); trailing
             # punctuation would be stripped by the analyzer on a bare
-            # term, so strip it from the pattern too
-            clauses.append(WildcardClause(tok.rstrip(".,;:!?")))
+            # term, so strip it from the pattern too — but NOT '?',
+            # which is a wildcard metacharacter: stripping it rewrote
+            # 'livre?' to a bare exact term (ADVICE r3)
+            clauses.append(WildcardClause(tok.rstrip(".,;:!")))
         else:
             terms = _analyze_words(tok)
             for t in terms:
@@ -199,17 +204,30 @@ def resolve_with(clauses: list[Clause], member, expand, roots=None) -> list[Clau
             # with no indexed form is DROPPED (reference :510-513) and
             # its hole becomes slop — narrowing the phrase instead of
             # discarding the whole clause (which silently WIDENED the
-            # query: 'chien "chat zzz"' returned chat-less docs)
-            kept = []
+            # query: 'chien "chat zzz"' returned chat-less docs).
+            # Only INTERIOR holes earn slop (ADVICE r3): a dropped
+            # leading/trailing term leaves no gap between the kept
+            # terms, so crediting it widened matches. Multi-root slots
+            # keep ALL indexed alternatives as a per-slot disjunction
+            # (tuple) instead of silently taking the first.
+            kept: list[str | tuple[str, ...]] = []
             slop = c.slop
+            pending_holes = 0
             for t in c.terms:
                 alts = term_alts(t)
                 if alts:
-                    kept.append(alts[0])
-                else:
-                    slop += 1
+                    if kept:
+                        slop += pending_holes
+                    pending_holes = 0
+                    kept.append(alts[0] if len(alts) == 1 else tuple(alts))
+                elif kept:
+                    pending_holes += 1
             if len(kept) == 1:
-                out.append(TermClause(kept[0]))
+                only = kept[0]
+                if isinstance(only, str):
+                    out.append(TermClause(only))
+                else:
+                    out.append(OrClause(list(only)))
             elif kept:
                 out.append(PhraseClause(kept, slop=slop, ordered=c.ordered))
         elif isinstance(c, WildcardClause):

@@ -138,9 +138,19 @@ def compact(
     byte-identical to a cold batch build over the same page set —
     asserted in tests."""
     pages = spark.read.parquet(os.path.join(staging_dir, "pages"))
-    latest = pages.groupBy("url").agg(
-        F.max(F.struct("warc_ts", "content_md5", "batch_id")).alias("w")
-    ).select("url", F.col("w.batch_id").alias("batch_id"))
+    # staging dirs written by the pre-content_md5 _write_batch lack the
+    # md5 column: fall back to the old (warc_ts, batch_id) tiebreak
+    # instead of failing mid-compaction (ADVICE r3) — the md5 leg of
+    # the struct only breaks warc_ts ties, so the fallback is the exact
+    # historical behavior for historical data
+    tie = (
+        F.struct("warc_ts", "content_md5", "batch_id")
+        if "content_md5" in pages.columns
+        else F.struct("warc_ts", "batch_id")
+    )
+    latest = pages.groupBy("url").agg(F.max(tie).alias("w")).select(
+        "url", F.col("w.batch_id").alias("batch_id")
+    )
 
     tok = spark.read.parquet(os.path.join(staging_dir, "tokens"))
     # plain shuffle join: `latest` holds EVERY distinct url of the

@@ -150,15 +150,30 @@ def test_pers_initial_requires_adjacent_family_name():
     # lowercase follower: no merge (isFamilyName, java:158-176)
     out = pers_initial_filter([_w("E."), _w("et")])
     assert [t.term for t in out] == ["E.", "et"]
-    # intervening tag blocks the merge (positionIncrement != 1, java:115)
-    out = pers_initial_filter([_w("E."), _w("<i>", ttype="X"), _w("Meyerson")])
-    assert [t.term for t in out] == ["E.", "<i>", "Meyerson"]
+    # intervening PUNCTUATION blocks the merge (a real position)
+    out = pers_initial_filter([_w("E."), _w(",", ttype="C"), _w("Meyerson")])
+    assert [t.term for t in out] == ["E.", ",", "Meyerson"]
     # end of stream: initial emitted as-is (java:104-108)
     out = pers_initial_filter([_w("E.")])
     assert [t.term for t in out] == ["E."]
     # two initials in a row: first can't merge, second could
     out = pers_initial_filter([_w("J."), _w("K."), _w("Rowling")])
     assert [t.term for t in out] == ["J.", "K. Rowling"]
+
+
+def test_pers_initial_skips_tags_and_folds_unmerged(  # ADVICE r3
+):
+    # an XML tag is position-less: 'E. <span>Meyerson' merges across it
+    # (reference comment java:111 'offset gap is not relevant'); the
+    # tag token stays in the stream
+    out = pers_initial_filter([_w("E."), _w("<i>", ttype="X"), _w("Meyerson")])
+    assert [t.term for t in out] == ["E. Meyerson", "<i>"]
+    # an unmerged candidate still folds its initial (java:194 folds
+    # before the merge decision)
+    out = pers_initial_filter([_w("É."), _w("et")])
+    assert [t.term for t in out] == ["E.", "et"]
+    out = pers_initial_filter([_w("É")])
+    assert [t.term for t in out] == ["E"]
 
 
 # ------------------------------------------------------- line tokenizer

@@ -238,3 +238,114 @@ def test_phrase_narrows_instead_of_vanishing():
     assert len(phrases) == 1
     assert phrases[0].terms == ["chat", "absent"]
     assert phrases[0].slop == 1  # the dropped term's hole
+
+
+def test_wildcard_trailing_question_mark_kept():
+    """'?' is a wildcard metacharacter: stripping it as trailing
+    punctuation rewrote 'livre?' into a bare exact term (ADVICE r3)."""
+    (w,) = parser.parse("livre?")
+    assert isinstance(w, parser.WildcardClause) and w.pattern == "livre?"
+    (w2,) = parser.parse("livre?,")
+    assert w2.pattern == "livre?"
+    (w3,) = parser.parse("pari*.")
+    assert w3.pattern == "pari*"
+
+
+def test_phrase_edge_holes_earn_no_slop():
+    """A dropped leading/trailing phrase term leaves no gap BETWEEN the
+    kept terms; crediting its hole as slop widened matches — '"zzz chat
+    chien"' must not match 'chat X chien' (ADVICE r3)."""
+    for q in ('"zzzqqq chat chien"', '"chat chien zzzqqq"'):
+        res = parser.resolve(parser.parse(q), {"chat", "chien"})
+        (p,) = [c for c in res if isinstance(c, parser.PhraseClause)]
+        assert p.terms == ["chat", "chien"] and p.slop == 0, q
+    # interior hole still budgets slop
+    res = parser.resolve(parser.parse('"chat zzzqqq chien"'), {"chat", "chien"})
+    (p,) = [c for c in res if isinstance(c, parser.PhraseClause)]
+    assert p.slop == 1
+
+
+def test_phrase_multi_root_slot_becomes_disjunction():
+    """A slot whose Hunspell roots yield several indexed alternatives
+    keeps them ALL as a per-slot tuple — the reference's per-slot
+    SpanOr (SpanQueryParser.java:482-518) — not just the first."""
+    vocab = {"chanter", "chant", "fort"}
+    roots = {"chantais": ["chanter", "chant"]}
+    res = parser.resolve_with(
+        [parser.PhraseClause(["chantais", "fort"], slop=0)],
+        vocab.__contains__, lambda p: [], roots=lambda t: roots.get(t, []),
+    )
+    (p,) = res
+    assert isinstance(p, parser.PhraseClause)
+    assert p.terms == [("chanter", "chant"), "fort"]
+    # a single surviving multi-root slot collapses to an OR clause
+    res = parser.resolve_with(
+        [parser.PhraseClause(["chantais", "zzqq"], slop=0)],
+        vocab.__contains__, lambda p: [], roots=lambda t: roots.get(t, []),
+    )
+    (c,) = res
+    assert isinstance(c, parser.OrClause) and set(c.terms) == {"chanter", "chant"}
+
+
+def test_phrase_slot_disjunction_matches_both_alternatives(spark, tmp_path):
+    """Index-side execution of a tuple slot: docs matching via EITHER
+    alternative are hits, scored as one synthetic phrase term."""
+    docs = spark.createDataFrame(
+        [(1, "alpha bravo"), (2, "alpha charlie"), (3, "alpha delta"),
+         (4, "bravo alpha")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "slotix")
+    segments.build_index(spark, simple.tokens(docs), idx, n_shards=1)
+    hits = wand.phrase_topk(
+        spark, idx, ["alpha", ("bravo", "charlie")], slop=0, ordered=True, k=5
+    ).collect()
+    assert sorted(r["doc_id"] for r in hits) == [1, 2]
+    # serving path agrees
+    local = wand.query_local_mixed(
+        idx, [parser.PhraseClause(["alpha", ("bravo", "charlie")], slop=0)], k=5
+    )
+    assert sorted(d for d, _ in local) == [1, 2]
+
+
+def test_unordered_greedy_vectorized_parity(spark, tmp_path):
+    """The round-based vectorized unordered-near kernel reproduces the
+    scalar greedy multi-cursor walk exactly (VERDICT r3 ask #4)."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for d in range(60):
+        n = rng.randint(1, 14)
+        rows.append(
+            (d, " ".join(rng.choice(["aa", "bb", "cc", "p1", "p2"])
+                         for _ in range(n)))
+        )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = str(tmp_path / "fuzzix")
+    segments.build_index(spark, simple.tokens(docs), idx, n_shards=2)
+    terms = ["aa", "bb", "cc"]
+    slop = 2
+    width = len(terms) - 1 + slop
+    blocks = wand._load_blocks(idx, terms, positions=True)
+    got = {d: tf for d, tf, _dl
+           in wand.phrase_shard_matches(blocks, terms, slop, ordered=False)}
+    want = {}
+    for d, text in rows:
+        pls = {t: [p for p, w in enumerate(text.split()) if w == t]
+               for t in terms}
+        if any(not pls[t] for t in terms):
+            continue
+        idxs = {t: 0 for t in terms}
+        n = 0
+        while all(idxs[t] < len(pls[t]) for t in terms):
+            vals = [pls[t][idxs[t]] for t in terms]
+            if max(vals) - min(vals) <= width:
+                n += 1
+                for t in terms:
+                    idxs[t] += 1
+            else:
+                idxs[terms[vals.index(min(vals))]] += 1
+        if n:
+            want[d] = n
+    assert got == want and want

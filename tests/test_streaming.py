@@ -147,3 +147,24 @@ def test_compaction_winner_is_batching_invariant(spark, tmp_path):
         assert wand.query_local(idx, [want], k=5, mode="and"), want
         other = "second" if want == "premier" else "premier"
         assert not wand.query_local(idx, [other], k=5, mode="and")
+
+
+def test_compaction_tolerates_legacy_staging_without_md5(spark, tmp_path):
+    """A staging dir written by the pre-content_md5 _write_batch must
+    still compact — falling back to the historical (warc_ts, batch_id)
+    tiebreak — instead of failing mid-compaction on an unresolved
+    column (ADVICE r3)."""
+    import shutil
+
+    from alix_spark.corpus import webtext
+    from alix_spark.streaming.ingest import _write_batch
+
+    stg = str(tmp_path / "stg")
+    _write_batch(webtext.webtext(spark, 6, seed=5, partitions=2), 0, stg)
+    legacy = spark.read.parquet(f"{stg}/pages").drop("content_md5")
+    tmp_pages = str(tmp_path / "pages_legacy")
+    legacy.write.parquet(tmp_pages)
+    shutil.rmtree(f"{stg}/pages")
+    spark.read.parquet(tmp_pages).write.parquet(f"{stg}/pages")
+    meta = ingest.compact(spark, stg, str(tmp_path / "ix"), n_shards=2)
+    assert meta["corpus_docs"] == 6
