@@ -177,6 +177,36 @@ def q_sim_freq(spark, sf_dir):
     return _alt_sim(spark, sf_dir, "freq")
 
 
+def q_sim_chi2inv(spark, sf_dir):
+    # SimilarityChi2inv.java:55-68 — scores only repulsed docs
+    return _alt_sim(spark, sf_dir, "chi2inv")
+
+
+def q_sim_gsimple(spark, sf_dir):
+    # SimilarityGsimple.java:55-74 — one-cell G test
+    return _alt_sim(spark, sf_dir, "gsimple")
+
+
+def q_unknown_tokens(spark, sf_dir):
+    """Ranked unknown-token report (reference cli/Unknowns.java:44-134,
+    the piaget-errors.txt dictionary-tuning workflow): tokens with no
+    dictionary hit, ranked freq desc with doc counts. The dictionary
+    here is corpus-derived (the 20 highest-df terms, ties term asc) so
+    the anti-join + ranking shape is oracle-checkable; the French
+    lexicon instantiation runs in tests over the webtext chain."""
+    from alix_spark.corpus.unknowns import unknown_tokens
+
+    tok = _tok(spark, sf_dir)
+    known = (
+        tok.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(20)
+        .select("term")
+    )
+    return unknown_tokens(tok, known, top=50)
+
+
 # --------------------------------------- WAND over the compressed index
 
 _WAND_IDX_CACHE: dict[str, str] = {}
@@ -720,22 +750,31 @@ def q_multimodal_features(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so that every operator family lands inside the driver's
-    first-50 correctness window (VERDICT r2 finding #1: the driver
-    checks the first 50 entries only). The tail holds queries that are
-    redundant with an in-window sibling AND hold a green row from a
-    prior round (bm25_single/bm25_or vs bm25_and; sim_freq/sim_g vs
-    sim_chi2; keyness_chi2/logratio vs g2/logdice/simplemaths;
-    events_by_type vs time_histogram; webtext_term_stats vs the other
-    two webtext probes; phrase_match vs phrase_wand+near_match). The
-    local mini-driver (tests/test_oracle_parity.py) still checks ALL
-    entries every run."""
+    first-50 correctness window (the driver checks the first 50 entries
+    only). Rotation policy (VERDICT r3 ask #2): the tail holds ONLY
+    queries with a GREEN r03 driver row, and the r03 tail (green in
+    r01/r02) rotates back into the window this round — so the union of
+    consecutive rounds' driver rows covers every query with nothing
+    older than one round. The r04 tail is the structural always-greens
+    (index stats, textstats, facet/time histograms, lang_id), each
+    redundant with an in-window sibling that exercises the same code
+    path. The local mini-driver (tests/test_oracle_parity.py) still
+    checks ALL entries every suite run."""
     return {
-        # --- index structures (this round's packed-encode rewrite)
-        "term_dict": q_term_dict,
-        "doc_stats": q_doc_stats,
-        "term_stats": q_term_stats,
-        "postings": q_postings,
-        "corpus_stats": q_corpus_stats,
+        # --- rotated back into the window (r03 tail, green r01/r02)
+        "bm25_single": q_bm25_single,
+        "bm25_or": q_bm25_or,
+        "sim_g": q_sim_g,
+        "sim_freq": q_sim_freq,
+        "keyness_chi2": q_keyness_chi2,
+        "keyness_logratio": q_keyness_logratio,
+        "events_by_type": q_events_by_type,
+        "webtext_term_stats": q_webtext_term_stats,
+        "phrase_match": q_phrase_match,
+        # --- new this round
+        "sim_chi2inv": q_sim_chi2inv,
+        "sim_gsimple": q_sim_gsimple,
+        "unknown_tokens": q_unknown_tokens,
         # --- ranking
         "bm25_and": q_bm25_and,
         "bm25_wand_and": q_bm25_wand_and,
@@ -744,15 +783,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixed_term_or": q_mixed_term_or,
         "phrase_wand": q_phrase_wand,
         "near_match": q_near_match,
-        # --- never-driver-checked before r03 (VERDICT r2 #1)
+        # --- multimodal (rows-only: stubbed codec seam)
         "multimodal_features": q_multimodal_features,
         "multimodal_image_pipeline": q_multimodal_image_pipeline,
-        # --- r01-green but pushed out of the r02 window
-        "quality": q_quality,
-        "token_counts": q_token_counts,
-        "fingerprints": q_fingerprints,
-        "multimodal_meta": q_multimodal_meta,
-        # --- new this round
+        # --- chrono (red in r03 — oracle type fix needs a fresh row)
         "chrono_channels": q_chrono_channels,
         "ann_ivf_fullprobe": q_ann_ivf_fullprobe,
         "suggest_population": q_suggest_population,
@@ -760,8 +794,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyness_g2": q_keyness_g2,
         "keyness_logdice": q_keyness_logdice,
         "keyness_simplemaths": q_keyness_simplemaths,
-        "facet_counts": q_facet_counts,
-        "time_histogram": q_time_histogram,
         "cooc_window": q_cooc_window,
         "theme_bm25": q_theme_bm25,
         "theme_irdf": q_theme_irdf,
@@ -787,17 +819,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine": q_ann_cosine,
         "ann_ivf": q_ann_ivf,
         "ann_lsh": q_ann_lsh,
-        "lang_id": q_lang_id,
         # ---- driver window boundary (entry 50) ----
-        "bm25_single": q_bm25_single,
-        "bm25_or": q_bm25_or,
-        "sim_g": q_sim_g,
-        "sim_freq": q_sim_freq,
-        "keyness_chi2": q_keyness_chi2,
-        "keyness_logratio": q_keyness_logratio,
-        "events_by_type": q_events_by_type,
-        "webtext_term_stats": q_webtext_term_stats,
-        "phrase_match": q_phrase_match,
+        # structural always-greens, every one green in r03
+        "term_dict": q_term_dict,
+        "doc_stats": q_doc_stats,
+        "term_stats": q_term_stats,
+        "postings": q_postings,
+        "corpus_stats": q_corpus_stats,
+        "quality": q_quality,
+        "token_counts": q_token_counts,
+        "fingerprints": q_fingerprints,
+        "multimodal_meta": q_multimodal_meta,
+        "facet_counts": q_facet_counts,
+        "time_histogram": q_time_histogram,
+        "lang_id": q_lang_id,
     }
 
 
@@ -1240,6 +1275,26 @@ FROM wterms JOIN weights w USING (term)
 GROUP BY doc_id, pos
 ORDER BY score DESC, doc_id ASC, pos ASC
 LIMIT 10
+"""
+
+    # unknown-token report (cli/Unknowns.java): surface-shape gate,
+    # anti-join against the corpus-derived dictionary, freq ranking
+    sqls["unknown_tokens"] = f"""
+WITH {TOKS_CTE},
+known AS (
+  SELECT term FROM (
+    SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term
+    ORDER BY df DESC, term ASC LIMIT 20)
+),
+unk AS (
+  SELECT doc_id, term FROM toks
+  WHERE length(term) >= 3
+    AND NOT regexp_matches(term, '[0-9]$')
+    AND NOT regexp_matches(term, '[''’]$')
+    AND term NOT IN (SELECT term FROM known)
+)
+SELECT term, count(*) AS freq, count(DISTINCT doc_id) AS docs
+FROM unk GROUP BY term ORDER BY freq DESC, term ASC LIMIT 50
 """
 
     sqls["facet_counts"] = """

@@ -13,11 +13,15 @@ oracles.
 Per-(term, doc) scores, summed over query terms (T = corpus tokens,
 cf = collection term frequency, dl = doc length):
 
-    chi2: E = cf·dl/T;  m = (tf−E)²/E
-          w = 0 if m = 0 else ±log₂(m)  (negative when tf < E)
-    g:    E = cf·dl/T
-          w = ±(tf·ln(tf/E) + (T−tf)·ln((T−tf)/(T−E)))  (negative when tf < E)
-    freq: w = tf
+    chi2:    E = cf·dl/T;  m = (tf−E)²/E
+             w = 0 if m = 0 else ±log₂(m)  (negative when tf < E)
+    chi2inv: w = 0 if tf > E else (tf−E)²/E
+             (SimilarityChi2inv.java:55-68 — scores only REPULSED docs)
+    g:       E = cf·dl/T
+             w = ±(tf·ln(tf/E) + (T−tf)·ln((T−tf)/(T−E)))  (negative when tf < E)
+    gsimple: m = tf·ln(tf/E);  w = −m if tf < E else m
+             (SimilarityGsimple.java:55-74 — one-cell G, always ≥ 0)
+    freq:    w = tf
 """
 
 from __future__ import annotations
@@ -27,7 +31,7 @@ from pyspark.sql import functions as F
 
 from alix_spark.util import round6, sql_round6
 
-SIMS = ("chi2", "g", "freq")
+SIMS = ("chi2", "chi2inv", "g", "gsimple", "freq")
 
 
 def _weight_expr(sim: str) -> "F.Column":
@@ -42,9 +46,15 @@ def _weight_expr(sim: str) -> "F.Column":
         return F.when(m == 0.0, F.lit(0.0)).otherwise(
             F.when(tf < e, -mag).otherwise(mag)
         )
+    if sim == "chi2inv":
+        m = (tf - e) * (tf - e) / e
+        return F.when(tf > e, F.lit(0.0)).otherwise(m)
     if sim == "g":
         s = tf * F.log(tf / e) + (t - tf) * F.log((t - tf) / (t - e))
         return F.when(tf < e, -s).otherwise(s)
+    if sim == "gsimple":
+        m = tf * F.log(tf / e)
+        return F.when(tf < e, -m).otherwise(m)
     if sim == "freq":
         return tf
     raise KeyError(sim)
@@ -90,11 +100,17 @@ def _sql_weight(sim: str) -> str:
             f"CASE WHEN {m} = 0.0 THEN 0.0 "
             f"WHEN p.tf < {e} THEN -log2({m}) ELSE log2({m}) END"
         )
+    if sim == "chi2inv":
+        m = f"((p.tf - {e}) * (p.tf - {e}) / {e})"
+        return f"CASE WHEN p.tf > {e} THEN 0.0 ELSE {m} END"
     if sim == "g":
         s = (
             f"(p.tf * ln(p.tf / {e}) "
             f"+ (c.T - p.tf) * ln((c.T - p.tf) / (c.T - {e})))"
         )
+        return f"CASE WHEN p.tf < {e} THEN -{s} ELSE {s} END"
+    if sim == "gsimple":
+        s = f"(p.tf * ln(p.tf / {e}))"
         return f"CASE WHEN p.tf < {e} THEN -{s} ELSE {s} END"
     if sim == "freq":
         return "CAST(p.tf AS DOUBLE)"

@@ -49,6 +49,7 @@ FORMATS = ("json", "jsonl", "csv", "txt", "html")
 OPS = (
     "chrono",
     "clades",
+    "conc",
     "cooc-profile",
     "doc",
     "freqlist",
@@ -267,7 +268,11 @@ class AlixHttpServer:
             return
 
         op, fmt = _split_op_format(segments[1])
-        if fmt is not None and fmt not in FORMATS:
+        # docx is a concordance-only export (reference DocxResults is a
+        # ResultsRenderer over snippets; every other op still 406s)
+        if fmt == "docx" and op != "conc":
+            raise HttpError(406, "docx export is concordance-only")
+        if fmt is not None and fmt != "docx" and fmt not in FORMATS:
             raise HttpError(406, f"unsupported format: {fmt}")
         if op in OPS:
             rows = self._dispatch(engine, op, pars)
@@ -275,6 +280,15 @@ class AlixHttpServer:
             # unmatched segment offered to the document op as a slug
             # (AlixServlet.java:378-385 docIdByName)
             rows = self._op_doc_slug(engine, op)
+        if fmt == "docx":
+            from alix_spark.web.docx import concordance_docx
+
+            self._send_bytes(
+                h, engine, concordance_docx(rows),
+                "application/vnd.openxmlformats-officedocument"
+                ".wordprocessingml.document",
+            )
+            return
         self._send_rows(h, engine, rows, fmt)
 
     def _not_modified(self, h, engine) -> bool:
@@ -304,6 +318,9 @@ class AlixHttpServer:
 
     def _send_rows(self, h, engine, rows, fmt) -> None:
         body, ctype = _rows_to_payload(rows, fmt)
+        self._send_bytes(h, engine, body, ctype)
+
+    def _send_bytes(self, h, engine, body: bytes, ctype: str) -> None:
         h.send_response(200)
         h.send_header("Content-Type", ctype)
         h.send_header("Access-Control-Allow-Origin", "*")
@@ -499,6 +516,29 @@ class AlixHttpServer:
                 engine.rail(), weights, terms, width=width, k=k
             )
         )
+
+    def _op_conc(self, engine, pars) -> list[dict]:
+        """KWIC concordance lines over the index rail
+        (engine.concordance); ``.docx`` renders them through
+        web/docx.py (reference DocxResults.java:1-201), every other
+        format through the standard fan-out."""
+        q = pars.get("q")
+        if not q:
+            raise HttpError(400, "missing parameter: q")
+        from alix_spark.query import parser as parser_mod
+
+        terms = [
+            c.term for c in parser_mod.parse(q)
+            if isinstance(c, parser_mod.TermClause)
+        ]
+        if not terms:
+            raise HttpError(400, "q must contain a plain pivot term")
+        width = pars.get_int("width", 5, 1, 50)
+        k = pars.get_int("hits", 50, 1, 1000)
+        rows = _df_rows(engine.concordance(terms[0], width=width, limit=k))
+        for r in rows:
+            r["pivot"] = terms[0]
+        return rows
 
     def _op_doc(self, engine, pars) -> list[dict]:
         raw = pars.get("id")

@@ -307,3 +307,57 @@ def test_snippets_expand_wildcards(served):
     server, _ = served
     rows = _json(server, "/demo/snippets.json?q=vill*&hits=5")["rows"]
     assert rows, "wildcard snippets came back empty"
+
+
+def test_conc_rows_and_docx_roundtrip(served):
+    """The conc op serves KWIC rows; .docx renders a valid package
+    (reference DocxResults.java): Heading2 per doc, bold pivots,
+    one footnote per line, byte-deterministic."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+    from io import BytesIO
+
+    server, engine = served
+    rows = _json(server, "/demo/conc.json?q=ville&hits=8")["rows"]
+    assert rows and all(r["pivot"] == "ville" for r in rows)
+    assert {"doc_id", "pos", "left_ctx", "right_ctx"} <= set(rows[0])
+
+    status, headers, body = _get(server, "/demo/conc.docx?q=ville&hits=8")
+    assert status == 200
+    assert headers["Content-Type"].startswith(
+        "application/vnd.openxmlformats-officedocument.wordprocessingml"
+    )
+    z = zipfile.ZipFile(BytesIO(body))
+    assert z.testzip() is None
+    ns = {"w": "http://schemas.openxmlformats.org/wordprocessingml/2006/main"}
+    doc = ET.fromstring(z.read("word/document.xml"))
+    notes = ET.fromstring(z.read("word/footnotes.xml"))
+    # one bold pivot run with the term per concordance line
+    pivots = [
+        t.text
+        for r in doc.iter(f"{{{ns['w']}}}r")
+        if r.find("w:rPr/w:b", ns) is not None
+        for t in r.findall("w:t", ns)
+        if t.text == "ville"
+    ]
+    assert len(pivots) == len(rows)
+    # every line's footnote reference resolves to a real footnote id
+    ref_ids = {
+        e.get(f"{{{ns['w']}}}id")
+        for e in doc.iter(f"{{{ns['w']}}}footnoteReference")
+    }
+    note_ids = {
+        e.get(f"{{{ns['w']}}}id")
+        for e in notes.iter(f"{{{ns['w']}}}footnote")
+    }
+    assert len(ref_ids) == len(rows) and ref_ids <= note_ids
+    # deterministic bytes (fixed zip timestamps)
+    _s2, _h2, body2 = _get(server, "/demo/conc.docx?q=ville&hits=8")
+    assert body2 == body
+
+
+def test_docx_is_concordance_only(served):
+    server, _ = served
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(server, "/demo/results.docx?q=ville")
+    assert e.value.code == 406
