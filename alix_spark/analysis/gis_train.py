@@ -62,11 +62,26 @@ class GisTrained:
 def train_gis(
     events: list[tuple[list[str], str]],
     iterations: int = 100,
+    cutoff: int = 1,
 ) -> GisTrained:
     """Estimate λ by GIS over ``(features, outcome)`` events.
 
-    Deterministic: fixed iteration count, stable predicate/outcome
-    ordering (insertion order of first appearance)."""
+    ``cutoff``: predicates observed in fewer than ``cutoff`` events are
+    dropped BEFORE indexing (OpenNLP OnePassDataIndexer semantics — the
+    production POS trainer runs with Cutoff=5, so rare suffix/window
+    features never become parameters; C is computed on the filtered
+    feature sets). Deterministic: fixed iteration count, stable
+    predicate/outcome ordering (insertion order of first appearance)."""
+    if cutoff > 1:
+        pred_count: dict[str, int] = defaultdict(int)
+        for feats, _o in events:
+            for f in feats:
+                pred_count[f] += 1
+        events = [
+            ([f for f in feats if pred_count[f] >= cutoff], o)
+            for feats, o in events
+        ]
+        events = [(feats, o) for feats, o in events if feats]
     outcomes: list[str] = []
     for _, o in events:
         if o not in outcomes:

@@ -108,12 +108,8 @@ BM25_OR_TERMS = ["stream", "vector"]
 
 
 def q_bm25_and(spark, sf_dir):
-    tok = _tok(spark, sf_dir)
     return bm25.bm25_topk(
-        simple.postings(tok),
-        simple.doc_stats(tok).select("doc_id", "dl"),
-        simple.term_stats(tok),
-        simple.corpus_stats(tok).select(F.col("corpus_docs"), "avgdl"),
+        *_bm25_inputs(spark, sf_dir),
         BM25_AND_TERMS,
         k=10,
         mode="and",
@@ -121,12 +117,8 @@ def q_bm25_and(spark, sf_dir):
 
 
 def q_bm25_single(spark, sf_dir):
-    tok = _tok(spark, sf_dir)
     return bm25.bm25_topk(
-        simple.postings(tok),
-        simple.doc_stats(tok).select("doc_id", "dl"),
-        simple.term_stats(tok),
-        simple.corpus_stats(tok).select(F.col("corpus_docs"), "avgdl"),
+        *_bm25_inputs(spark, sf_dir),
         BM25_SINGLE_TERM,
         k=10,
         mode="and",
@@ -134,12 +126,8 @@ def q_bm25_single(spark, sf_dir):
 
 
 def q_bm25_or(spark, sf_dir):
-    tok = _tok(spark, sf_dir)
     return bm25.bm25_topk(
-        simple.postings(tok),
-        simple.doc_stats(tok).select("doc_id", "dl"),
-        simple.term_stats(tok),
-        simple.corpus_stats(tok).select(F.col("corpus_docs"), "avgdl"),
+        *_bm25_inputs(spark, sf_dir),
         BM25_OR_TERMS,
         k=10,
         mode="or",
@@ -148,16 +136,12 @@ def q_bm25_or(spark, sf_dir):
 
 def _alt_sim(spark, sf_dir, sim):
     """Alternate doc-scoring similarities (reference §2.6 experiments:
-    SimilarityChi2/SimilarityG/SimilarityFreq — negative scores mark
+    SimilarityChi2/Chi2inv/G/Gsimple/Freq — negative scores mark
     repulsed docs)."""
     from alix_spark.query import similarities
 
-    tok = _tok(spark, sf_dir)
     return similarities.alt_topk(
-        simple.postings(tok),
-        simple.doc_stats(tok).select("doc_id", "dl"),
-        simple.term_stats(tok),
-        simple.corpus_stats(tok),
+        *_bm25_inputs(spark, sf_dir),
         BM25_AND_TERMS,
         sim=sim,
         k=10,
@@ -473,13 +457,29 @@ def q_cooc_window(spark, sf_dir):
 
 
 def _bm25_inputs(spark, sf_dir):
-    tok = _tok(spark, sf_dir)
-    return (
-        simple.postings(tok),
-        simple.doc_stats(tok).select("doc_id", "dl"),
-        simple.term_stats(tok),
-        simple.corpus_stats(tok).select("corpus_docs", "avgdl"),
+    """(post, dstats, tstats, cstats) with dstats/tstats/cstats DERIVED
+    from the postings aggregate instead of re-aggregating the raw token
+    table: all four branches of the joined plan then share ONE
+    tokenize + (term, doc_id) shuffle subtree (ReusedExchange; asserted
+    in tests/test_plans.py) where the previous shape re-tokenized the
+    corpus once per table — the dominant cost of theme_bm25/doc_vectors
+    at sf0.1 (VERDICT r3 ask #3). Values are integer-exact identical:
+    dl = Σ tf, df = postings rows per term, avgdl = the same integer
+    division."""
+    post = simple.postings(_tok(spark, sf_dir))
+    dstats = post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    tstats = post.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
     )
+    cstats = post.agg(
+        F.countDistinct("doc_id").alias("corpus_docs"),
+        F.sum("tf").alias("corpus_tokens"),
+    ).select(
+        "corpus_docs",
+        "corpus_tokens",
+        (F.col("corpus_tokens") / F.col("corpus_docs")).alias("avgdl"),
+    )
+    return post, dstats, tstats, cstats
 
 
 def q_theme_bm25(spark, sf_dir):

@@ -52,7 +52,7 @@ from alix_spark.util import dense_ranks, ensure_py_files
 
 BLOCK = 128
 SALT_BUCKETS = 16
-FORMAT_VERSION = "delta-varint-v2"  # v2: positions channel, merged term_stats+dict
+FORMAT_VERSION = "delta-varint-v3"  # v3: direct-from-encode postings file layout (no write repartition); v2: positions channel, merged term_stats+dict
 
 
 # ------------------------------------------------------------- varint
@@ -358,14 +358,20 @@ def build_index(
             )
 
         n_write = max(len(todo), spark.sparkContext.defaultParallelism)
+
+    side_t, side_err = _start_sidecar_thread(
+        spark, index_dir, dstats, tstats, corpus, n_shards
+    )
+    if todo:
         encoded = salted.groupBy("shard", "tbucket").applyInPandas(
             encode, schema=ENC_SCHEMA
         )
         _write_postings_and_manifests(
             spark, encoded, index_dir, todo, n_shards, n_write
         )
-
-    _write_stats_sidecars(spark, index_dir, dstats, tstats, corpus, n_shards)
+    side_t.join()
+    if side_err:
+        raise side_err[0]
     meta = {
         "corpus_docs": int(corpus["corpus_docs"]),
         "corpus_tokens": int(corpus["corpus_tokens"]),
@@ -391,24 +397,20 @@ def _write_postings_and_manifests(
     n_shards: int,
     n_write: int,
 ) -> None:
-    """Repartition the encoded blocks for write, dynamic-partition
-    overwrite the postings table, and write per-shard manifests.
+    """Dynamic-partition overwrite the postings table and write
+    per-shard manifests.
 
-    Write tasks: at least one per shard, scaled up to the cluster's
-    parallelism via an explicit per-shard sub-bucket — a 16-shard
-    layout must not cap a 32-core (or 1000-executor) write at 16
-    tasks, but hashing on the raw term would spread every shard over
-    ALL write tasks (≈n_write files per shard directory).
-    (shard, term-hash % width) keeps files per shard ≤ width =
-    n_write/shards, so query-side parquet listing stays
-    O(shards · width), not O(shards · cores)."""
+    The encoded blocks are written STRAIGHT from the encode tasks: the
+    encode groupBy already partitions on (shard, tbucket), so each
+    shard's blocks live in ≤ SALT_BUCKETS tasks and query-side parquet
+    listing stays O(shards · SALT_BUCKETS). An explicit repartition
+    here (the r03 shape) re-shuffled every encoded byte — the full
+    compressed index — a second time purely for file-count control;
+    at 100 TB that second pass IS the write bottleneck, and it was
+    ~40% of the non-chain tail in the 8→32 scaling probe
+    (``n_write`` is kept in the signature for the resume path's
+    call-compatibility; it no longer drives a shuffle)."""
     import time as _time
-
-    width = max(1, n_write // max(len(todo), 1))
-    encoded = encoded.repartition(
-        n_write, "shard",
-        F.pmod(F.xxhash64("term"), F.lit(width)),
-    )
     # Resume: dynamic partition overwrite replaces exactly the shards
     # being rebuilt — a half-written shard from a crashed run is
     # cleanly rewritten, completed shards are untouched (the Iceberg
@@ -461,6 +463,30 @@ def _write_postings_and_manifests(
 # sub-stage timers of the last _write_postings_and_manifests call
 # (diagnostic only — read by the build's stage_timings plumbing)
 _LAST_WRITE_TIMINGS: dict = {}
+
+
+def _start_sidecar_thread(spark, index_dir, dstats, tstats, corpus, n_shards):
+    """Submit the stats-sidecar writes from a driver thread: they
+    depend only on the persisted dstats/tstats, so their small
+    fixed-cost jobs fill scheduler gaps WHILE the encode+postings
+    write runs (concurrent independent jobs — the standard way to keep
+    a cluster busy through a small-job tail). Returns (thread, errors);
+    join the thread and re-raise before publishing corpus.json."""
+    import threading
+
+    err: list[BaseException] = []
+
+    def run() -> None:
+        try:
+            _write_stats_sidecars(
+                spark, index_dir, dstats, tstats, corpus, n_shards
+            )
+        except BaseException as e:  # re-raised by the caller on join
+            err.append(e)
+
+    t = threading.Thread(target=run, name="sidecar-writes")
+    t.start()
+    return t, err
 
 
 def _write_stats_sidecars(
@@ -843,6 +869,11 @@ def build_index_packed(
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
     t2 = _t()
+    # measured: sidecars were ~2.5 s of the ~10 s non-chain tail at 32
+    # cores when run sequentially after the encode
+    side_t, _sidecar_err = _start_sidecar_thread(
+        spark, index_dir, dstats, tstats, corpus, n_shards
+    )
     if todo:
         def encode(_key, pdf: pd.DataFrame) -> pd.DataFrame:
             return _encode_packed_group(pdf, avgdl, with_positions)
@@ -858,13 +889,17 @@ def build_index_packed(
         )
     t3 = _t()
 
-    _write_stats_sidecars(spark, index_dir, dstats, tstats, corpus, n_shards)
+    side_t.join()
+    if _sidecar_err:
+        raise _sidecar_err[0]
     t4 = _t()
     if stage_timings is not None:
         stage_timings.update(
             chain_bucketize_dstats_s=round(t1 - t0, 3),
             encode_write_manifest_s=round(t3 - t2, 3),
-            sidecars_s=round(t4 - t3, 3),
+            # sidecars run CONCURRENTLY with the encode stage; this is
+            # only their overhang past the postings write
+            sidecar_overhang_s=round(t4 - t3, 3),
             **_LAST_WRITE_TIMINGS,
         )
     meta = {

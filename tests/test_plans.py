@@ -77,3 +77,18 @@ def test_aggregation_is_jvm_hash_agg(spark):
     plan = _plan(simple.term_stats(tok))
     assert "HashAggregate" in plan
     assert "partial_count" in plan  # map-side combine before the shuffle
+
+
+def test_bm25_inputs_share_one_tokenize_exchange(spark):
+    """The four BM25 stat tables derive from ONE postings aggregate:
+    the joined theme plan must reuse the (term, doc_id) shuffle instead
+    of re-tokenizing the corpus per table (VERDICT r3 ask #3 — at 100TB
+    each extra branch is a full corpus scan + explode)."""
+    from alix_spark import entry_queries as eq
+    from alix_spark.lexicometry import theme
+
+    df = theme.theme_weights(*eq._bm25_inputs(spark, "/root/testdata/sf0.001"), top=50)
+    df.collect()  # AQE materializes reuse lazily (CLAUDE.md): read the FINAL plan
+    plan = _plan(df)
+    reused = [l for l in plan.splitlines() if "ReusedExchange" in l]
+    assert any("doc_id" in l and "term" in l for l in reused), plan[:3000]
