@@ -171,6 +171,39 @@ def q_sim_gsimple(spark, sf_dir):
     return _alt_sim(spark, sf_dir, "gsimple")
 
 
+EXPR_STOP = ("a", "the", "small", "big", "slow", "fast")
+SPELL_QUERY = "tabel"  # 'table' with a transposition — SpellSugg.java's demo shape
+
+
+def q_expressions(spark, sf_dir):
+    """Multiword-expression harvest (cli/Expressions.java:327-375):
+    non-overlapping trigrams of consecutive content words; function
+    words / stop forms / digit-initial tokens reset the accumulator."""
+    from alix_spark.corpus.expressions import expressions
+
+    tok = _tok(spark, sf_dir)
+    skip = F.col("term").isin(*EXPR_STOP) | F.col("term").rlike("^[0-9-]")
+    return expressions(tok, skip, top=50)
+
+
+def q_keywords_doc(spark, sf_dir):
+    """Per-document keyword panels (cli/Keywords.java:70-101): top
+    terms per doc under freq / G / freq·idf."""
+    from alix_spark.lexicometry.keywords import doc_keywords
+
+    return doc_keywords(*_bm25_inputs(spark, sf_dir), top=5)
+
+
+def q_spell_suggest(spark, sf_dir):
+    """Spelling suggestions over the corpus dictionary
+    (cli/SpellSugg.java:1-49 re-expressed: Levenshtein ≤ 2 candidates
+    ranked dist asc, cf desc)."""
+    from alix_spark.lexicometry.suggest import suggest_spell
+
+    tok = _tok(spark, sf_dir)
+    return suggest_spell(simple.term_stats(tok), SPELL_QUERY, max_dist=2, top=10)
+
+
 def q_unknown_tokens(spark, sf_dir):
     """Ranked unknown-token report (reference cli/Unknowns.java:44-134,
     the piaget-errors.txt dictionary-tuning workflow): tokens with no
@@ -775,6 +808,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_chi2inv": q_sim_chi2inv,
         "sim_gsimple": q_sim_gsimple,
         "unknown_tokens": q_unknown_tokens,
+        "expressions": q_expressions,
+        "keywords_doc": q_keywords_doc,
+        "spell_suggest": q_spell_suggest,
         # --- ranking
         "bm25_and": q_bm25_and,
         "bm25_wand_and": q_bm25_wand_and,
@@ -792,8 +828,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_population": q_suggest_population,
         # --- lexicometry
         "keyness_g2": q_keyness_g2,
-        "keyness_logdice": q_keyness_logdice,
-        "keyness_simplemaths": q_keyness_simplemaths,
         "cooc_window": q_cooc_window,
         "theme_bm25": q_theme_bm25,
         "theme_irdf": q_theme_irdf,
@@ -813,14 +847,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webtext_wand_fr": q_webtext_wand_fr,
         # --- LLM-pipeline ops
         "dedup_exact": q_dedup_exact,
-        "dedup_jaccard": q_dedup_jaccard,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "ann_cosine": q_ann_cosine,
         "ann_ivf": q_ann_ivf,
         "ann_lsh": q_ann_lsh,
         # ---- driver window boundary (entry 50) ----
-        # structural always-greens, every one green in r03
+        # structural always-greens, every one green in r03; logdice/
+        # simplemaths/jaccard are green-r03 siblings of in-window
+        # family members (g2 / minhash share their code paths)
+        "keyness_logdice": q_keyness_logdice,
+        "keyness_simplemaths": q_keyness_simplemaths,
+        "dedup_jaccard": q_dedup_jaccard,
         "term_dict": q_term_dict,
         "doc_stats": q_doc_stats,
         "term_stats": q_term_stats,
@@ -1275,6 +1313,85 @@ FROM wterms JOIN weights w USING (term)
 GROUP BY doc_id, pos
 ORDER BY score DESC, doc_id ASC, pos ASC
 LIMIT 10
+"""
+
+    # multiword-expression harvest (cli/Expressions.java): reset-run
+    # windows, non-overlapping trigram chunks, freq ranking
+    _expr_skip = (
+        "term IN ("
+        + ", ".join(f"'{t}'" for t in EXPR_STOP)
+        + ") OR regexp_matches(term, '^[0-9-]')"
+    )
+    sqls["expressions"] = f"""
+WITH {TOKS_CTE},
+marked AS (
+  SELECT doc_id, pos, term, ({_expr_skip}) AS skip,
+         sum(CASE WHEN {_expr_skip} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS run
+  FROM toks
+),
+content AS (
+  SELECT doc_id, pos, term, run,
+         (row_number() OVER (PARTITION BY doc_id, run ORDER BY pos) - 1) // 3
+           AS chunk
+  FROM marked WHERE NOT skip
+),
+grams AS (
+  SELECT doc_id, run, chunk, count(*) AS n,
+         string_agg(term, ' ' ORDER BY pos) AS expression
+  FROM content GROUP BY doc_id, run, chunk
+)
+SELECT expression, count(*) AS freq FROM grams WHERE n = 3
+GROUP BY expression ORDER BY freq DESC, expression ASC LIMIT 50
+"""
+
+    # per-doc keyword panels (cli/Keywords.java): freq / G / freq·idf,
+    # same float ops and (score desc, term asc) rank tiebreak
+    _kw_e = "(t.cf * d.dl / c.T)"
+    _kw_g = f"(p.tf * ln(p.tf / {_kw_e}))"
+    sqls["keywords_doc"] = f"""
+WITH {TOKS_CTE},
+dstats AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+cstats AS (SELECT CAST(count(*) AS DOUBLE) AS T,
+                  CAST(count(DISTINCT doc_id) AS DOUBLE) AS N FROM toks),
+tstats AS (SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+           FROM toks GROUP BY term),
+post AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
+scored AS (
+  SELECT p.doc_id, p.term,
+         CAST(p.tf AS DOUBLE) AS freq,
+         CASE WHEN p.tf < {_kw_e} THEN -{_kw_g} ELSE {_kw_g} END AS g,
+         p.tf * ln(1.0 + (c.N - t.df + 0.5) / (t.df + 0.5)) AS freq_idf
+  FROM post p JOIN dstats d USING (doc_id) JOIN tstats t USING (term), cstats c
+),
+panel AS (
+  SELECT doc_id, 'freq' AS measure,
+         row_number() OVER (PARTITION BY doc_id ORDER BY freq DESC, term ASC) AS rank,
+         term, {sql_round6("freq")} AS score FROM scored
+  UNION ALL
+  SELECT doc_id, 'g',
+         row_number() OVER (PARTITION BY doc_id ORDER BY g DESC, term ASC),
+         term, {sql_round6("g")} FROM scored
+  UNION ALL
+  SELECT doc_id, 'freq_idf',
+         row_number() OVER (PARTITION BY doc_id ORDER BY freq_idf DESC, term ASC),
+         term, {sql_round6("freq_idf")} FROM scored
+)
+SELECT doc_id, measure, rank, term, score FROM panel WHERE rank <= 5
+ORDER BY doc_id, measure, rank
+"""
+
+    # spelling suggestions (cli/SpellSugg.java re-expressed over the
+    # corpus dictionary): Levenshtein ≤ 2, dist asc / cf desc / term asc
+    sqls["spell_suggest"] = f"""
+WITH {TOKS_CTE},
+tstats AS (SELECT term, count(*) AS cf FROM toks GROUP BY term)
+SELECT term,
+       CAST(levenshtein(lower(term), '{SPELL_QUERY}') AS BIGINT) AS dist, cf
+FROM tstats
+WHERE abs(length(term) - {len(SPELL_QUERY)}) <= 2
+  AND levenshtein(lower(term), '{SPELL_QUERY}') <= 2
+ORDER BY dist ASC, cf DESC, term ASC LIMIT 10
 """
 
     # unknown-token report (cli/Unknowns.java): surface-shape gate,

@@ -28,6 +28,42 @@ def suggest(tstats: DataFrame, q: str, top: int = 20) -> DataFrame:
     )
 
 
+def suggest_spell(
+    tstats: DataFrame, q: str, max_dist: int = 2, top: int = 10
+) -> DataFrame:
+    """(term, dist, cf) spelling corrections for a word the dictionary
+    does not know — the reference's SpellSugg workflow
+    (cli/SpellSugg.java:1-49: Lucene-Hunspell ``suggest`` over the
+    fr.aff/fr.dic pair; e.g. 'Struétures' → 'Structures').
+
+    Re-expressed over the index's own term dictionary: candidates
+    within Levenshtein distance ``max_dist`` of the (lowercased) query,
+    ranked (distance asc, cf desc, term asc) — corpus-frequency ranking
+    replaces Lucene's affix-aware n-gram scoring (divergence noted; the
+    corpus dictionary IS the set of correctly spellable forms here).
+    One filter + top-k over term_stats: a length pre-filter
+    (| |term|−|q| | ≤ max_dist) prunes the scan before the O(len²)
+    distance, and both the pre-filter and the distance push into the
+    columnar scan — no Python."""
+    ql = q.lower()
+    lo, hi = len(ql) - max_dist, len(ql) + max_dist
+    cand = tstats.filter(
+        (F.length("term") >= lo) & (F.length("term") <= hi)
+    ).select(
+        "term",
+        "cf",
+        # long: Spark levenshtein yields INT, DuckDB BIGINT — the
+        # contract hasher is typed (CLAUDE.md cast rule)
+        F.levenshtein(F.lower(F.col("term")), F.lit(ql)).cast("long").alias("dist"),
+    )
+    return (
+        cand.filter(F.col("dist") <= max_dist)
+        .select("term", "dist", "cf")
+        .orderBy(F.asc("dist"), F.desc("cf"), F.asc("term"))
+        .limit(top)
+    )
+
+
 def suggest_population(
     tok: DataFrame, pop_docs: DataFrame, q: str, top: int = 20
 ) -> DataFrame:

@@ -1,0 +1,89 @@
+"""CLI corpus-utility parity: Expressions / Keywords / SpellSugg
+(reference cli/*.java — the dictionary-tuning workflows)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from alix_spark.corpus.expressions import expressions
+from alix_spark.lexicometry.keywords import MEASURES, doc_keywords
+from alix_spark.lexicometry.suggest import suggest_spell
+
+
+def _tok(spark, docs: list[str]):
+    rows = [
+        (d, p, w)
+        for d, text in enumerate(docs)
+        for p, w in enumerate(text.split())
+    ]
+    return spark.createDataFrame(rows, "doc_id long, pos int, term string")
+
+
+def test_expressions_reset_and_nonoverlap(spark):
+    """A skipped token RESETS the accumulator (Expressions.java:353);
+    trigrams are counted non-overlapping from each run start; partial
+    chunks never count."""
+    tok = _tok(spark, [
+        "alpha beta gamma delta epsilon zeta eta",  # 2 full chunks + leftover
+        "alpha beta THE gamma delta epsilon",       # reset mid-run
+        "alpha beta gamma",
+    ])
+    skip = F.col("term") == "THE"
+    rows = {r["expression"]: r["freq"]
+            for r in expressions(tok, skip, top=100).collect()}
+    assert rows == {
+        "alpha beta gamma": 2,           # docs 0 and 2
+        "delta epsilon zeta": 1,         # doc 0 second chunk ('eta' leftover)
+        "gamma delta epsilon": 1,        # doc 1 after the reset
+    }
+
+
+def test_expressions_digit_initial_resets(spark):
+    tok = _tok(spark, ["alpha beta 9x gamma delta epsilon"])
+    skip = F.col("term").rlike("^[0-9-]")
+    rows = {r["expression"] for r in expressions(tok, skip).collect()}
+    assert rows == {"gamma delta epsilon"}
+
+
+def test_doc_keywords_measures_and_ranks(spark):
+    from alix_spark.index import simple
+
+    docs = spark.createDataFrame(
+        [(0, "cat cat cat dog"), (1, "dog dog fish fish fish cat")],
+        "doc_id long, text string",
+    )
+    tok = simple.tokens(docs)
+    post = simple.postings(tok)
+    out = doc_keywords(
+        post,
+        simple.doc_stats(tok),
+        simple.term_stats(tok),
+        simple.corpus_stats(tok),
+        top=2,
+    ).collect()
+    by = {(r["doc_id"], r["measure"], r["rank"]): r for r in out}
+    # three measures per doc, ranks dense from 1
+    assert {r["measure"] for r in out} == set(MEASURES)
+    assert by[(0, "freq", 1)]["term"] == "cat"
+    assert by[(1, "freq", 1)]["term"] == "fish"
+    # G: overrepresented-in-doc term wins; its score is positive
+    assert by[(0, "g", 1)]["term"] == "cat" and by[(0, "g", 1)]["score"] > 0
+    # freq_idf prefers the rarer term at equal tf: every term here has
+    # df=2 except none — just assert determinism/shape
+    assert all(r["rank"] in (1, 2) for r in out)
+
+
+def test_suggest_spell_ranks_by_distance_then_freq(spark):
+    tstats = spark.createDataFrame(
+        [("table", 10, 100), ("tables", 5, 50), ("cable", 3, 30),
+         ("tab", 2, 20), ("zzzzzzzz", 1, 1)],
+        "term string, df long, cf long",
+    )
+    rows = [(r["term"], r["dist"]) for r in
+            suggest_spell(tstats, "Tabel", max_dist=2, top=10).collect()]
+    # table: dist 2 (el -> le); tables: dist 3 OUT; cable: dist 3 OUT;
+    # tab: dist 2; zzzzzzzz: length-pruned
+    assert ("table", 2) in rows and ("tab", 2) in rows
+    assert all(d <= 2 for _, d in rows)
+    # distance asc, then cf desc
+    assert rows[0] == ("table", 2)
