@@ -346,8 +346,12 @@ class AlixEngine:
                 os.path.join(self.index_dir, "term_stats")
             ).select("term", "df", "cf")
             cstats = self.spark.createDataFrame(
-                [(int(self.meta["corpus_docs"]), float(self.meta["avgdl"]))],
-                "corpus_docs long, avgdl double",
+                [(
+                    int(self.meta["corpus_docs"]),
+                    int(self.meta["corpus_tokens"]),
+                    float(self.meta["avgdl"]),
+                )],
+                "corpus_docs long, corpus_tokens long, avgdl double",
             )
             return post, dstats, tstats, cstats
         from alix_spark.index import simple
@@ -357,7 +361,9 @@ class AlixEngine:
             simple.postings(tok),
             simple.doc_stats(tok).select("doc_id", "dl"),
             simple.term_stats(tok),
-            simple.corpus_stats(tok).select("corpus_docs", "avgdl"),
+            simple.corpus_stats(tok).select(
+                "corpus_docs", "corpus_tokens", "avgdl"
+            ),
         )
 
     def _corpus_required(self, op: str) -> None:

@@ -533,6 +533,30 @@ def q_theme_irdf(spark, sf_dir):
     return theme.theme_weights_focus(post, dstats, tstats, cstats, focus, top=50)
 
 
+def _theme_focus(spark, sf_dir, mode):
+    """Focus-vs-rest theme ranking under one of the five reference
+    contrast modes (IdfTermScorer.java:308-358)."""
+    from alix_spark.lexicometry import theme
+
+    post, dstats, tstats, cstats = _bm25_inputs(spark, sf_dir)
+    focus = _docs(spark, sf_dir).filter(F.col("lang") == "fr").select("doc_id")
+    return theme.theme_weights_focus(
+        post, dstats, tstats, cstats, focus, mode=mode, top=50
+    )
+
+
+def q_theme_rsj(spark, sf_dir):
+    return _theme_focus(spark, sf_dir, "rsj")
+
+
+def q_theme_factor(spark, sf_dir):
+    return _theme_focus(spark, sf_dir, "factor")
+
+
+def q_theme_weighted(spark, sf_dir):
+    return _theme_focus(spark, sf_dir, "weighted")
+
+
 def q_doc_vectors(spark, sf_dir):
     """Per-(term, doc) BM25 weights — the Lucene2vec export table."""
     from alix_spark.lexicometry import theme
@@ -811,6 +835,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expressions": q_expressions,
         "keywords_doc": q_keywords_doc,
         "spell_suggest": q_spell_suggest,
+        "theme_rsj": q_theme_rsj,
+        "theme_factor": q_theme_factor,
+        "theme_weighted": q_theme_weighted,
         # --- ranking
         "bm25_and": q_bm25_and,
         "bm25_wand_and": q_bm25_wand_and,
@@ -834,10 +861,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_vectors": q_doc_vectors,
         "part_keyness_min": q_part_keyness_min,
         "part_keyness_tail": q_part_keyness_tail,
-        "cooc_profile": q_cooc_profile,
         "cooc_matrix": q_cooc_matrix,
         "suggest_folded": q_suggest_folded,
-        "suggest": q_suggest,
         "kwic": q_kwic,
         "snippet_topk": q_snippet_topk,
         "ca_map": q_ca_map,
@@ -859,6 +884,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyness_logdice": q_keyness_logdice,
         "keyness_simplemaths": q_keyness_simplemaths,
         "dedup_jaccard": q_dedup_jaccard,
+        "cooc_profile": q_cooc_profile,
+        "suggest": q_suggest,
         "term_dict": q_term_dict,
         "doc_stats": q_doc_stats,
         "term_stats": q_term_stats,
@@ -1113,6 +1140,64 @@ SELECT a.term,
            "pow(ln(1.0 + ((c.n - nf.n_focus) - (t.df - a.focus_df) + 0.5)"
            " / ((t.df - a.focus_df) + 0.5)), 0.9) * a.acc"
        )} AS score
+FROM acc a JOIN tstats t USING (term), cstats c, nf
+WHERE a.focus_df > 0
+ORDER BY score DESC, term ASC LIMIT 50
+"""
+
+    # the other three IdfTermScorer contrast modes (rsj / factor /
+    # weighted — IdfTermScorer.java:308-358), same CTE spine
+    _theme_cte = f"""
+WITH {TOKS_CTE},
+dstats AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+cstats AS (SELECT count(DISTINCT doc_id) AS n, count(*) AS t_tokens,
+                  count(*) * 1.0 / count(DISTINCT doc_id) AS avgdl FROM toks),
+tstats AS (SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+           FROM toks GROUP BY term),
+fdocs AS (SELECT DISTINCT doc_id FROM documents
+          WHERE lang = 'fr' AND doc_id IN (SELECT doc_id FROM dstats)),
+nf AS (SELECT count(*) AS n_focus, CAST(sum(d.dl) AS DOUBLE) AS focus_tokens
+       FROM fdocs f JOIN dstats d USING (doc_id)),
+post AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
+acc AS (
+  SELECT p.term,
+         sum(CASE WHEN f.doc_id IS NOT NULL THEN {local} ELSE 0 END) AS acc,
+         sum(CASE WHEN f.doc_id IS NULL THEN {local} ELSE 0 END) AS other_acc,
+         sum(CASE WHEN f.doc_id IS NOT NULL THEN p.tf ELSE 0 END) AS focus_tf,
+         sum(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS focus_df
+  FROM post p JOIN dstats d USING (doc_id)
+  LEFT JOIN fdocs f ON p.doc_id = f.doc_id, cstats c
+  GROUP BY p.term
+)
+"""
+    _idf09 = "pow(ln(1.0 + (c.n - t.df + 0.5) / (t.df + 0.5)), 0.9)"
+    _rsj = (
+        "ln(((a.focus_df + 0.5) * (c.n - nf.n_focus - t.df + a.focus_df + 0.5))"
+        " / ((t.df - a.focus_df + 0.5) * (nf.n_focus - a.focus_df + 0.5)))"
+    )
+    sqls["theme_rsj"] = f"""{_theme_cte}
+SELECT a.term,
+       {sql_round6(f"sign({_rsj}) * pow(abs({_rsj}), 0.9) * a.acc")} AS score
+FROM acc a JOIN tstats t USING (term), cstats c, nf
+WHERE a.focus_df > 0
+ORDER BY score DESC, term ASC LIMIT 50
+"""
+    sqls["theme_factor"] = f"""{_theme_cte}
+SELECT a.term,
+       {sql_round6(
+           f"CASE WHEN a.focus_tf > 0 AND nf.focus_tokens > 0"
+           f" AND (t.cf * 1.0 / c.t_tokens) > 0"
+           f" THEN {_idf09} * a.acc"
+           f" * ln((a.focus_tf / nf.focus_tokens) / (t.cf * 1.0 / c.t_tokens))"
+           f" * ln(CAST(a.focus_tf AS DOUBLE)) ELSE 0.0 END"
+       )} AS score
+FROM acc a JOIN tstats t USING (term), cstats c, nf
+WHERE a.focus_df > 0
+ORDER BY score DESC, term ASC LIMIT 50
+"""
+    sqls["theme_weighted"] = f"""{_theme_cte}
+SELECT a.term,
+       {sql_round6(f"{_idf09} * (a.acc - 2.0 * a.other_acc)")} AS score
 FROM acc a JOIN tstats t USING (term), cstats c, nf
 WHERE a.focus_df > 0
 ORDER BY score DESC, term ASC LIMIT 50

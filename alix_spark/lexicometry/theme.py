@@ -83,8 +83,13 @@ def theme_weights_focus(
 ) -> DataFrame:
     """Focus-vs-rest theme ranking (OpTerms branch 2 analogue).
 
-    mode 'irdf' (reference default): rarity measured outside the focus;
-    mode 'minus': idf · (focusAcc − restAcc).
+    All five reference contrast modes (IdfTermScorer.java:308-358):
+    'irdf' (default — rarity measured outside the focus), 'minus'
+    (idf·(focusAcc − restAcc)), 'rsj' (signed Robertson–Sparck-Jones
+    weight on the 2×2 doc table, |w|^idfExp sign-preserved, × acc),
+    'factor' (idf·acc·ln(relFocus/relCorpus)·ln(focusTf) — BM25 × log-
+    dampened over-representation), 'weighted' (idf·(1·acc − 2·restAcc),
+    the reference's shipped wFocus/wRest pair).
     focus_docs: (doc_id) subset — deduplicated here (a raw filter-query
     output with a repeated id would otherwise double-count acc/focus_df
     and drive rest_df negative, like keyness.py's .distinct()
@@ -93,9 +98,12 @@ def theme_weights_focus(
     focus = focus_docs.select("doc_id").distinct().join(
         dstats.select("doc_id"), "doc_id", "left_semi"
     )
+    c_cols = ["corpus_docs", "avgdl"] + (
+        ["corpus_tokens"] if "corpus_tokens" in cstats.columns else []
+    )
     marked = (
         post.join(dstats.select("doc_id", "dl"), "doc_id")
-        .crossJoin(F.broadcast(cstats.select("corpus_docs", "avgdl")))
+        .crossJoin(F.broadcast(cstats.select(*c_cols)))
         .join(
             F.broadcast(focus.withColumn("isf", F.lit(1))),
             "doc_id",
@@ -106,15 +114,23 @@ def theme_weights_focus(
     # in-plan 1-row agg, not an eager focus.count(): constructing the
     # (lazy) result must not run a Spark job, and the focus subplan
     # should evaluate once
-    nfd = focus.agg(F.count("*").cast("double").alias("n_focus_docs"))
-    per_term = marked.groupBy("term").agg(
+    nfd = focus.join(dstats.select("doc_id", "dl"), "doc_id").agg(
+        F.count("*").cast("double").alias("n_focus_docs"),
+        F.sum("dl").cast("double").alias("focus_tokens"),
+    )
+    aggs = [
         F.sum(F.when(F.col("isf") == 1, _local_expr()).otherwise(0.0)).alias("acc"),
         F.sum(F.when(F.col("isf") == 0, _local_expr()).otherwise(0.0)).alias("other_acc"),
+        F.sum(F.when(F.col("isf") == 1, F.col("tf")).otherwise(F.lit(0))).alias("focus_tf"),
         F.sum(F.col("isf")).alias("focus_df"),
         F.first("corpus_docs").alias("n"),
-    )
+    ]
+    if "corpus_tokens" in c_cols:
+        aggs.append(F.first("corpus_tokens").alias("corpus_tokens"))
+    per_term = marked.groupBy("term").agg(*aggs)
+    t_cols = ["term", "df"] + (["cf"] if "cf" in tstats.columns else [])
     joined = per_term.join(
-        F.broadcast(tstats.select("term", "df")), "term"
+        F.broadcast(tstats.select(*t_cols)), "term"
     ).crossJoin(F.broadcast(nfd))
     if mode == "irdf":
         rest_docs = F.col("n") - F.col("n_focus_docs")
@@ -127,7 +143,7 @@ def theme_weights_focus(
             F.lit(idf_exp),
         )
         score = irdf * F.col("acc")
-    elif mode == "minus":
+    elif mode in ("minus", "weighted", "factor"):
         idf = F.pow(
             F.log(
                 F.lit(1.0)
@@ -135,7 +151,40 @@ def theme_weights_focus(
             ),
             F.lit(idf_exp),
         )
-        score = idf * (F.col("acc") - F.col("other_acc"))
+        if mode == "minus":
+            score = idf * (F.col("acc") - F.col("other_acc"))
+        elif mode == "weighted":
+            # reference's shipped wFocus=1, wRest=-2 (:344-347)
+            score = idf * (F.col("acc") - F.lit(2.0) * F.col("other_acc"))
+        else:  # factor (:332-338)
+            rel_focus = F.col("focus_tf").cast("double") / F.col("focus_tokens")
+            rel_corpus = (
+                F.col("cf").cast("double") / F.col("corpus_tokens").cast("double")
+            )
+            score = F.when(
+                (F.col("focus_tf") > 0) & (F.col("focus_tokens") > 0)
+                & (rel_corpus > 0),
+                idf * F.col("acc") * F.log(rel_focus / rel_corpus)
+                * F.log(F.col("focus_tf").cast("double")),
+            ).otherwise(F.lit(0.0))
+    elif mode == "rsj":
+        # signed Robertson–Sparck-Jones on the 2×2 doc table (:317-330)
+        r = F.col("focus_df").cast("double")
+        big_r = F.col("n_focus_docs")
+        n_t = F.col("df").cast("double")
+        big_n = F.col("n").cast("double")
+        rsj = F.log(
+            ((r + F.lit(0.5)) * (big_n - big_r - n_t + r + F.lit(0.5)))
+            / ((n_t - r + F.lit(0.5)) * (big_r - r + F.lit(0.5)))
+        )
+        guard = (
+            (big_n - big_r >= 0) & (n_t - r >= 0) & (big_r - r >= 0)
+            & (big_n - big_r - (n_t - r) >= 0)
+        )
+        score = F.when(
+            guard,
+            F.signum(rsj) * F.pow(F.abs(rsj), F.lit(idf_exp)) * F.col("acc"),
+        ).otherwise(F.lit(0.0))
     else:
         raise KeyError(mode)
     return (

