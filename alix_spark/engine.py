@@ -412,6 +412,40 @@ class AlixEngine:
             self.rail(), pivot, left=left, right=right, top=top,
         )
 
+    # ------------------------------------------- CLI corpus utilities
+
+    def unknowns(self, top: int = 2000) -> DataFrame:
+        """Ranked unknown-token report (reference cli/Unknowns.java —
+        the piaget-errors.txt dictionary-tuning workflow). Needs the
+        corpus: unknown-ness is decided on the chain's lemma channel,
+        which the frozen index does not store."""
+        from alix_spark.corpus.unknowns import unknowns_from_chain
+
+        self._corpus_required("unknowns")
+        return unknowns_from_chain(self.tokens(), top=top)
+
+    def expressions(self, top: int = 2000) -> DataFrame:
+        """Multiword-expression harvest (reference cli/Expressions.java:
+        non-overlapping trigrams of consecutive content words)."""
+        from alix_spark.corpus.expressions import chain_skip_expr, expressions
+
+        self._corpus_required("expressions")
+        return expressions(self.tokens(), chain_skip_expr(), top=top)
+
+    def keywords(self, top: int = 10) -> DataFrame:
+        """Per-document keyword panels (reference cli/Keywords.java) —
+        served from the frozen index stats, never re-analyzing."""
+        from alix_spark.lexicometry.keywords import doc_keywords
+
+        return doc_keywords(*self._bm25_inputs(), top=top)
+
+    def spell(self, q: str, max_dist: int = 2, top: int = 10) -> DataFrame:
+        """Spelling suggestions against the index dictionary (reference
+        cli/SpellSugg.java re-expressed — Levenshtein ≤ max_dist,
+        dist asc / cf desc)."""
+        _post, _dstats, tstats, _cstats = self._bm25_inputs()
+        return suggest_mod.suggest_spell(tstats, q, max_dist=max_dist, top=top)
+
     def clades(self, top_terms: int = 100, axes: int = 2):
         """Correspondence-analysis factor map over lang parts
         (reference OpClades)."""

@@ -110,10 +110,17 @@ def partition_keyness(
     (LogLikelihoodTail, mean of worst 20%)."""
     from alix_spark.util import maybe_broadcast
 
-    t = tok.join(maybe_broadcast(doc_parts), "doc_id")  # per-doc labels grow with the corpus
+    # ONE token-level aggregate feeds every downstream table: the
+    # (doc, term) roll-up shuffles once and its exchange is reused by
+    # the part/term/doc-count branches (the previous shape re-scanned —
+    # and at web scale re-ANALYZED — the token table once per table).
+    # Values are integer-exact identical: freq = Σ tf, ftd = rows per
+    # (focus, term) since (doc, term) is unique after the roll-up.
+    post = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    tp = post.join(maybe_broadcast(doc_parts), "doc_id")  # per-doc labels grow with the corpus
 
-    part_tokens = t.groupBy("part").agg(F.count("*").alias("part_toks"))
-    term_part = t.groupBy("term", "part").agg(F.count("*").alias("freq"))
+    term_part = tp.groupBy("term", "part").agg(F.sum("tf").alias("freq"))
+    part_tokens = term_part.groupBy("part").agg(F.sum("freq").alias("part_toks"))
 
     focus_tokens = part_tokens.filter(F.col("part") == focus_part).select(
         F.col("part_toks").alias("fa")
@@ -123,9 +130,9 @@ def partition_keyness(
         .select("term", F.col("freq").alias("a"))
     )
     focus_term_docs = (
-        t.filter(F.col("part") == focus_part)
+        tp.filter(F.col("part") == focus_part)
         .groupBy("term")
-        .agg(F.countDistinct("doc_id").alias("ftd"))
+        .agg(F.count("*").alias("ftd"))
     )
     focus_docs_n = doc_parts.filter(F.col("part") == focus_part).count()
 

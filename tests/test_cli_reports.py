@@ -87,3 +87,39 @@ def test_suggest_spell_ranks_by_distance_then_freq(spark):
     assert all(d <= 2 for _, d in rows)
     # distance asc, then cf desc
     assert rows[0] == ("table", 2)
+
+
+def test_engine_cli_report_methods(spark, tmp_path):
+    """The CLI workflows ride the engine facade: unknowns/expressions
+    need the corpus (chain channels); keywords/spell serve from the
+    frozen index."""
+    import pytest as _pytest
+
+    from alix_spark.corpus import webtext
+    from alix_spark.engine import AlixEngine
+    from alix_spark.index.registry import IndexRegistry
+
+    corpus = webtext.webtext(spark, 15, seed=8, partitions=2)
+    idx = str(tmp_path / "ix")
+    eng = AlixEngine.build(spark, corpus, idx, n_shards=2)
+    kw = eng.keywords(top=3).collect()
+    assert kw and {r["measure"] for r in kw} == {"freq", "g", "freq_idf"}
+    sp = eng.spell("vile", max_dist=2, top=5).collect()
+    assert any(r["term"] == "ville" for r in sp)
+    unk = eng.unknowns(top=20)
+    assert "term" in unk.columns and "freq" in unk.columns
+    ex = eng.expressions(top=20)
+    assert "expression" in ex.columns
+    # corpus-less (registry-opened) engines 404 the chain-bound ops
+    reg_root = str(tmp_path / "reg")
+    import shutil
+
+    shutil.copytree(idx, reg_root + "/bare")
+    reg = IndexRegistry(spark, reg_root)
+    reg.poll()
+    bare = reg.get("bare")
+    for fn in (bare.unknowns, bare.expressions):
+        with _pytest.raises(Exception):
+            fn()
+    # ...but the index-served ones still work
+    assert bare.spell("vile", top=3).count() >= 0
