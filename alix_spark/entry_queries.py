@@ -745,6 +745,17 @@ def q_ann_ivf_fullprobe(spark, sf_dir):
     return similarity.ann_ivf_topk(emb, queries, k=5, n_lists=8, nprobe=8)
 
 
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (briefing semantic-dedup tier):
+    LSH sign-bucket candidates, exact cosine verify. The synthetic
+    embeddings are near-orthogonal (max same-bucket cosine ≈ 0.47), so
+    the demo threshold is 0.30 to keep the oracle non-vacuous; real
+    near-dup corpora run ~0.95."""
+    from alix_spark.textops.dedup import embedding_dup_pairs
+
+    return embedding_dup_pairs(_emb(spark, sf_dir), threshold=0.30)
+
+
 def q_ann_lsh(spark, sf_dir):
     # fully oracle-checked: ±1 md5-derived hyperplanes are embedded as
     # literals in the oracle SQL, so buckets and the within-bucket
@@ -862,7 +873,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_keyness_min": q_part_keyness_min,
         "part_keyness_tail": q_part_keyness_tail,
         "cooc_matrix": q_cooc_matrix,
-        "suggest_folded": q_suggest_folded,
         "kwic": q_kwic,
         "snippet_topk": q_snippet_topk,
         "ca_map": q_ca_map,
@@ -873,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- LLM-pipeline ops
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_embedding": q_dedup_embedding,
         "dedup_simhash": q_dedup_simhash,
         "ann_cosine": q_ann_cosine,
         "ann_ivf": q_ann_ivf,
@@ -886,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "cooc_profile": q_cooc_profile,
         "suggest": q_suggest,
+        "suggest_folded": q_suggest_folded,
         "term_dict": q_term_dict,
         "doc_stats": q_doc_stats,
         "term_stats": q_term_stats,
@@ -1746,6 +1758,41 @@ SELECT q_id, vec_id, cos, rank FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
         )
         for j in range(_planes.shape[0])
     )
+    # embedding-cosine near-dup pairs: same buckets, pairwise verify
+    sqls["dedup_embedding"] = f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+planes(j, s) AS (VALUES {_plane_rows}),
+dots AS (
+  SELECT emb.vec_id, p.j,
+         list_sum(list_transform(generate_series(1, len(emb.e)),
+                                 i -> emb.e[i] * p.s[i])) AS dot
+  FROM emb, planes p
+),
+buckets AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+              AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT id_a, id_b,
+         floor((list_sum(list_transform(generate_series(1, len(ea.e)),
+                                        i -> ea.e[i] * eb.e[i]))
+               / (sqrt(list_sum(list_transform(ea.e, x -> x * x)))
+                  * sqrt(list_sum(list_transform(eb.e, x -> x * x)))))
+               * 1000000.0 + 0.5) / 1000000.0 AS cos
+  FROM pairs JOIN emb ea ON ea.vec_id = id_a JOIN emb eb ON eb.vec_id = id_b
+)
+SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.30 ORDER BY id_a, id_b
+"""
+
     sqls["ann_lsh"] = f"""
 WITH emb AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e

@@ -386,3 +386,52 @@ def simhash_pairs(
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
     )
+
+
+def embedding_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the semantic dedup tier
+    (briefing): (id_a, id_b, cos) for every pair with round6(cosine) ≥
+    ``threshold``, id_a < id_b.
+
+    Scale shape: candidates come from the SAME seeded ±1 hyperplane
+    sign buckets as :func:`alix_spark.textops.similarity.ann_lsh_topk`
+    (one mapInPandas pass, one equi-self-join on the bucket key —
+    candidate space ~ Σ bucket², never corpus²); each candidate is then
+    EXACTLY verified by cosine, so precision is 1.0 by construction and
+    only recall depends on the planes (raise n_planes for bigger
+    corpora; a near-identical pair disagrees with a random hyperplane
+    with probability θ/π ≈ 0 — e.g. cos ≥ 0.95 ⇒ ≥ 0.92^n_planes
+    same-bucket odds). Same candidates→verify contract as
+    minhash_lsh_pairs, so the DuckDB oracle replicates it bit-for-bit
+    with the plane literals embedded in the SQL."""
+    from alix_spark.textops.similarity import _dot, _norm, lsh_signatures
+    from alix_spark.util import round6
+
+    sig = lsh_signatures(
+        emb, n_planes, dim, seed, id_col=id_col, vec_col=vec_col
+    )
+    tagged = emb.select(id_col, vec_col).join(sig, id_col)
+    a = tagged.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"
+    )
+    b = tagged.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket"
+    )
+    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a",
+        "id_b",
+        round6(_dot("va", "vb") / (_norm("va") * _norm("vb"))).alias("cos"),
+    )
+    return (
+        scored.filter(F.col("cos") >= F.lit(threshold))
+        .orderBy("id_a", "id_b")
+    )

@@ -125,3 +125,34 @@ def test_jaccard_string_ids_and_null_text(spark):
     ]
     fps = dedup.simhash_fingerprints(docs, id_col="url").collect()
     assert {r["doc_id"]: r["simhash"] for r in fps}["https://a/3"] == 0
+
+
+def test_embedding_dup_pairs_finds_near_identical(spark):
+    """Semantic-dedup tier: near-identical embeddings land in the same
+    sign bucket (they disagree with a hyperplane with prob θ/π ≈ 0) and
+    survive the exact-cosine verify; orthogonal ones never appear."""
+    import numpy as np
+
+    from alix_spark.textops.dedup import embedding_dup_pairs
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=64)
+    near = base + rng.normal(scale=0.01, size=64)  # cos ≈ 0.9999
+    rows = [
+        (0, [float(x) for x in base]),
+        (1, [float(x) for x in near]),
+    ] + [
+        (i, [float(x) for x in rng.normal(size=64)]) for i in range(2, 40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = embedding_dup_pairs(emb, threshold=0.95).collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [(0, 1)]
+    assert got[0]["cos"] > 0.99
+    # precision is 1.0 by construction: every reported pair re-verifies
+    import math
+
+    by_id = {i: np.array(v) for i, v in rows}
+    for r in got:
+        a, b = by_id[r["id_a"]], by_id[r["id_b"]]
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert math.floor(cos * 1e6 + 0.5) / 1e6 >= 0.95
