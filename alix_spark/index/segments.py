@@ -362,14 +362,18 @@ def build_index(
     side_t, side_err = _start_sidecar_thread(
         spark, index_dir, dstats, tstats, corpus, n_shards
     )
-    if todo:
-        encoded = salted.groupBy("shard", "tbucket").applyInPandas(
-            encode, schema=ENC_SCHEMA
-        )
-        _write_postings_and_manifests(
-            spark, encoded, index_dir, todo, n_shards, n_write
-        )
-    side_t.join()
+    try:
+        if todo:
+            encoded = salted.groupBy("shard", "tbucket").applyInPandas(
+                encode, schema=ENC_SCHEMA
+            )
+            _write_postings_and_manifests(
+                spark, encoded, index_dir, todo, n_shards, n_write
+            )
+    finally:
+        # join even on a failed postings write: an orphaned writer
+        # thread would race a caller's cleanup/retry inside index_dir
+        side_t.join()
     if side_err:
         raise side_err[0]
     meta = {
@@ -874,22 +878,26 @@ def build_index_packed(
     side_t, _sidecar_err = _start_sidecar_thread(
         spark, index_dir, dstats, tstats, corpus, n_shards
     )
-    if todo:
-        def encode(_key, pdf: pd.DataFrame) -> pd.DataFrame:
-            return _encode_packed_group(pdf, avgdl, with_positions)
+    try:
+        if todo:
+            def encode(_key, pdf: pd.DataFrame) -> pd.DataFrame:
+                return _encode_packed_group(pdf, avgdl, with_positions)
 
-        n_write = max(len(todo), spark.sparkContext.defaultParallelism)
-        encoded = (
-            buck.filter(F.col("shard").isin(todo))
-            .groupBy("shard", "tbucket")
-            .applyInPandas(encode, schema=ENC_SCHEMA)
-        )
-        _write_postings_and_manifests(
-            spark, encoded, index_dir, todo, n_shards, n_write
-        )
-    t3 = _t()
+            n_write = max(len(todo), spark.sparkContext.defaultParallelism)
+            encoded = (
+                buck.filter(F.col("shard").isin(todo))
+                .groupBy("shard", "tbucket")
+                .applyInPandas(encode, schema=ENC_SCHEMA)
+            )
+            _write_postings_and_manifests(
+                spark, encoded, index_dir, todo, n_shards, n_write
+            )
+        t3 = _t()
+    finally:
+        # join even on a failed postings write: an orphaned writer
+        # thread would race a caller's cleanup/retry inside index_dir
+        side_t.join()
 
-    side_t.join()
     if _sidecar_err:
         raise _sidecar_err[0]
     t4 = _t()

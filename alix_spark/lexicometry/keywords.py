@@ -33,17 +33,23 @@ def doc_keywords(
     """(doc_id, measure, rank, term, score) — ``top`` terms per doc per
     measure, ties broken term asc (TopArray contract).
 
-    Measures (FormEnum.score, common/.../search/FormEnum.java):
+    Measures (the reference's Distrib scorings named in Keywords.java;
+    the Doc.formEnum class itself is absent from the snapshot, so the
+    formulas are pinned here):
       freq      tf
-      g         one-cell G vs the corpus expectation E = cf·dl/T
-                (sign flips when tf < E — repulsed terms sink)
+      g         one-cell G vs the corpus expectation E = cf·dl/T:
+                tf·ln(tf/E) — naturally positive for over-represented
+                terms and negative for repulsed ones, so repulsed
+                terms SINK in the descending panel (deliberately NOT
+                SimilarityGsimple's always-positive flip, which would
+                float repulsed terms to the top of a keyword list)
       freq_idf  tf · ln(1 + (N − df + 0.5)/(df + 0.5))
     """
     t = F.col("corpus_tokens").cast("double")
     n = F.col("corpus_docs").cast("double")
     tf = F.col("tf").cast("double")
     e = F.col("cf").cast("double") * F.col("dl").cast("double") / t
-    g_raw = tf * F.log(tf / e)
+    g = tf * F.log(tf / e)
     idf = F.log(
         F.lit(1.0) + (n - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
     )
@@ -58,7 +64,7 @@ def doc_keywords(
             "doc_id",
             "term",
             tf.alias("freq"),
-            F.when(tf < e, -g_raw).otherwise(g_raw).alias("g"),
+            g.alias("g"),
             (tf * idf).alias("freq_idf"),
         )
     )

@@ -117,6 +117,10 @@ def partition_keyness(
     # Values are integer-exact identical: freq = Σ tf, ftd = rows per
     # (focus, term) since (doc, term) is unique after the roll-up.
     post = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # .distinct(): a duplicated (doc_id, part) label row (a raw
+    # filter-query output) must not double-count freq/ftd — the same
+    # discipline as theme_weights_focus/keyness
+    doc_parts = doc_parts.distinct()
     tp = post.join(maybe_broadcast(doc_parts), "doc_id")  # per-doc labels grow with the corpus
 
     term_part = tp.groupBy("term", "part").agg(F.sum("tf").alias("freq"))

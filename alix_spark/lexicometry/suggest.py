@@ -146,20 +146,27 @@ def folded_vocab(index_dir: str):
     key = publish_marker(index_dir)
     with _VOCAB_LOCK:
         hit = _VOCAB_CACHE.get(index_dir)
-        if hit is None or hit[0] != key:
-            tbl = term_stats_dataset(index_dir).to_table(columns=["term", "cf"])
-            pdf = pd.DataFrame(
-                {"term": tbl["term"].to_pylist(), "cf": tbl["cf"].to_pylist()}
-            )
-            pdf["fold"] = pdf["term"].str.translate(_FOLD_MAP).str.lower()
-            pdf = pdf.sort_values(
-                ["cf", "term"], ascending=[False, True], ignore_index=True
-            )
-            _VOCAB_CACHE[index_dir] = (key, pdf)
+        if hit is not None and hit[0] == key:
+            _VOCAB_CACHE.move_to_end(index_dir)
+            return hit[1]
+    # cold load OUTSIDE the lock: a multi-second vocabulary scan must
+    # not stall cache hits for OTHER indexes behind one global lock
+    # (concurrent misses of the same index may load twice — harmless,
+    # last insert wins)
+    tbl = term_stats_dataset(index_dir).to_table(columns=["term", "cf"])
+    pdf = pd.DataFrame(
+        {"term": tbl["term"].to_pylist(), "cf": tbl["cf"].to_pylist()}
+    )
+    pdf["fold"] = pdf["term"].str.translate(_FOLD_MAP).str.lower()
+    pdf = pdf.sort_values(
+        ["cf", "term"], ascending=[False, True], ignore_index=True
+    )
+    with _VOCAB_LOCK:
+        _VOCAB_CACHE[index_dir] = (key, pdf)
         _VOCAB_CACHE.move_to_end(index_dir)
         while len(_VOCAB_CACHE) > _VOCAB_CACHE_MAX:
             _VOCAB_CACHE.popitem(last=False)
-        return _VOCAB_CACHE[index_dir][1]
+    return pdf
 
 
 def suggest_local(index_dir: str, q: str, top: int = 20) -> list[tuple]:

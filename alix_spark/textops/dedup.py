@@ -415,9 +415,10 @@ def embedding_dup_pairs(
     from alix_spark.textops.similarity import _dot, _norm, lsh_signatures
     from alix_spark.util import round6
 
+    # lsh_signatures names its id output 'vec_id' regardless of id_col
     sig = lsh_signatures(
         emb, n_planes, dim, seed, id_col=id_col, vec_col=vec_col
-    )
+    ).withColumnRenamed("vec_id", id_col)
     tagged = emb.select(id_col, vec_col).join(sig, id_col)
     a = tagged.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket"

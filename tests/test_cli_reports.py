@@ -123,3 +123,46 @@ def test_engine_cli_report_methods(spark, tmp_path):
             fn()
     # ...but the index-served ones still work
     assert bare.spell("vile", top=3).count() >= 0
+
+
+def test_doc_keywords_repulsed_terms_sink(spark):
+    """The 'g' panel's sign follows over/under-representation: a term
+    UNDER-represented in a doc scores negative and sinks (review
+    regression: a wrong flip floated repulsed terms to the top)."""
+    from alix_spark.index import simple
+    from alix_spark.lexicometry.keywords import doc_keywords
+
+    docs = spark.createDataFrame(
+        # 'rare' is heavily present in doc 1 but appears ONCE in doc 0
+        # (under its corpus expectation there)
+        [(0, "aa aa aa aa aa aa aa rare"), (1, "rare rare rare rare aa")],
+        "doc_id long, text string",
+    )
+    tok = simple.tokens(docs)
+    out = doc_keywords(
+        simple.postings(tok), simple.doc_stats(tok),
+        simple.term_stats(tok), simple.corpus_stats(tok), top=5,
+    ).collect()
+    g0 = {r["term"]: r["score"] for r in out
+          if r["doc_id"] == 0 and r["measure"] == "g"}
+    # doc 0: E(rare) = 5*8/13 ≈ 3.08, tf=1 → g = ln(1/3.08) < 0
+    assert g0["rare"] < 0 < g0["aa"]
+    ranked0 = [r["term"] for r in sorted(
+        (r for r in out if r["doc_id"] == 0 and r["measure"] == "g"),
+        key=lambda r: r["rank"])]
+    assert ranked0 == ["aa", "rare"]
+
+
+def test_embedding_dup_pairs_custom_id_col(spark):
+    """id_col other than 'vec_id' must work (review regression:
+    lsh_signatures hardcodes its output name)."""
+    import numpy as np
+
+    from alix_spark.textops.dedup import embedding_dup_pairs
+
+    rng = np.random.default_rng(5)
+    v = rng.normal(size=64)
+    rows = [("a", [float(x) for x in v]), ("b", [float(x) for x in v])]
+    emb = spark.createDataFrame(rows, "doc string, embedding array<double>")
+    got = embedding_dup_pairs(emb, threshold=0.99, id_col="doc").collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [("a", "b")]
