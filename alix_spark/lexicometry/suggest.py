@@ -64,6 +64,59 @@ def suggest_spell(
     )
 
 
+def _lev_banded(a: str, b: str, k: int) -> int | None:
+    """Plain Levenshtein distance if ≤ k else None — banded DP (cells
+    outside the ±k diagonal band are +∞), the same metric as Spark's
+    levenshtein() / DuckDB's levenshtein()."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return None
+    inf = k + 1
+    prev = [j if j <= k else inf for j in range(lb + 1)]
+    for i in range(1, la + 1):
+        cur = [inf] * (lb + 1)
+        if i <= k:
+            cur[0] = i
+        best = cur[0]
+        for j in range(max(1, i - k), min(lb, i + k) + 1):
+            c = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (a[i - 1] != b[j - 1]),
+            )
+            cur[j] = c if c < inf else inf
+            if cur[j] < best:
+                best = cur[j]
+        if best >= inf:
+            return None
+        prev = cur
+    return prev[lb] if prev[lb] <= k else None
+
+
+def suggest_spell_local(
+    index_dir: str, q: str, max_dist: int = 2, top: int = 10
+) -> list[tuple]:
+    """(term, dist, cf) spelling corrections via the cached vocabulary
+    — the serving-node twin of :func:`suggest_spell` (no Spark job):
+    length band pre-filter, banded Levenshtein, (dist asc, cf desc,
+    term asc) ranking. Ranking asserted identical to the Spark path in
+    tests. The Spark path remains the cluster fan-out for web-scale
+    vocabularies."""
+    if top <= 0:
+        return []
+    ql = (q or "").lower()
+    pdf = folded_vocab(index_dir)  # (term, cf) pre-sorted cf desc, term asc
+    lens = pdf["term"].str.len()
+    band = pdf[(lens >= len(ql) - max_dist) & (lens <= len(ql) + max_dist)]
+    out = []
+    for term, cf in zip(band["term"], band["cf"]):
+        d = _lev_banded(term.lower(), ql, max_dist)
+        if d is not None:
+            out.append((term, int(d), int(cf)))
+    out.sort(key=lambda t: (t[1], -t[2], t[0]))
+    return out[:top]
+
+
 def suggest_population(
     tok: DataFrame, pop_docs: DataFrame, q: str, top: int = 20
 ) -> DataFrame:

@@ -79,6 +79,21 @@ class SuggestUdtf:
             yield term, int(cf)
 
 
+@udtf(returnType="term string, dist bigint, cf bigint")
+class SpellUdtf:
+    """alix_spell(index_dir, word, max_dist, k) → (term, dist, cf):
+    spelling corrections against the index dictionary (reference
+    cli/SpellSugg.java workflow; dist asc, cf desc, term asc)."""
+
+    def eval(self, index_dir: str, q: str, max_dist: int = 2, k: int = 10):
+        from alix_spark.lexicometry.suggest import suggest_spell_local
+
+        for term, dist, cf in suggest_spell_local(
+            index_dir, q, max_dist=int(max_dist), top=int(k)
+        ):
+            yield term, int(dist), int(cf)
+
+
 def register(spark: SparkSession) -> None:
     """Register all table functions on the session."""
     from alix_spark.util import ensure_py_files
@@ -90,3 +105,4 @@ def register(spark: SparkSession) -> None:
     spark.udtf.register("alix_bm25", Bm25Udtf)
     spark.udtf.register("alix_phrase", PhraseUdtf)
     spark.udtf.register("alix_suggest", SuggestUdtf)
+    spark.udtf.register("alix_spell", SpellUdtf)

@@ -67,3 +67,23 @@ def test_csv_terms_stripped(spark, sql_index):
         f"SELECT * FROM alix_bm25('{sql_index}', 'hash,join', 5, 'and')"
     ).collect()
     assert a == b and a
+
+
+def test_alix_spell_matches_spark_path(spark, sql_index):
+    """SQL alix_spell == suggest_spell (Spark) on the same index: same
+    candidates, same distances, same (dist, cf, term) ranking."""
+    from alix_spark.index import simple
+    from alix_spark.lexicometry.suggest import suggest_spell
+
+    rows = spark.sql(
+        f"SELECT * FROM alix_spell('{sql_index}', 'tabel', 2, 10)"
+    ).collect()
+    got = [(r["term"], r["dist"], r["cf"]) for r in rows]
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    want = [
+        (r["term"], r["dist"], r["cf"])
+        for r in suggest_spell(
+            simple.term_stats(simple.tokens(docs)), "tabel", max_dist=2, top=10
+        ).collect()
+    ]
+    assert got == want and got
