@@ -117,10 +117,12 @@ def partition_keyness(
     # Values are integer-exact identical: freq = Σ tf, ftd = rows per
     # (focus, term) since (doc, term) is unique after the roll-up.
     post = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    # .distinct(): a duplicated (doc_id, part) label row (a raw
-    # filter-query output) must not double-count freq/ftd — the same
-    # discipline as theme_weights_focus/keyness
-    doc_parts = doc_parts.distinct()
+    # select THEN distinct: a duplicated (doc_id, part) label row (a
+    # raw filter-query output, possibly carrying extra columns like a
+    # score) must not double-count freq/ftd — the same discipline as
+    # theme_weights_focus/keyness; the projection also keeps stray
+    # columns from colliding with post's after the join
+    doc_parts = doc_parts.select("doc_id", "part").distinct()
     tp = post.join(maybe_broadcast(doc_parts), "doc_id")  # per-doc labels grow with the corpus
 
     term_part = tp.groupBy("term", "part").agg(F.sum("tf").alias("freq"))

@@ -105,8 +105,10 @@ def suggest_spell_local(
     if top <= 0:
         return []
     ql = (q or "").lower()
-    pdf = folded_vocab(index_dir)  # (term, cf) pre-sorted cf desc, term asc
-    lens = pdf["term"].str.len()
+    # (term, fold, cf, len) pre-sorted cf desc, term asc; len cached
+    # per publish token so the band mask is the only per-call scan
+    pdf = folded_vocab(index_dir)
+    lens = pdf["len"]
     band = pdf[(lens >= len(ql) - max_dist) & (lens <= len(ql) + max_dist)]
     out = []
     for term, cf in zip(band["term"], band["cf"]):
@@ -183,9 +185,12 @@ _VOCAB_CACHE: _collections.OrderedDict = _collections.OrderedDict()
 _VOCAB_CACHE_MAX = 8
 # served from ThreadingHTTPServer request threads (web/server.py):
 # unguarded move_to_end/popitem/insert can corrupt the OrderedDict
-# under concurrent load (ADVICE r3); the lock also dedups concurrent
-# cold loads of the same index
+# under concurrent load (ADVICE r3). _VOCAB_LOCK guards only the dict
+# ops (never the multi-second cold load); per-(index, publish-token)
+# load locks dedup concurrent cold loads of the SAME index without
+# stalling cache hits for other indexes
 _VOCAB_LOCK = _threading.Lock()
+_VOCAB_LOAD_LOCKS: dict = {}
 
 
 def folded_vocab(index_dir: str):
@@ -202,24 +207,40 @@ def folded_vocab(index_dir: str):
         if hit is not None and hit[0] == key:
             _VOCAB_CACHE.move_to_end(index_dir)
             return hit[1]
-    # cold load OUTSIDE the lock: a multi-second vocabulary scan must
-    # not stall cache hits for OTHER indexes behind one global lock
-    # (concurrent misses of the same index may load twice — harmless,
-    # last insert wins)
-    tbl = term_stats_dataset(index_dir).to_table(columns=["term", "cf"])
-    pdf = pd.DataFrame(
-        {"term": tbl["term"].to_pylist(), "cf": tbl["cf"].to_pylist()}
-    )
-    pdf["fold"] = pdf["term"].str.translate(_FOLD_MAP).str.lower()
-    pdf = pdf.sort_values(
-        ["cf", "term"], ascending=[False, True], ignore_index=True
-    )
-    with _VOCAB_LOCK:
-        _VOCAB_CACHE[index_dir] = (key, pdf)
-        _VOCAB_CACHE.move_to_end(index_dir)
-        while len(_VOCAB_CACHE) > _VOCAB_CACHE_MAX:
-            _VOCAB_CACHE.popitem(last=False)
-    return pdf
+        load_lock = _VOCAB_LOAD_LOCKS.setdefault(
+            (index_dir, key), _threading.Lock()
+        )
+    # cold load OUTSIDE the global lock (a multi-second vocabulary
+    # scan must not stall cache hits for OTHER indexes), but UNDER the
+    # per-(index, token) load lock so a republish's thundering herd
+    # runs the scan once — followers find the cache filled
+    with load_lock:
+        with _VOCAB_LOCK:
+            hit = _VOCAB_CACHE.get(index_dir)
+            if hit is not None and hit[0] == key:
+                _VOCAB_CACHE.move_to_end(index_dir)
+                return hit[1]
+        tbl = term_stats_dataset(index_dir).to_table(columns=["term", "cf"])
+        pdf = pd.DataFrame(
+            {"term": tbl["term"].to_pylist(), "cf": tbl["cf"].to_pylist()}
+        )
+        pdf["fold"] = pdf["term"].str.translate(_FOLD_MAP).str.lower()
+        # cached once per publish token: suggest_spell_local's length
+        # band must not rescan the vocabulary per keystroke
+        pdf["len"] = pdf["term"].str.len()
+        pdf = pdf.sort_values(
+            ["cf", "term"], ascending=[False, True], ignore_index=True
+        )
+        with _VOCAB_LOCK:
+            _VOCAB_CACHE[index_dir] = (key, pdf)
+            _VOCAB_CACHE.move_to_end(index_dir)
+            while len(_VOCAB_CACHE) > _VOCAB_CACHE_MAX:
+                _VOCAB_CACHE.popitem(last=False)
+            # retire load locks for evicted/superseded tokens
+            live = {(d, v[0]) for d, v in _VOCAB_CACHE.items()}
+            for k in [k for k in _VOCAB_LOAD_LOCKS if k not in live]:
+                del _VOCAB_LOAD_LOCKS[k]
+        return pdf
 
 
 def suggest_local(index_dir: str, q: str, top: int = 20) -> list[tuple]:

@@ -119,10 +119,12 @@ def test_engine_cli_report_methods(spark, tmp_path):
     reg.poll()
     bare = reg.get("bare")
     for fn in (bare.unknowns, bare.expressions):
-        with _pytest.raises(Exception):
+        with _pytest.raises(ValueError, match="corpus"):
             fn()
-    # ...but the index-served ones still work
-    assert bare.spell("vile", top=3).count() >= 0
+    # ...but the index-served ones still work corpus-less
+    assert any(
+        r["term"] == "ville" for r in bare.spell("vile", top=5).collect()
+    )
 
 
 def test_doc_keywords_repulsed_terms_sink(spark):
