@@ -1,0 +1,104 @@
+"""Streaming crawl monitoring + stateful dedup operators.
+
+The reference is a frozen batch index (SURVEY §2.7: no streaming ops);
+these operators are the briefing's Structured-Streaming additions for
+a continuously-crawling training-data pipeline:
+
+- :func:`crawl_rate` — event-time windowed page counts with a
+  WATERMARK: late pages (beyond the allowed delay) are dropped and
+  windows finalize exactly once (append mode), so a downstream
+  dashboard sink never sees a finalized window twice.
+- :func:`first_seen` — CUSTOM stateful streaming dedup via
+  ``applyInPandasWithState``: the first page per content hash passes,
+  every later recrawl/mirror is suppressed across micro-batches. This
+  is the streaming twin of the batch exact-dedup tier
+  (textops.dedup.exact_dup_groups) for pipelines that must emit
+  training shards continuously instead of recompacting.
+
+Scale notes: the window agg is a standard watermarked hash aggregation
+(partial per executor, state store per window); first_seen's state is
+one marker row per DISTINCT content hash, hash-partitioned across
+executors by the groupBy key — state size is bounded by distinct
+content, not stream length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+FIRST_SEEN_SCHEMA = (
+    "url string, warc_ts timestamp, lang string, content_md5 string"
+)
+
+
+def crawl_rate(
+    pages: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """(window_start, window_end, lang, pages) finalized crawl-rate
+    histogram over a STREAMING pages frame.
+
+    ``withWatermark``: a page arriving more than ``watermark`` behind
+    the max event time seen so far is dropped (late data); a window
+    emits (append mode) only once the watermark passes its end, so the
+    result stream is insert-only and safe for an idempotent sink."""
+    return (
+        pages.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), "lang")
+        .agg(F.count("*").alias("pages"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "lang",
+            "pages",
+        )
+    )
+
+
+def _first_seen_fn(key, pdf_iter, state):
+    """Emit the first row for an unseen content hash; suppress the key
+    forever after (state = one marker per distinct hash)."""
+    import pandas as pd
+
+    if state.exists:
+        for _ in pdf_iter:  # drain (recrawls of an already-seen page)
+            pass
+        return iter(())
+    best = None
+    for pdf in pdf_iter:
+        cand = pdf.sort_values(["warc_ts", "url"]).head(1)
+        if best is None or (
+            (cand["warc_ts"].iloc[0], cand["url"].iloc[0])
+            < (best["warc_ts"].iloc[0], best["url"].iloc[0])
+        ):
+            best = cand
+    state.update((1,))
+    if best is None:
+        return iter(())
+    return iter(
+        (best[["url", "warc_ts", "lang", "content_md5"]],)
+    )
+
+
+def first_seen(pages: DataFrame) -> DataFrame:
+    """Streaming first-occurrence filter keyed by content hash.
+
+    Input: a streaming frame with (url, warc_ts, html, lang). Output:
+    one row per DISTINCT html payload — the earliest (warc_ts, url)
+    occurrence within its first micro-batch; later batches never
+    re-emit (the reference batch pipeline dedups at compaction;
+    this is the continuous-emission variant)."""
+    keyed = pages.select(
+        "url", "warc_ts", "lang", F.md5(F.col("html")).alias("content_md5")
+    )
+    return keyed.groupBy("content_md5").applyInPandasWithState(
+        _first_seen_fn,
+        outputStructType=FIRST_SEEN_SCHEMA,
+        stateStructType="seen int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,103 @@
+"""Watermarked windowed aggregation + custom stateful streaming dedup
+(streaming/monitor.py — the briefing's Structured-Streaming operators;
+the reference itself is a frozen batch index)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from alix_spark.streaming import monitor
+
+SCHEMA = "url string, warc_ts timestamp, html binary, lang string"
+
+
+def _write_drop(spark, rows, path):
+    raw = "url string, warc_ts string, html binary, lang string"
+    spark.createDataFrame(rows, raw).withColumn(
+        "warc_ts", F.col("warc_ts").cast("timestamp")
+    ).select("url", "warc_ts", "html", "lang").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def _run_stream(spark, source_glob, build, name):
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")  # one micro-batch per drop
+        .parquet(source_glob)
+    )
+    q = (
+        build(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_crawl_rate_drops_late_rows_and_finalizes_windows(spark, tmp_path):
+    """A row arriving beyond the watermark is DROPPED; a window emits
+    once its end passes the watermark (append mode) — insert-only."""
+    src = str(tmp_path / "src")
+    # drop 1: two pages in the 10:00 window
+    _write_drop(spark, [
+        ("https://a/1", "2024-01-01 10:10:00", b"<p>x</p>", "fr"),
+        ("https://a/2", "2024-01-01 10:40:00", b"<p>y</p>", "fr"),
+    ], os.path.join(src, "drop1"))
+    # drops 2+3: advance event time to 14:06 → watermark 12:06 passes
+    # 11:00, so the 10:00 window finalizes (evicts) during drop 3's
+    # batch. (Spark drops a late row only once its window's state is
+    # evicted — a late row in the SAME batch as the eviction still
+    # merges; the keep-alive drop pins the eviction a batch early.)
+    _write_drop(spark, [
+        ("https://a/3", "2024-01-01 14:05:00", b"<p>z</p>", "fr"),
+    ], os.path.join(src, "drop2"))
+    _write_drop(spark, [
+        ("https://a/5", "2024-01-01 14:06:00", b"<p>w</p>", "fr"),
+    ], os.path.join(src, "drop3"))
+    # drop 4: a LATE page for the already-finalized 10:00 window —
+    # dropped by the watermark, never re-emitted (insert-only contract)
+    _write_drop(spark, [
+        ("https://a/4", "2024-01-01 10:20:00", b"<p>late</p>", "fr"),
+    ], os.path.join(src, "drop4"))
+
+    out = _run_stream(
+        spark, src + "/*",
+        lambda s: monitor.crawl_rate(s, window="1 hour", watermark="2 hours"),
+        "crawl_rate_sink",
+    ).collect()
+    by_start = {str(r["window_start"]): r["pages"] for r in out}
+    assert by_start.get("2024-01-01 10:00:00") == 2  # late row excluded
+    # exactly one emission per finalized window (insert-only)
+    assert len(out) == len(by_start)
+    # the 14:00 window never finalized (watermark never passed 15:00)
+    assert "2024-01-01 14:00:00" not in by_start
+
+
+def test_first_seen_suppresses_recrawls_across_batches(spark, tmp_path):
+    """applyInPandasWithState dedup: the first occurrence of a content
+    hash passes; identical payloads in the SAME batch and in LATER
+    batches are suppressed; distinct payloads all pass."""
+    src = str(tmp_path / "src")
+    _write_drop(spark, [
+        ("https://b/1", "2024-01-01 10:00:00", b"<p>same</p>", "fr"),
+        ("https://b/2", "2024-01-01 10:01:00", b"<p>same</p>", "fr"),
+        ("https://b/3", "2024-01-01 10:02:00", b"<p>other</p>", "fr"),
+    ], os.path.join(src, "drop1"))
+    _write_drop(spark, [
+        ("https://b/4", "2024-01-01 11:00:00", b"<p>same</p>", "fr"),
+        ("https://b/5", "2024-01-01 11:01:00", b"<p>third</p>", "en"),
+    ], os.path.join(src, "drop2"))
+
+    out = _run_stream(
+        spark, src + "/*", monitor.first_seen, "first_seen_sink"
+    ).collect()
+    urls = sorted(r["url"] for r in out)
+    # earliest (warc_ts, url) per distinct payload, recrawls suppressed
+    assert urls == ["https://b/1", "https://b/3", "https://b/5"]
+    assert len({r["content_md5"] for r in out}) == 3
