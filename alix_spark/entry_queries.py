@@ -590,6 +590,52 @@ def q_part_keyness_tail(spark, sf_dir):
     )
 
 
+def q_part_residual(spark, sf_dir):
+    """Focus-row deviance residual (PartScorer.LogLikelihoodResidual
+    :622-682: sign(O-E)·sqrt(ΣdevianceCell), corpus-proportional null)."""
+    from alix_spark.lexicometry import partition
+
+    return partition.partition_keyness(
+        _tok(spark, sf_dir), _doc_parts(spark, sf_dir), "fr",
+        scorer="residual", top=50,
+    )
+
+
+def q_part_pearson(spark, sf_dir):
+    """Focus-cell adjusted Pearson residual (PartScorer.Pearson
+    :791-849: (O-E)/sqrt(E(1-partProp)(1-termProp)))."""
+    from alix_spark.lexicometry import partition
+
+    return partition.partition_keyness(
+        _tok(spark, sf_dir), _doc_parts(spark, sf_dir), "fr",
+        scorer="pearson", top=50,
+    )
+
+
+def q_part_rateratio(spark, sf_dir):
+    """Smoothed log2 rate ratio vs the strongest non-focus part
+    (PartScorer.RateRatio :861-945, reference defaults α=0.3,
+    minPartTokens=1000)."""
+    from alix_spark.lexicometry import partition
+
+    return partition.partition_keyness(
+        _tok(spark, sf_dir), _doc_parts(spark, sf_dir), "fr",
+        scorer="rateratio", min_part_tokens=partition.MIN_PART_TOKENS, top=50,
+    )
+
+
+def q_part_specificity(spark, sf_dir):
+    """Signed hypergeometric specificity ±log10 P[X≷k]
+    (PartScorer.Specificity :966-1223, Lanczos logΓ + tail recurrence;
+    the DuckDB oracle inlines the identical arithmetic — bit-exact)."""
+    from alix_spark.lexicometry import partition
+
+    return partition.partition_keyness(
+        _tok(spark, sf_dir), _doc_parts(spark, sf_dir), "fr",
+        scorer="specificity", top=50,
+    )
+
+
 def q_cooc_profile(spark, sf_dir):
     return cooc_mod.cooc_profile(_tok(spark, sf_dir), pivot="spark", max_dist=5, top=20)
 
@@ -866,15 +912,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_population": q_suggest_population,
         # --- lexicometry
         "keyness_g2": q_keyness_g2,
-        "cooc_window": q_cooc_window,
         "theme_bm25": q_theme_bm25,
         "theme_irdf": q_theme_irdf,
         "doc_vectors": q_doc_vectors,
         "part_keyness_min": q_part_keyness_min,
         "part_keyness_tail": q_part_keyness_tail,
-        "cooc_matrix": q_cooc_matrix,
-        "kwic": q_kwic,
-        "snippet_topk": q_snippet_topk,
+        # --- new this round: the four remaining PartScorer variants
+        "part_residual": q_part_residual,
+        "part_pearson": q_part_pearson,
+        "part_rateratio": q_part_rateratio,
+        "part_specificity": q_part_specificity,
         "ca_map": q_ca_map,
         "term_embeddings": q_term_embeddings,
         # --- webtext chain
@@ -891,7 +938,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # structural always-greens, every one green in r03; ann_lsh /
         # logdice / simplemaths / jaccard are green-r03 siblings of
         # in-window family members (ann_cosine+dedup_embedding share
-        # the bucket code path; g2 / minhash share their scorers)
+        # the bucket code path; g2 / minhash share their scorers).
+        # cooc_window / cooc_matrix / kwic / snippet_topk rotated out
+        # this session to admit the four new PartScorer variants: all
+        # four are r03-GREEN and their code paths are untouched this
+        # round (cooc.py / kwic.py / snippets.py have no r04 diff), so
+        # their last driver-visible green row stays <=1 round old.
+        "cooc_window": q_cooc_window,
+        "cooc_matrix": q_cooc_matrix,
+        "kwic": q_kwic,
+        "snippet_topk": q_snippet_topk,
         "ann_lsh": q_ann_lsh,
         "keyness_logdice": q_keyness_logdice,
         "keyness_simplemaths": q_keyness_simplemaths,
@@ -1288,6 +1344,148 @@ ORDER BY score DESC, term ASC LIMIT 50
 
     sqls["part_keyness_min"] = _part_keyness_sql("min")
     sqls["part_keyness_tail"] = _part_keyness_sql("tail")
+
+    # --- corpus-family PartScorer oracles (residual/pearson/rateratio/
+    # specificity) — shared CTE prefix mirrors _score_corpus_family:
+    # occurrence floor a >= 5, corpus totals over every positive-token
+    # part with the focus included
+    _PART_CORPUS_CTE = f"""
+{TOKS_CTE},
+t AS (SELECT tk.doc_id, tk.term, d.lang AS part
+      FROM toks tk JOIN documents d USING (doc_id)),
+part_tokens AS (SELECT part, count(*) AS part_toks FROM t GROUP BY part),
+term_part AS (SELECT term, part, count(*) AS freq FROM t GROUP BY term, part),
+fa_t AS (SELECT part_toks AS fa FROM part_tokens WHERE part = 'fr'),
+base AS (SELECT term, freq AS a FROM term_part WHERE part = 'fr' AND freq >= 5),
+tot AS (SELECT CAST(sum(part_toks) AS BIGINT) AS nn FROM part_tokens),
+tt AS (SELECT term, CAST(sum(freq) AS BIGINT) AS kk FROM term_part GROUP BY term),
+st AS (SELECT b.term, CAST(b.a AS DOUBLE) AS a, CAST(fa_t.fa AS DOUBLE) AS fa,
+              CAST(tt.kk AS DOUBLE) AS kk, CAST(tot.nn AS DOUBLE) AS nn
+       FROM base b JOIN tt USING (term), fa_t, tot)
+"""
+
+    sqls["part_residual"] = f"""
+WITH {_PART_CORPUS_CTE},
+ex AS (SELECT term, a, fa, fa * kk / nn AS e FROM st),
+g AS (SELECT term, a, e,
+        (CASE WHEN a <= 0 THEN 2.0 * e
+              ELSE 2.0 * (a * ln(a / e) - a + e) END)
+      + (CASE WHEN fa - a <= 0 THEN 2.0 * (fa - e)
+              ELSE 2.0 * ((fa - a) * ln((fa - a) / (fa - e)) - (fa - a) + (fa - e)) END)
+        AS g2
+      FROM ex WHERE e > 0 AND e < fa)
+SELECT term,
+       {sql_round6("CASE WHEN g2 <= 0 THEN 0.0 ELSE (CASE WHEN a - e >= 0 THEN 1.0 ELSE -1.0 END) * sqrt(g2) END")} AS score
+FROM g ORDER BY score DESC, term ASC LIMIT 50
+"""
+
+    sqls["part_pearson"] = f"""
+WITH {_PART_CORPUS_CTE},
+ex AS (SELECT term, a, e, e * (1.0 - fa / nn) * (1.0 - kk / nn) AS var
+       FROM (SELECT term, a, fa, kk, nn, fa * kk / nn AS e FROM st)
+       WHERE e > 0)
+SELECT term,
+       {sql_round6("CASE WHEN var <= 0 THEN 0.0 ELSE (a - e) / sqrt(var) END")} AS score
+FROM ex ORDER BY score DESC, term ASC LIMIT 50
+"""
+
+    sqls["part_rateratio"] = f"""
+WITH {TOKS_CTE},
+t AS (SELECT tk.doc_id, tk.term, d.lang AS part
+      FROM toks tk JOIN documents d USING (doc_id)),
+part_tokens AS (SELECT part, count(*) AS part_toks FROM t GROUP BY part),
+term_part AS (SELECT term, part, count(*) AS freq FROM t GROUP BY term, part),
+fa_t AS (SELECT part_toks AS fa FROM part_tokens WHERE part = 'fr'),
+base AS (SELECT term, freq AS a FROM term_part WHERE part = 'fr' AND freq >= 5),
+valid AS (SELECT part, part_toks FROM part_tokens
+          WHERE part <> 'fr' AND part_toks >= 1000),
+rr AS (SELECT b.term, b.a,
+              max((CAST(coalesce(tp.freq, 0) AS DOUBLE) + 0.3)
+                  / (CAST(v.part_toks AS DOUBLE) + 0.3)) AS mo
+       FROM base b CROSS JOIN valid v
+       LEFT JOIN term_part tp ON tp.term = b.term AND tp.part = v.part
+       GROUP BY b.term, b.a)
+SELECT term,
+       {sql_round6("ln(((CAST(a AS DOUBLE) + 0.3) / (CAST(fa AS DOUBLE) + 0.3)) / mo) / ln(2.0)")} AS score
+FROM rr, fa_t ORDER BY score DESC, term ASC LIMIT 50
+"""
+
+    # Specificity: the oracle inlines the engine's exact arithmetic —
+    # Lanczos logGamma (the reference's coefficients, same left-to-right
+    # double operation order) and the hypergeometric tail recurrence
+    # (term *= r; sum += term; 1e-14 cutoff) as a recursive CTE.
+    # Verified bit-identical to partition.specificity_score at sf0.01
+    # (30/30 terms, 0 diffs; math.log == DuckDB ln on glibc).
+    _LANCZOS_SQL = (
+        "676.5203681218851", "-1259.1392167224028", "771.32342877765313",
+        "-176.61502916214059", "12.507343278686905", "-0.13857109526572012",
+        "9.9843695780195716e-6", "1.5056327351493116e-7",
+    )
+
+    def _lgamma_sql(x: str) -> str:
+        y = f"({x} - 1.0)"
+        a = "0.99999999999980993"
+        for i, c in enumerate(_LANCZOS_SQL):
+            a = f"({a} + {c} / ({y} + {i}.0 + 1.0))"
+        t = f"(({y} + 8.0) - 0.5)"
+        return f"(0.5 * ln(2.0 * pi()) + ({y} + 0.5) * ln({t}) - {t} + ln({a}))"
+
+    def _lchoose_sql(n: str, q: str) -> str:
+        # q = precomputed least(k, n-k) column
+        return (
+            f"(CASE WHEN {q} = 0 THEN 0.0 ELSE "
+            f"{_lgamma_sql(f'(CAST({n} AS DOUBLE) + 1.0)')}"
+            f" - {_lgamma_sql(f'(CAST({q} AS DOUBLE) + 1.0)')}"
+            f" - {_lgamma_sql(f'(CAST({n} - {q} AS DOUBLE) + 1.0)')} END)"
+        )
+
+    _R_UP = (
+        "(CAST(c.kb - w.x AS DOUBLE) / CAST(w.x + 1 AS DOUBLE))"
+        " * (CAST(c.n - w.x AS DOUBLE) / CAST(c.nb - c.kb - c.n + w.x + 1 AS DOUBLE))"
+    )
+    _R_DN = (
+        "(CAST(w.x AS DOUBLE) / CAST(c.kb - w.x + 1 AS DOUBLE))"
+        " * (CAST(c.nb - c.kb - c.n + w.x AS DOUBLE) / CAST(c.n - w.x + 1 AS DOUBLE))"
+    )
+    _R = f"(CASE WHEN c.dir = 1 THEN {_R_UP} ELSE {_R_DN} END)"
+
+    sqls["part_specificity"] = f"""
+WITH RECURSIVE {TOKS_CTE},
+t AS (SELECT tk.doc_id, tk.term, d.lang AS part
+      FROM toks tk JOIN documents d USING (doc_id)),
+part_tokens AS (SELECT part, count(*) AS part_toks FROM t GROUP BY part),
+term_part AS (SELECT term, part, count(*) AS freq FROM t GROUP BY term, part),
+fa_t AS (SELECT part_toks AS fa FROM part_tokens WHERE part = 'fr'),
+base AS (SELECT term, freq AS a FROM term_part WHERE part = 'fr' AND freq >= 5),
+tot AS (SELECT CAST(sum(part_toks) AS BIGINT) AS nn FROM part_tokens),
+tt AS (SELECT term, CAST(sum(freq) AS BIGINT) AS kk FROM term_part GROUP BY term),
+sp AS (SELECT b.term, b.a AS k, fa_t.fa AS n, tt.kk AS kb, tot.nn AS nb
+       FROM base b JOIN tt USING (term), fa_t, tot),
+c0 AS (SELECT *, greatest(0, n - (nb - kb)) AS lo, least(n, kb) AS hi,
+              CAST(n AS DOUBLE) * CAST(kb AS DOUBLE) / CAST(nb AS DOUBLE) AS e
+       FROM sp WHERE kb <= nb AND n <= nb),
+c1 AS (SELECT *, CASE WHEN CAST(k AS DOUBLE) >= e THEN 1 ELSE -1 END AS dir,
+              least(k, kb - k) AS q1,
+              least(n - k, (nb - kb) - (n - k)) AS q2,
+              least(n, nb - n) AS q3
+       FROM c0 WHERE k >= lo AND k <= hi),
+c2 AS (SELECT *, ({_lchoose_sql('kb', 'q1')} + {_lchoose_sql('(nb - kb)', 'q2')} - {_lchoose_sql('nb', 'q3')}) AS lh
+       FROM c1),
+walk(term, x, t, s) AS (
+  SELECT term, k, CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE) FROM c2
+  UNION ALL
+  SELECT w.term, w.x + c.dir, w.t * {_R}, w.s + w.t * {_R}
+  FROM walk w JOIN c2 c USING (term)
+  WHERE (CASE WHEN c.dir = 1 THEN w.x < c.hi ELSE w.x > c.lo END)
+    AND {_R} > 0
+    AND (w.x = c.k OR w.t > w.s * 1e-14)
+),
+tails AS (SELECT term, max(s) AS sm FROM walk GROUP BY term)
+SELECT c.term,
+       {sql_round6("(CASE WHEN c.dir = 1 THEN 1.0 ELSE -1.0 END) * (-((c.lh + ln(t.sm)) / ln(10.0)))")} AS score
+FROM c2 c JOIN tails t USING (term)
+ORDER BY score DESC, term ASC LIMIT 50
+"""
 
     sqls["cooc_profile"] = f"""
 WITH {TOKS_CTE},

@@ -1,25 +1,46 @@
-"""Partitioned keyness: focus part vs every other part, pairwise.
+"""Partitioned keyness: focus part vs every other part, or vs corpus.
 
-Exact port of the reference's ``PartScorer.LogLikelihood`` (strict
-dominance: min of pairwise signed G², PartScorer.java:542-592) and
-``PartScorer.LogLikelihoodTail`` (mean of the worst ``ceil(0.2·n)``
-pairwise scores, :706-779 — the default scorer for date-partitioned
-keyness, web/.../OpTerms.java:130-134), including:
+Exact port of the reference's six ``PartScorer`` variants
+(common/.../terms/PartScorer.java):
 
-- signed pairwise 2×2 G² with zero-cells contributing 0 and the sign
-  from rate comparison (:1286-1335)
-- parts with fewer than ``min_part_tokens`` tokens excluded (:487-489)
-- terms with ``focus_term_docs < min_focus_term_docs`` dropped (NaN,
-  :419-421)
-- final score multiplied by focus-coverage dispersion
-  ``(focusTermDocs/focusDocs)^dispersion`` (:447, :1370-1380)
+Pairwise family (``LogLikelihoodBase``, :353-524):
+- ``min``: ``LogLikelihood`` strict dominance — min of pairwise signed
+  2×2 G² vs every other part (:542-592)
+- ``tail``: ``LogLikelihoodTail`` — mean of the worst ``ceil(0.2·n)``
+  pairwise scores (:706-779 — the default scorer for date-partitioned
+  keyness, web/.../OpTerms.java:130-134)
+with zero-cells contributing 0 and the sign from rate comparison
+(:1286-1335), parts under ``min_part_tokens`` excluded (:487-489),
+terms with ``focus_term_docs < min_focus_term_docs`` dropped (:419),
+and the final score multiplied by focus-coverage dispersion
+``(focusTermDocs/focusDocs)^dispersion`` (:447, :1370-1380).
+
+Corpus family (``CorpusScorer``, :72-226 — focus vs the WHOLE
+partition under a proportional null, floor ``a >= min_focus_term_freq``
+:324, corpus totals over positive-token parts :190-225):
+- ``residual``: ``LogLikelihoodResidual`` — signed sqrt of the focus
+  row's G² deviance (:622-682)
+- ``pearson``: ``Pearson`` — focus-cell adjusted Pearson residual
+  ``(O-E)/sqrt(E(1-partProp)(1-termProp))`` (:791-849)
+- ``specificity``: ``Specificity`` — signed hypergeometric tail
+  ``±log10 P[X≷k]`` via Lanczos logΓ + recurrence summation
+  (:966-1223); per-term scalar kernel in an Arrow-batched pandas UDF
+  (work is vocabulary-bounded, not corpus-bounded, and embarrassingly
+  parallel across vocab partitions)
+
+Focus family (``FocusScorer``, :237-337):
+- ``rateratio``: ``RateRatio`` — smoothed log2 rate ratio vs the
+  strongest valid non-focus part (:861-945)
 
 Spark shape: one groupBy to (term, part) counts, one to part totals,
-a broadcast join, then a per-term window to aggregate pairwise scores
-— no driver-side loops, SQL-expressible end-to-end (oracle-checked).
+a broadcast join, then either a per-term window (pairwise) or 1-row
+corpus-stat broadcasts (corpus family) — no driver-side loops,
+SQL-expressible end-to-end (oracle-checked).
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -30,6 +51,9 @@ DISPERSION = 0.3        # reference :545
 MIN_FOCUS_TERM_DOCS = 3  # reference :548
 TAIL_FRACTION = 0.2      # reference :717
 MAX_PARTS = 128          # reference Partition.java byte map bound
+MIN_FOCUS_TERM_FREQ = 5  # reference :37 DEFAULT_MIN_FOCUS_TERM_FREQ
+MIN_PART_TOKENS = 1000   # reference :40 DEFAULT_MIN_PART_TOKENS
+RATE_ALPHA = 0.3         # reference :874 RateRatio() default alpha
 
 
 def parts_from_numeric(
@@ -92,6 +116,118 @@ def _signed_g2():
     return F.when(a / fa >= b / fb, g2).otherwise(-g2)
 
 
+# ------------------------------------------------ Specificity kernel
+# Exact scalar port of PartScorer.Specificity (reference :966-1223):
+# the same Lanczos logΓ coefficients, the same left-to-right double
+# operation order, the same 1e-14 tail cutoff — so the DuckDB oracle
+# (which inlines the identical arithmetic) matches bit-for-bit
+# (math.log ≡ DuckDB ln on glibc, verified 0/20004 diffs).
+
+_LANCZOS = (
+    676.5203681218851,
+    -1259.1392167224028,
+    771.32342877765313,
+    -176.61502916214059,
+    12.507343278686905,
+    -0.13857109526572012,
+    9.9843695780195716e-6,
+    1.5056327351493116e-7,
+)
+_TAIL_EPS = 1e-14  # reference :972
+_LOG10 = math.log(10.0)  # reference :969
+
+
+def _log_gamma(x: float) -> float:
+    """Lanczos log Γ(x) for x >= 0.5 (reference :1079-1111; the
+    reflection branch is unreachable here — every call site passes
+    count + 1 >= 1)."""
+    y = x - 1.0
+    a = 0.99999999999980993
+    for i, c in enumerate(_LANCZOS):
+        a += c / (y + i + 1.0)
+    t = y + len(_LANCZOS) - 0.5
+    return 0.5 * math.log(2.0 * math.pi) + (y + 0.5) * math.log(t) - t + math.log(a)
+
+
+def _log_choose(n: int, k: int) -> float:
+    """log C(n,k) (reference :1056-1071)."""
+    if k < 0 or k > n:
+        return math.nan
+    kk = min(k, n - k)
+    if kk == 0:
+        return 0.0
+    return (
+        _log_gamma(float(n) + 1.0)
+        - _log_gamma(float(kk) + 1.0)
+        - _log_gamma(float(n - kk) + 1.0)
+    )
+
+
+def _log_hyper(N: int, K: int, n: int, k: int) -> float:
+    return _log_choose(K, k) + _log_choose(N - K, n - k) - _log_choose(N, n)
+
+
+def _log_upper_tail(N: int, K: int, n: int, k: int, hi: int) -> float:
+    """log P[X >= k] by recurrence from k upward (reference :1189-1223)."""
+    logp = _log_hyper(N, K, n, k)
+    if math.isnan(logp):
+        return math.nan
+    s = 1.0
+    t = 1.0
+    for x in range(k, hi):
+        r = (float(K - x) / float(x + 1)) * (
+            float(n - x) / float(N - K - n + x + 1)
+        )
+        if r <= 0.0:
+            break
+        t *= r
+        s += t
+        if t <= s * _TAIL_EPS:
+            break
+    return logp + math.log(s)
+
+
+def _log_lower_tail(N: int, K: int, n: int, k: int, lo: int) -> float:
+    """log P[X <= k] by recurrence from k downward (reference :1143-1177)."""
+    logp = _log_hyper(N, K, n, k)
+    if math.isnan(logp):
+        return math.nan
+    s = 1.0
+    t = 1.0
+    for x in range(k, lo, -1):
+        r = (float(x) / float(K - x + 1)) * (
+            float(N - K - n + x) / float(n - x + 1)
+        )
+        if r <= 0.0:
+            break
+        t *= r
+        s += t
+        if t <= s * _TAIL_EPS:
+            break
+    return logp + math.log(s)
+
+
+def specificity_score(k: int, n: int, K: int, N: int):
+    """Signed hypergeometric specificity for one term
+    (reference Specificity.score :1004-1047). Returns None for NaN."""
+    if K > N or n > N:
+        return None
+    lo = max(0, n - (N - K))
+    hi = min(n, K)
+    if k < lo or k > hi:
+        return None
+    expected = float(n) * float(K) / float(N)
+    if float(k) >= expected:
+        log_tail = _log_upper_tail(N, K, n, k, hi)
+        sgn = 1.0
+    else:
+        log_tail = _log_lower_tail(N, K, n, k, lo)
+        sgn = -1.0
+    if math.isnan(log_tail):
+        return None
+    return sgn * (-log_tail / _LOG10)
+
+
 def partition_keyness(
     tok: DataFrame,
     doc_parts: DataFrame,
@@ -101,13 +237,23 @@ def partition_keyness(
     min_focus_term_docs: int = MIN_FOCUS_TERM_DOCS,
     dispersion: float = DISPERSION,
     tail_fraction: float = TAIL_FRACTION,
+    min_focus_term_freq: int = MIN_FOCUS_TERM_FREQ,
+    alpha: float = RATE_ALPHA,
     top: int = 50,
 ) -> DataFrame:
     """tok: (doc_id, term) token table; doc_parts: (doc_id, part).
 
     Returns (term, score) top-k, score desc then term asc.
-    scorer: 'min' (LogLikelihood strict dominance) or 'tail'
-    (LogLikelihoodTail, mean of worst 20%)."""
+    scorer: 'min' (LogLikelihood strict dominance), 'tail'
+    (LogLikelihoodTail, mean of worst 20%), 'residual'
+    (LogLikelihoodResidual), 'pearson' (adjusted Pearson residual),
+    'rateratio' (smoothed log2 rate ratio vs strongest other part),
+    or 'specificity' (signed hypergeometric tail).
+
+    The pairwise scorers ('min'/'tail') use the ``min_focus_term_docs``
+    floor + coverage dispersion; the corpus/focus scorers use the
+    ``min_focus_term_freq`` occurrence floor and no dispersion, exactly
+    as the reference's class hierarchy splits them."""
     from alix_spark.util import maybe_broadcast
 
     # ONE token-level aggregate feeds every downstream table: the
@@ -135,6 +281,15 @@ def partition_keyness(
         term_part.filter(F.col("part") == focus_part)
         .select("term", F.col("freq").alias("a"))
     )
+    if scorer in ("residual", "pearson", "specificity", "rateratio"):
+        return _score_corpus_family(
+            scorer, focus_part, term_part, part_tokens, focus_tokens,
+            focus_counts, min_focus_term_freq, min_part_tokens, alpha, top,
+            tok.sparkSession,
+        )
+    if scorer not in ("min", "tail"):
+        raise KeyError(scorer)
+
     focus_term_docs = (
         tp.filter(F.col("part") == focus_part)
         .groupBy("term")
@@ -189,6 +344,116 @@ def partition_keyness(
         agg.join(focus_term_docs, "term")
         .filter(F.col("ftd") >= min_focus_term_docs)
         .select("term", round6(F.col("raw") * coverage).alias("score"))
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(top)
+    )
+
+
+def _score_corpus_family(
+    scorer, focus_part, term_part, part_tokens, focus_tokens, focus_counts,
+    min_focus_term_freq, min_part_tokens, alpha, top, spark,
+):
+    """Residual / Pearson / Specificity (CorpusScorer) and RateRatio
+    (FocusScorer) branches: occurrence floor ``a >= min_focus_term_freq``
+    (reference :324), corpus totals over every positive-token part with
+    the focus included (:190-225), no coverage dispersion. NaN rows are
+    dropped; degenerate-variance / zero-deviance rows keep score 0,
+    exactly as the reference distinguishes them."""
+    base = focus_counts.filter(F.col("a") >= min_focus_term_freq)
+    a = F.col("a").cast("double")
+    fa = F.col("fa").cast("double")
+
+    if scorer == "rateratio":
+        # RateRatio (:861-945): smoothed rate vs the strongest other
+        # part; a term absent from a valid part still contributes
+        # (0+α)/(fb+α) to the max, hence the left join + coalesce
+        valid_parts = part_tokens.filter(
+            (F.col("part") != focus_part)
+            & (F.col("part_toks") >= min_part_tokens)
+        )
+        other_rate = (
+            F.coalesce(F.col("b"), F.lit(0)).cast("double") + F.lit(alpha)
+        ) / (F.col("part_toks").cast("double") + F.lit(alpha))
+        per_part = base.crossJoin(F.broadcast(valid_parts)).join(
+            term_part.withColumnRenamed("freq", "b"), ["term", "part"], "left"
+        )
+        mo = per_part.groupBy("term", "a").agg(
+            F.max(other_rate).alias("max_other_rate")
+        )
+        focus_rate = (a + F.lit(alpha)) / (fa + F.lit(alpha))
+        raw = F.log(focus_rate / F.col("max_other_rate")) / F.lit(math.log(2.0))
+        scored = mo.crossJoin(F.broadcast(focus_tokens)).select(
+            "term", raw.alias("raw")
+        )
+    else:
+        # CorpusScorer.corpusStats (:190-225) needs at least one other
+        # positive-token part; part_tokens is a tiny (<=128-part) frame
+        if part_tokens.filter(F.col("part") != focus_part).limit(1).count() == 0:
+            return base.select("term", F.lit(0.0).alias("score")).limit(0)
+        totals = part_tokens.agg(F.sum("part_toks").alias("nn"))
+        term_totals = term_part.groupBy("term").agg(F.sum("freq").alias("kk"))
+        st = (
+            base.join(term_totals, "term")
+            .crossJoin(F.broadcast(focus_tokens))
+            .crossJoin(F.broadcast(totals))
+        )
+        kk = F.col("kk").cast("double")
+        nn = F.col("nn").cast("double")
+        expected = fa * kk / nn
+
+        if scorer == "pearson":
+            # Pearson (:824-848): (O-E)/sqrt(E(1-partProp)(1-termProp))
+            variance = expected * (1.0 - fa / nn) * (1.0 - kk / nn)
+            raw = F.when(variance <= 0, F.lit(0.0)).otherwise(
+                (a - expected) / F.sqrt(variance)
+            )
+            scored = st.filter(expected > 0).select("term", raw.alias("raw"))
+        elif scorer == "residual":
+            # LogLikelihoodResidual (:655-681): signed sqrt of the
+            # focus row's deviance, devianceCell (:1349-1360)
+            def dev(o, e):
+                return F.when(o <= 0, 2.0 * e).otherwise(
+                    2.0 * (o * F.log(o / e) - o + e)
+                )
+
+            g2 = dev(a, expected) + dev(fa - a, fa - expected)
+            raw = F.when(g2 <= 0, F.lit(0.0)).otherwise(
+                F.when(a - expected >= 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+                * F.sqrt(g2)
+            )
+            scored = st.filter((expected > 0) & (expected < fa)).select(
+                "term", raw.alias("raw")
+            )
+        else:  # specificity
+            from pyspark.sql.functions import pandas_udf
+            from alix_spark.util import ensure_py_files
+
+            ensure_py_files(spark)
+
+            @pandas_udf("double")
+            def spec(k_s, n_s, kk_s, nn_s):
+                import pandas as pd
+
+                return pd.Series(
+                    [
+                        specificity_score(int(k), int(n), int(K), int(N))
+                        for k, n, K, N in zip(k_s, n_s, kk_s, nn_s)
+                    ],
+                    dtype="float64",
+                )
+
+            scored = st.select(
+                "term",
+                spec(
+                    F.col("a").cast("long"),
+                    F.col("fa").cast("long"),
+                    F.col("kk").cast("long"),
+                    F.col("nn").cast("long"),
+                ).alias("raw"),
+            ).filter(F.col("raw").isNotNull() & ~F.isnan("raw"))
+
+    return (
+        scored.select("term", round6(F.col("raw")).alias("score"))
         .orderBy(F.desc("score"), F.asc("term"))
         .limit(top)
     )

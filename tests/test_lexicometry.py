@@ -133,6 +133,128 @@ def test_partition_keyness_vs_python(spark, data, scorer):
         assert score == pytest.approx(want_top[term], abs=2e-6)
 
 
+def _py_corpus_family(rows, part_tokens, focus, scorer, min_freq=5,
+                      min_part_tokens=0, alpha=0.3):
+    """Pure-python PartScorer.{LogLikelihoodResidual,Pearson,RateRatio,
+    Specificity} reference (PartScorer.java:622-1224)."""
+    fa = part_tokens[focus]
+    N = sum(part_tokens.values())
+    terms = {t for (t, p) in rows if p == focus}
+    out = {}
+
+    def dev(o, e):
+        if o <= 0:
+            return 2.0 * e
+        return 2.0 * (o * math.log(o / e) - o + e)
+
+    for term in terms:
+        a = rows.get((term, focus), 0)
+        if a < min_freq:
+            continue
+        K = sum(c for (t, p), c in rows.items() if t == term)
+        E = float(fa) * float(K) / float(N)
+        if scorer == "rateratio":
+            other = [
+                (rows.get((term, p), 0) + alpha) / (fb + alpha)
+                for p, fb in part_tokens.items()
+                if p != focus and fb >= min_part_tokens
+            ]
+            if not other:
+                continue
+            fr = (a + alpha) / (fa + alpha)
+            out[term] = math.log(fr / max(other)) / math.log(2.0)
+        elif scorer == "residual":
+            if E <= 0 or E >= fa:
+                continue
+            g2 = dev(float(a), E) + dev(float(fa - a), fa - E)
+            out[term] = (
+                0.0 if g2 <= 0
+                else (1.0 if a - E >= 0 else -1.0) * math.sqrt(g2)
+            )
+        elif scorer == "pearson":
+            if E <= 0:
+                continue
+            var = E * (1.0 - float(fa) / N) * (1.0 - float(K) / N)
+            out[term] = 0.0 if var <= 0 else (a - E) / math.sqrt(var)
+        else:
+            s = partition.specificity_score(a, fa, K, N)
+            if s is not None:
+                out[term] = s
+    return out
+
+
+@pytest.mark.parametrize("scorer", ["residual", "pearson", "rateratio", "specificity"])
+def test_partition_corpus_family_vs_python(spark, data, scorer):
+    docs, tok = data
+    parts = docs.select("doc_id", F.col("lang").alias("part"))
+    got = {r["term"]: r["score"]
+           for r in partition.partition_keyness(
+               tok, parts, "fr", scorer=scorer, min_focus_term_freq=2,
+               top=1000).collect()}
+    t = tok.join(parts, "doc_id")
+    rows = {(r["term"], r["part"]): r["cnt"]
+            for r in t.groupBy("term", "part").agg(F.count("*").alias("cnt")).collect()}
+    part_tokens = {r["part"]: r["cnt"]
+                   for r in t.groupBy("part").agg(F.count("*").alias("cnt")).collect()}
+    want = _py_corpus_family(rows, part_tokens, "fr", scorer, min_freq=2)
+    assert set(got) == set(want)
+    assert got, f"{scorer}: vacuous test (no terms cleared the floor)"
+    for term, score in got.items():
+        assert score == pytest.approx(want[term], abs=2e-6)
+
+
+def test_specificity_kernel_edges():
+    # k at the top of the support: upper tail is the single point mass
+    s = partition.specificity_score(5, 5, 5, 100)
+    assert s is not None and s > 0
+    # under-represented: negative sign (k < E = 30, k within support)
+    s_neg = partition.specificity_score(12, 50, 60, 100)
+    assert s_neg is not None and s_neg < 0
+    # below the support floor lo = n-(N-K) = 10: impossible counts -> None
+    assert partition.specificity_score(1, 50, 60, 100) is None
+    # out of support: k > min(n, K) is invalid input -> None
+    assert partition.specificity_score(6, 5, 10, 100) is None
+    # K > N invalid
+    assert partition.specificity_score(1, 5, 200, 100) is None
+    # balanced urn: P[X >= k] near 1 when k well below E -> negative
+    lo_tail = partition.specificity_score(10, 100, 50, 200)
+    hi_tail = partition.specificity_score(40, 100, 50, 200)
+    assert lo_tail < 0 < hi_tail
+    # symmetry sanity via exhaustive pmf sum (tiny urn): tail prob from
+    # the kernel must match a direct binomial-coefficient computation
+    from math import comb, log10
+    N, K, n = 30, 12, 10
+    for k in range(0, min(n, K) + 1):
+        E = n * K / N
+        tail = (
+            sum(comb(K, x) * comb(N - K, n - x) for x in range(k, min(n, K) + 1))
+            if k >= E else
+            sum(comb(K, x) * comb(N - K, n - x) for x in range(max(0, n - (N - K)), k + 1))
+        ) / comb(N, n)
+        got = partition.specificity_score(k, n, K, N)
+        want = -log10(tail) if k >= E else log10(tail)
+        assert got == pytest.approx(want, abs=1e-9), k
+
+
+def test_partition_corpus_family_single_part_empty(spark):
+    tok = spark.createDataFrame(
+        [("d1", "a"), ("d1", "b"), ("d2", "a")], "doc_id string, term string"
+    )
+    parts = spark.createDataFrame(
+        [("d1", "p0"), ("d2", "p0")], "doc_id string, part string"
+    )
+    for scorer in ("residual", "pearson", "specificity"):
+        out = partition.partition_keyness(
+            tok, parts, "p0", scorer=scorer, min_focus_term_freq=1
+        )
+        assert out.count() == 0, scorer
+    # rateratio: no valid other part -> NaN for every term -> empty
+    out = partition.partition_keyness(
+        tok, parts, "p0", scorer="rateratio", min_focus_term_freq=1
+    )
+    assert out.count() == 0
+
+
 # ----------------------------------------------------------------- cooc
 
 
