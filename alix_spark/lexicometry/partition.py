@@ -425,32 +425,39 @@ def _score_corpus_family(
                 "term", raw.alias("raw")
             )
         else:  # specificity
-            from pyspark.sql.functions import pandas_udf
             from alix_spark.util import ensure_py_files
 
             ensure_py_files(spark)
 
-            @pandas_udf("double")
-            def spec(k_s, n_s, kk_s, nn_s):
+            def _spec_batches(batches):
+                # one Arrow stage; NaN (out-of-support) rows dropped
+                # in-function so no downstream filter re-evaluates the
+                # kernel (a pandas_udf + isnan filter duplicated the
+                # Python stage in the physical plan)
                 import pandas as pd
 
-                return pd.Series(
-                    [
+                for pdf in batches:
+                    raw = [
                         specificity_score(int(k), int(n), int(K), int(N))
-                        for k, n, K, N in zip(k_s, n_s, kk_s, nn_s)
-                    ],
-                    dtype="float64",
-                )
+                        for k, n, K, N in zip(
+                            pdf["k"], pdf["n"], pdf["kk"], pdf["nn"]
+                        )
+                    ]
+                    out = pd.DataFrame(
+                        {
+                            "term": pdf["term"].to_numpy(),
+                            "raw": pd.array(raw, dtype="float64"),
+                        }
+                    )
+                    yield out[out["raw"].notna()]
 
             scored = st.select(
                 "term",
-                spec(
-                    F.col("a").cast("long"),
-                    F.col("fa").cast("long"),
-                    F.col("kk").cast("long"),
-                    F.col("nn").cast("long"),
-                ).alias("raw"),
-            ).filter(F.col("raw").isNotNull() & ~F.isnan("raw"))
+                F.col("a").cast("long").alias("k"),
+                F.col("fa").cast("long").alias("n"),
+                F.col("kk").cast("long").alias("kk"),
+                F.col("nn").cast("long").alias("nn"),
+            ).mapInPandas(_spec_batches, "term string, raw double")
 
     return (
         scored.select("term", round6(F.col("raw")).alias("score"))
