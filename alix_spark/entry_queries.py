@@ -640,6 +640,15 @@ def q_cooc_profile(spark, sf_dir):
     return cooc_mod.cooc_profile(_tok(spark, sf_dir), pivot="spark", max_dist=5, top=20)
 
 
+def q_cooc_profile_scored(spark, sf_dir):
+    """Keyness-scored distance profile with per-tick top-K union
+    selection and entry tick/rank metadata (CoocProfile.java select
+    :284-356 / score :270-280 / topCandidates :558-601)."""
+    return cooc_mod.cooc_profile_scored(
+        _tok(spark, sf_dir), "spark", ticks=(1, 2, 5, 10), top_k=10
+    )
+
+
 COOC_NODES = ["hash", "join", "merge", "sort"]
 
 
@@ -912,6 +921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_population": q_suggest_population,
         # --- lexicometry
         "keyness_g2": q_keyness_g2,
+        "cooc_profile_scored": q_cooc_profile_scored,
         "theme_bm25": q_theme_bm25,
         "theme_irdf": q_theme_irdf,
         "doc_vectors": q_doc_vectors,
@@ -927,8 +937,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- webtext chain
         "webtext_extract": q_webtext_extract,
         "webtext_wand_fr": q_webtext_wand_fr,
-        # --- LLM-pipeline ops
-        "dedup_exact": q_dedup_exact,
+        # --- LLM-pipeline ops (dedup_exact rotated to the tail this
+        # session for cooc_profile_scored: r03-green, its md5-groupBy
+        # path unchanged since r01)
         "dedup_minhash": q_dedup_minhash,
         "dedup_embedding": q_dedup_embedding,
         "dedup_simhash": q_dedup_simhash,
@@ -948,6 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooc_matrix": q_cooc_matrix,
         "kwic": q_kwic,
         "snippet_topk": q_snippet_topk,
+        "dedup_exact": q_dedup_exact,
         "ann_lsh": q_ann_lsh,
         "keyness_logdice": q_keyness_logdice,
         "keyness_simplemaths": q_keyness_simplemaths,
@@ -1508,6 +1520,72 @@ SELECT p.term, CAST(p.dist AS BIGINT) AS dist, p.freq,
             AS BIGINT) AS cum_freq
 FROM per_tick p JOIN topterms USING (term)
 ORDER BY p.term, p.dist
+"""
+
+    # cooc_profile_scored mirror: the keyness G² cell string is the
+    # same one _keyness_sql emits (identical operation order to
+    # keyness.g2_expr); ticks (1,2,5,10), top_k 10, pivot 'spark'
+    _cps_cell = (
+        "(CASE WHEN a > 0 THEN 2.0 * a * ln(a / (fa * (a + b) / (fa + fb))) ELSE 0 END"
+        " + CASE WHEN b > 0 THEN 2.0 * b * ln(b / (fb * (a + b) / (fa + fb))) ELSE 0 END"
+        " + CASE WHEN fa - a > 0 THEN 2.0 * (fa - a) * ln((fa - a) / (fa * ((fa - a) + (fb - b)) / (fa + fb))) ELSE 0 END"
+        " + CASE WHEN fb - b > 0 THEN 2.0 * (fb - b) * ln((fb - b) / (fb * ((fa - a) + (fb - b)) / (fa + fb))) ELSE 0 END)"
+    )
+    _cps_g2 = f"CASE WHEN fb <= 0 OR a / fa >= b / fb THEN {_cps_cell} ELSE -{_cps_cell} END"
+    sqls["cooc_profile_scored"] = f"""
+WITH {TOKS_CTE},
+hits AS (SELECT doc_id AS h_doc, pos AS h_pos FROM toks WHERE term = 'spark'),
+near AS (
+  SELECT t.doc_id, t.pos, t.term, min(abs(t.pos - h.h_pos)) AS d
+  FROM toks t JOIN hits h
+    ON t.doc_id = h.h_doc AND abs(t.pos - h.h_pos) <= 10
+  GROUP BY t.doc_id, t.pos, t.term
+),
+banded AS (SELECT term,
+                  CASE WHEN d <= 1 THEN 0 WHEN d <= 2 THEN 1
+                       WHEN d <= 5 THEN 2 ELSE 3 END AS band
+           FROM near),
+tb AS (SELECT term, band, count(*) AS f FROM banded GROUP BY term, band),
+grid(tick, radius) AS (VALUES (0, 1), (1, 2), (2, 5), (3, 10)),
+cum AS (SELECT term, tick, radius, CAST(sum(f) AS BIGINT) AS ai
+        FROM tb JOIN grid ON band <= tick GROUP BY term, tick, radius),
+tokcum AS (SELECT tick, CAST(sum(f) AS BIGINT) AS fai
+           FROM tb JOIN grid ON band <= tick GROUP BY tick),
+fterm AS (SELECT term, count(*) AS field_freq FROM toks GROUP BY term),
+ftot AS (SELECT count(*) AS field_tokens FROM toks),
+scored AS (
+  SELECT c.term, c.tick, c.radius, c.ai,
+         CAST(c.ai AS DOUBLE) AS a, CAST(tk.fai AS DOUBLE) AS fa,
+         CAST(ft.field_freq - c.ai AS DOUBLE) AS b,
+         CAST(fo.field_tokens - tk.fai AS DOUBLE) AS fb
+  FROM cum c JOIN fterm ft USING (term) JOIN tokcum tk USING (tick), ftot fo
+),
+g AS (SELECT term, tick, radius, ai, {_cps_g2} AS score FROM scored),
+cand AS (SELECT * FROM g WHERE term <> 'spark'),
+rk AS (SELECT *, row_number() OVER (PARTITION BY tick ORDER BY score DESC, term ASC) AS rk
+       FROM cand),
+winners AS (SELECT * FROM rk WHERE rk <= 10),
+entry AS (SELECT term, arg_min(radius, tick) AS entry_radius,
+                 arg_min(rk, tick) AS entry_rank
+          FROM winners GROUP BY term),
+curvebase AS (
+  SELECT e.term, gr.tick, gr.radius, e.entry_radius, e.entry_rank,
+         coalesce(c.ai, 0) AS ai,
+         CAST(coalesce(c.ai, 0) AS DOUBLE) AS a,
+         CAST(tk.fai AS DOUBLE) AS fa,
+         CAST(ft.field_freq - coalesce(c.ai, 0) AS DOUBLE) AS b,
+         CAST(fo.field_tokens - tk.fai AS DOUBLE) AS fb
+  FROM entry e CROSS JOIN grid gr
+  LEFT JOIN cum c ON c.term = e.term AND c.tick = gr.tick
+  JOIN tokcum tk ON tk.tick = gr.tick
+  JOIN fterm ft ON ft.term = e.term, ftot fo
+)
+SELECT term, CAST(radius AS BIGINT) AS radius, CAST(ai AS BIGINT) AS freq,
+       {sql_round6(_cps_g2)} AS score,
+       CAST(entry_radius AS BIGINT) AS entry_radius,
+       CAST(entry_rank AS BIGINT) AS entry_rank
+FROM curvebase
+ORDER BY term, radius
 """
 
     nodes = ", ".join(f"'{t}'" for t in COOC_NODES)

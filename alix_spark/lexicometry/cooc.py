@@ -116,6 +116,158 @@ def cooc_profile(
     )
 
 
+def cooc_profile_scored(
+    tok: DataFrame,
+    pivot: str,
+    ticks: tuple = (1, 2, 5, 10),
+    top_k: int = 10,
+) -> DataFrame:
+    """Keyness-scored distance profile — the reference's full
+    ``CoocProfile.select`` / ``score`` semantics (CoocProfile.java:
+    select :284-356, applyScore :436-444, topCandidates :558-601;
+    band accumulation CoocProfileSnippets.java:133-196):
+
+    - each token position is credited to its NEAREST band around any
+      pivot occurrence (the shell = mask[i] − mask[i−1] ring walk);
+      the pivot's own positions land in band 0 and feed the focus
+      token DENOMINATORS (they are excluded from candidate rows only,
+      like ``pivotBits``)
+    - per tick, cumulative focus counts are scored with signed G²
+      against the whole field (``refCount = fieldFreq − focusCount``,
+      ``refTotal = fieldTokens − focusTokens``)
+    - selection = the UNION of each tick's top-K (score desc, term asc
+      — the reference breaks ties on dense term id; term asc is this
+      engine's deterministic equivalent); ``top_k`` is a floor on the
+      row count, not a cap on the union
+    - each selected term records the first tick where it entered a
+      per-tick top-K (``entry_radius``) and its rank there
+      (``entry_rank``); rows are ordered by score at the widest tick
+
+    Returns the full curve: (term, radius, freq, score, entry_radius,
+    entry_rank) — one row per selected term × tick, zero-count early
+    ticks included (the reference keeps whole rows after narrowing).
+
+    Spark shape: ONE band self-join (pivot side broadcast while small)
+    + small per-tick aggregates; the per-tick grid is a broadcast
+    literal; ranking is a per-tick window. No Python stages.
+    """
+    from pyspark.sql import Window
+
+    from alix_spark.lexicometry.keyness import g2_expr
+    from alix_spark.util import round6
+
+    ticks = [int(t) for t in ticks]
+    if not ticks or any(t < 1 for t in ticks) or ticks != sorted(set(ticks)):
+        raise ValueError(f"ticks must be strictly ascending and >= 1: {ticks}")
+    max_r = ticks[-1]
+    spark = tok.sparkSession
+
+    hits = _hits_side(tok, pivot)
+    # min distance per position; d = 0 keeps the pivot occurrence
+    # itself (denominator parity with the reference's mask)
+    near = (
+        tok.alias("t")
+        .join(
+            hits,
+            (F.col("t.doc_id") == F.col("h_doc"))
+            & (F.abs(F.col("t.pos") - F.col("h_pos")) <= max_r),
+        )
+        .groupBy("t.doc_id", "t.pos", "t.term")
+        .agg(F.min(F.abs(F.col("t.pos") - F.col("h_pos"))).alias("d"))
+    )
+    band = F.when(F.col("d") <= ticks[0], F.lit(0))
+    for i, r in enumerate(ticks[1:], start=1):
+        band = band.when(F.col("d") <= r, F.lit(i))
+    near = near.select("term", band.alias("band"))
+
+    tick_grid = F.broadcast(
+        spark.createDataFrame(
+            [(i, r) for i, r in enumerate(ticks)], "tick int, radius int"
+        )
+    )
+    # ONE (term, band) aggregate feeds both the per-term curves and the
+    # per-tick token denominators (its exchange is shared downstream —
+    # the band self-join never runs twice); the per-tick grid join is a
+    # broadcast literal
+    tb = near.groupBy("term", "band").agg(F.count("*").alias("f"))
+    cum = (
+        tb.join(tick_grid, F.col("band") <= F.col("tick"))
+        .groupBy("term", "tick", "radius")
+        .agg(F.sum("f").alias("a"))
+    )
+    toks_cum = F.broadcast(
+        tb.join(tick_grid, F.col("band") <= F.col("tick"))
+        .groupBy("tick")
+        .agg(F.sum("f").alias("fa"))
+    )
+    # field stats: the 1-row total derives from the per-term aggregate
+    # so both share one tokenize + (term) shuffle subtree
+    field_term = tok.groupBy("term").agg(F.count("*").alias("field_freq"))
+    field_tot = F.broadcast(
+        field_term.agg(F.sum("field_freq").alias("field_tokens"))
+    )
+
+    scored = (
+        cum.join(field_term, "term")
+        .join(toks_cum, "tick")
+        .crossJoin(field_tot)
+        .select(
+            "term",
+            "tick",
+            "radius",
+            F.col("a"),
+            F.col("fa"),
+            (F.col("field_freq") - F.col("a")).alias("b"),
+            (F.col("field_tokens") - F.col("fa")).alias("fb"),
+        )
+        .withColumn("score", g2_expr())
+    )
+    cand = scored.filter(F.col("term") != pivot)
+    w = Window.partitionBy("tick").orderBy(F.desc("score"), F.asc("term"))
+    winners = cand.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= top_k
+    )
+    entry = winners.groupBy("term").agg(
+        F.min(F.struct("tick", "rk", "radius")).alias("e")
+    ).select(
+        "term",
+        F.col("e.radius").alias("entry_radius"),
+        F.col("e.rk").alias("entry_rank"),
+    )
+    final_score = (
+        cand.filter(F.col("tick") == len(ticks) - 1)
+        .select("term", F.col("score").alias("fscore"))
+    )
+    # full curve grid for selected terms; early zero-count ticks kept,
+    # their score recomputed with a = 0 exactly as score(row, tick)
+    grid = entry.crossJoin(tick_grid)
+    curve = (
+        grid.join(
+            scored.select("term", "tick", "a", "score"), ["term", "tick"], "left"
+        )
+        .join(toks_cum, "tick")
+        .join(field_term, "term")
+        .crossJoin(field_tot)
+        .withColumn("a", F.coalesce(F.col("a"), F.lit(0)))
+        .withColumn("b", F.col("field_freq") - F.col("a"))
+        .withColumn("fb", F.col("field_tokens") - F.col("fa"))
+        .withColumn("score", F.coalesce(F.col("score"), g2_expr()))
+        .join(final_score, "term")
+    )
+    return (
+        curve.select(
+            "term",
+            F.col("radius").cast("long").alias("radius"),
+            F.col("a").cast("long").alias("freq"),
+            round6(F.col("score")).alias("score"),
+            F.col("entry_radius").cast("long").alias("entry_radius"),
+            F.col("entry_rank").cast("long").alias("entry_rank"),
+        )
+        .orderBy(F.desc("fscore"), F.asc("term"), F.asc("radius"))
+        .drop("fscore")
+    )
+
+
 def cooc_matrix(
     tok: DataFrame,
     terms: list[str],

@@ -258,6 +258,89 @@ def test_partition_corpus_family_single_part_empty(spark):
 # ----------------------------------------------------------------- cooc
 
 
+def test_cooc_profile_scored_vs_python(spark, data):
+    """Full CoocProfile select/score semantics vs a scalar port:
+    nearest-band credit (pivot positions feed denominators), per-tick
+    cumulative G² vs the field, per-tick top-K union, entry tick/rank."""
+    docs, tok = data
+    TICKS, K, PIVOT = [1, 2, 5], 5, "spark"
+    out = cooc.cooc_profile_scored(tok, PIVOT, ticks=TICKS, top_k=K).collect()
+    got = {(r["term"], r["radius"]):
+           (r["freq"], r["score"], r["entry_radius"], r["entry_rank"])
+           for r in out}
+
+    rows = [(r["doc_id"], r["pos"], r["term"]) for r in tok.collect()]
+    bydoc = {}
+    for d, p, t in rows:
+        bydoc.setdefault(d, []).append((p, t))
+    maxr = TICKS[-1]
+    band_counts = {}
+    for d, v in bydoc.items():
+        hp = [p for p, t in v if t == PIVOT]
+        if not hp:
+            continue
+        for p, t in v:
+            dmin = min(abs(p - h) for h in hp)
+            if dmin > maxr:
+                continue
+            b = next(i for i, r in enumerate(TICKS) if dmin <= r)
+            band_counts[(t, b)] = band_counts.get((t, b), 0) + 1
+    field = {}
+    for d, p, t in rows:
+        field[t] = field.get(t, 0) + 1
+    FT = len(rows)
+
+    def g2(a, fa, b, fb):
+        na, nb = fa - a, fb - b
+        n = fa + fb
+        t_, nt = a + b, na + nb
+
+        def cell(o, e):
+            return 2.0 * o * math.log(o / e) if o > 0 and e > 0 else 0.0
+
+        g = (cell(a, fa * t_ / n) + cell(b, fb * t_ / n)
+             + cell(na, fa * nt / n) + cell(nb, fb * nt / n))
+        return g if (fb <= 0 or a / fa >= b / fb) else -g
+
+    toks_cum = {i: sum(n for (t, b), n in band_counts.items() if b <= i)
+                for i in range(len(TICKS))}
+
+    def cumf(t, i):
+        return sum(n for (tt, b), n in band_counts.items()
+                   if tt == t and b <= i)
+
+    terms = {t for (t, b) in band_counts}
+    entry, union = {}, set()
+    for i in range(len(TICKS)):
+        cand = [(t, g2(cumf(t, i), toks_cum[i], field[t] - cumf(t, i),
+                       FT - toks_cum[i]))
+                for t in terms if t != PIVOT and cumf(t, i) > 0]
+        cand.sort(key=lambda kv: (-kv[1], kv[0]))
+        for rank, (t, s) in enumerate(cand[:K], start=1):
+            union.add(t)
+            if t not in entry:
+                entry[t] = (TICKS[i], rank)
+    want = {}
+    for t in union:
+        for i, r in enumerate(TICKS):
+            s = g2(cumf(t, i), toks_cum[i], field[t] - cumf(t, i),
+                   FT - toks_cum[i])
+            want[(t, r)] = (cumf(t, i), s, entry[t][0], entry[t][1])
+    assert set(got) == set(want)
+    assert got, "vacuous: pivot absent from the fixture"
+    for k, (freq, score, er, rk) in got.items():
+        wf, ws, wer, wrk = want[k]
+        assert (freq, er, rk) == (wf, wer, wrk), k
+        assert score == pytest.approx(ws, abs=2e-6), k
+
+
+def test_cooc_profile_scored_rejects_bad_ticks(spark, data):
+    docs, tok = data
+    for bad in ([], [0, 2], [3, 2], [2, 2]):
+        with pytest.raises(ValueError):
+            cooc.cooc_profile_scored(tok, "spark", ticks=bad)
+
+
 def test_cooc_profile_cumulative(spark, data):
     _, tok = data
     rows = cooc.cooc_profile(tok, "select", max_dist=4, top=5).collect()
