@@ -375,10 +375,24 @@ class AlixEngine:
                 f"{op} needs the corpus table; engine was opened index-only"
             )
 
-    def terms(self, focus=None, scorer: str = "g2", top: int = 50) -> DataFrame:
-        """Ranked terms: theme weights for the whole corpus, or keyness
-        focus-vs-rest when a focus predicate over the corpus is given
-        (reference OpTerms branches 1/2)."""
+    def terms(
+        self,
+        focus=None,
+        scorer: str = "g2",
+        top: int = 50,
+        start: int | None = None,
+        end: int | None = None,
+    ) -> DataFrame:
+        """Ranked terms: theme weights for the whole corpus, keyness
+        focus-vs-rest when a focus predicate over the corpus is given,
+        or chrono-partitioned contrastive terms when ``start``/``end``
+        bound a day-of-year focus interval (reference OpTerms branches
+        1/2/3 — the year query branch, OpTerms.java:115-136; this
+        corpus spans one crawl year so the calendar axis is the day)."""
+        if start is not None or end is not None:
+            if start is None or end is None:
+                raise ValueError("start and end must be given together")
+            return self._terms_chrono(start, end, top)
         if focus is not None:
             self._corpus_required("terms(focus=...)")
         if focus is None:
@@ -394,6 +408,31 @@ class AlixEngine:
         )
         return keyness_mod.keyness(
             self.rail().select("doc_id", "term"), focus_docs, scorer, top=top
+        )
+
+    def _terms_chrono(self, start: int, end: int, top: int) -> DataFrame:
+        """OpTerms branch 3 (OpTerms.java:115-136): Partition.build over
+        the calendar axis with the focus interval kept indivisible and
+        ~12 repaired non-focus periods, scored with the reference's
+        default PartScorer.LogLikelihoodTail (minPartTokens=1000)."""
+        from alix_spark.lexicometry import partition
+
+        self._corpus_required("terms(start=, end=)")
+        doc_values = (
+            self.corpus.join(url_ranks(self.corpus), "url")
+            .select("doc_id", F.dayofyear("warc_ts").alias("value"))
+        )
+        doc_tokens = self._bm25_inputs()[1]
+        doc_parts, focus_part, _periods = partition.build_chrono_parts(
+            doc_values, doc_tokens, start, end
+        )
+        return partition.partition_keyness(
+            self.rail().select("doc_id", "term"),
+            doc_parts,
+            focus_part,
+            scorer="tail",
+            min_part_tokens=partition.MIN_PART_TOKENS,
+            top=top,
         )
 
     def chrono(self) -> DataFrame:

@@ -636,6 +636,28 @@ def q_part_specificity(spark, sf_dir):
     )
 
 
+def q_part_chrono(spark, sf_dir):
+    """Chrono-partitioned contrastive terms: Partition.build's cut +
+    two-stage repair (Partition.java:214-366) over the n_chars axis,
+    focus [200,300], scored with the reference's default
+    LogLikelihoodTail. Rows-only: the extremity/Huffman period repair
+    is an inherently sequential merge walk (non-SQL); the algorithm is
+    unit-tested against hand-built histograms in test_lexicometry."""
+    from alix_spark.lexicometry import partition
+
+    docs = _docs(spark, sf_dir)
+    tok = _tok(spark, sf_dir)
+    doc_values = docs.select("doc_id", F.col("n_chars").alias("value"))
+    doc_tokens = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    parts, focus_part, _periods = partition.build_chrono_parts(
+        doc_values, doc_tokens, 200, 300
+    )
+    return partition.partition_keyness(
+        tok, parts, focus_part, scorer="tail",
+        min_part_tokens=partition.MIN_PART_TOKENS, top=50,
+    )
+
+
 def q_cooc_profile(spark, sf_dir):
     return cooc_mod.cooc_profile(_tok(spark, sf_dir), pivot="spark", max_dist=5, top=20)
 
@@ -932,15 +954,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_pearson": q_part_pearson,
         "part_rateratio": q_part_rateratio,
         "part_specificity": q_part_specificity,
+        # rows-only (sequential period-repair walk, non-SQL)
+        "part_chrono": q_part_chrono,
         "ca_map": q_ca_map,
         "term_embeddings": q_term_embeddings,
         # --- webtext chain
         "webtext_extract": q_webtext_extract,
         "webtext_wand_fr": q_webtext_wand_fr,
-        # --- LLM-pipeline ops (dedup_exact rotated to the tail this
-        # session for cooc_profile_scored: r03-green, its md5-groupBy
-        # path unchanged since r01)
-        "dedup_minhash": q_dedup_minhash,
+        # --- LLM-pipeline ops (dedup_exact and dedup_minhash rotated
+        # to the tail this session for cooc_profile_scored/part_chrono:
+        # both r03-green, and the r04 dedup.py diff is append-only —
+        # the embedding tier — so their code paths are unchanged)
         "dedup_embedding": q_dedup_embedding,
         "dedup_simhash": q_dedup_simhash,
         "ann_cosine": q_ann_cosine,
@@ -960,6 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kwic": q_kwic,
         "snippet_topk": q_snippet_topk,
         "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
         "ann_lsh": q_ann_lsh,
         "keyness_logdice": q_keyness_logdice,
         "keyness_simplemaths": q_keyness_simplemaths,

@@ -318,7 +318,7 @@ def build_index(
         if dl_join:
             salted = salted.join(dstats.select("doc_id", "dl"), "doc_id")
 
-        def encode(_key, pdf: pd.DataFrame) -> pd.DataFrame:
+        def encode(_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             rows: list[tuple] = []
             dl = dl_bc.value if dl_bc is not None else None
             pdf = pdf.sort_values("pos", kind="stable")
@@ -880,7 +880,7 @@ def build_index_packed(
     )
     try:
         if todo:
-            def encode(_key, pdf: pd.DataFrame) -> pd.DataFrame:
+            def encode(_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
                 return _encode_packed_group(pdf, avgdl, with_positions)
 
             n_write = max(len(todo), spark.sparkContext.defaultParallelism)

@@ -55,6 +55,15 @@ MIN_FOCUS_TERM_FREQ = 5  # reference :37 DEFAULT_MIN_FOCUS_TERM_FREQ
 MIN_PART_TOKENS = 1000   # reference :40 DEFAULT_MIN_PART_TOKENS
 RATE_ALPHA = 0.3         # reference :874 RateRatio() default alpha
 
+# Partition.build repair floors (Partition.java)
+TARGET_NON_FOCUS = 12        # :73 DEFAULT_TARGET_NON_FOCUS_PARTS
+MIN_EXTREMITY_TOKENS = 25_000  # :88
+MIN_INTERNAL_DOCS = 10       # :102
+MIN_INTERNAL_TOKENS = 1_000  # :116
+MAX_DENSE_RANGE = 1_000_000  # denseRange practicality guard (the
+# reference allocates int[range]; chronological axes are inherently
+# small — this catches a caller passing e.g. epoch seconds)
+
 
 def parts_from_numeric(
     df: DataFrame,
@@ -114,6 +123,181 @@ def _signed_g2():
     )
     g2 = F.when((t <= 0) | (nt <= 0), F.lit(0.0)).otherwise(g2)
     return F.when(a / fa >= b / fb, g2).otherwise(-g2)
+
+
+# --------------------------------------- chronological Partition.build
+
+
+def _cut_and_repair(hist, int_min, int_max, start, end, target_non_focus):
+    """Exact port of Partition.build phases 2-4 (Partition.java:214-366,
+    helpers :560-998): the focus interval [start, end] stays one
+    indivisible part; non-focus values are cut into periods of width
+    ``max(1, ceil(nonFocusOffsets / target))``; each side is repaired
+    independently (extremity expansion until full width + >=10 docs +
+    >=25k tokens, then Huffman-style merge of internal periods under
+    10 docs / 1k tokens into their smaller-token neighbor).
+
+    ``hist``: {value_offset: (docs, tokens)} over dense offsets.
+    Returns (periods, focus_part) with periods = [(first, last, docs,
+    tokens)] in chronological order, offsets dense from ``int_min``.
+    """
+    rng = int_max - int_min + 1
+    focus_first = max(start, int_min) - int_min
+    focus_last = min(end, int_max) - int_min
+
+    def period(first, last):
+        d = sum(hist.get(o, (0, 0))[0] for o in range(first, last + 1))
+        t = sum(hist.get(o, (0, 0))[1] for o in range(first, last + 1))
+        return [first, last, d, t]
+
+    focus = period(focus_first, focus_last)
+    if focus[2] <= 0 or focus[3] <= 0:
+        raise ValueError(
+            f"focus interval [{start},{end}] has no accepted text tokens"
+        )
+
+    non_focus_offsets = focus_first + (rng - focus_last - 1)
+    base_width = (
+        1 if non_focus_offsets <= 0
+        else max(1, math.ceil(non_focus_offsets / target_non_focus))
+    )
+
+    left = []
+    last = focus_first - 1
+    while last >= 0:
+        first = max(0, last - base_width + 1)
+        left.append(period(first, last))
+        last = first - 1
+    left.reverse()
+    right = []
+    first = focus_last + 1
+    while first < rng:
+        last = min(rng - 1, first + base_width - 1)
+        right.append(period(first, last))
+        first = last + 1
+
+    def merge_adjacent(ps, i):
+        a, b = ps[i], ps[i + 1]
+        ps[i] = [min(a[0], b[0]), max(a[1], b[1]), a[2] + b[2], a[3] + b[3]]
+        del ps[i + 1]
+
+    def weak_extremity(p):
+        return (
+            (p[1] - p[0] + 1) < base_width
+            or p[2] < MIN_INTERNAL_DOCS
+            or p[3] < MIN_EXTREMITY_TOKENS
+        )
+
+    def weak_internal(p):
+        return p[2] < MIN_INTERNAL_DOCS or p[3] < MIN_INTERNAL_TOKENS
+
+    def repair(raw):
+        ps = [p for p in raw if p[2] > 0 and p[3] > 0]
+        while len(ps) > 1 and weak_extremity(ps[0]):
+            merge_adjacent(ps, 0)
+        while len(ps) > 1 and weak_extremity(ps[-1]):
+            merge_adjacent(ps, len(ps) - 2)
+        i = 1
+        while i < len(ps) - 1:
+            if not weak_internal(ps[i]):
+                i += 1
+                continue
+            if ps[i - 1][3] <= ps[i + 1][3]:
+                merge_adjacent(ps, i - 1)
+                i = max(1, i - 1)
+            else:
+                merge_adjacent(ps, i)
+        return ps
+
+    left, right = repair(left), repair(right)
+    if not left and not right:
+        raise ValueError(
+            f"no non-focus accepted text tokens outside [{start},{end}]"
+        )
+    periods = left + [focus] + right
+    if len(periods) > MAX_PARTS:
+        raise ValueError(f"too many parts: {len(periods)}")
+    return periods, len(left)
+
+
+def build_chrono_parts(
+    doc_values: DataFrame,
+    doc_tokens: DataFrame,
+    start: int,
+    end: int,
+    target_non_focus: int = TARGET_NON_FOCUS,
+):
+    """The reference's default date partition for contrastive
+    chronological scoring (Partition.build, Partition.java:214-366).
+
+    ``doc_values``: (doc_id, value) with an integral value column;
+    ``doc_tokens``: (doc_id, dl) indexed-token counts. A document is
+    accepted when its value is present and ``dl > 0`` (tallyValues
+    :922-941 — document counts and token denominators stay aligned).
+    The field min/max come from every document WITH a value, like
+    ``FlucNum.min()/max()``.
+
+    Returns ``(doc_parts, focus_part, periods)``: a (doc_id, part int)
+    frame (docs outside every repaired period are excluded = NO_PART),
+    the focus part id, and the period table [(first_value, last_value,
+    docs, tokens)].
+
+    Scale shape: ONE small aggregate per value (the histogram is
+    value-bounded — years, days — never corpus-bounded) collected to
+    the driver for the sequential repair walk, then a <=128-arm CASE
+    maps documents to parts; no shuffle beyond the histogram groupBy.
+    """
+    if start > end:
+        raise ValueError(f"invalid focus interval: [{start},{end}]")
+    if not (1 <= target_non_focus <= MAX_PARTS - 1):
+        raise ValueError(f"target_non_focus out of range: {target_non_focus}")
+
+    vals = doc_values.select("doc_id", F.col("value").cast("long").alias("value"))
+    bounds = vals.filter(F.col("value").isNotNull()).agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    ).collect()[0]
+    if bounds["lo"] is None:
+        raise ValueError("no document carries a value")
+    int_min, int_max = int(bounds["lo"]), int(bounds["hi"])
+    if end < int_min or start > int_max:
+        raise ValueError(
+            f"focus [{start},{end}] outside field range [{int_min},{int_max}]"
+        )
+    if int_max - int_min + 1 > MAX_DENSE_RANGE:
+        raise ValueError(
+            f"dense range {int_max - int_min + 1} too large; bin the axis first"
+        )
+
+    accepted = (
+        vals.filter(F.col("value").isNotNull())
+        .join(doc_tokens.filter(F.col("dl") > 0).select("doc_id"), "doc_id")
+    )
+    hist_rows = (
+        accepted.join(doc_tokens, "doc_id")
+        .groupBy("value")
+        .agg(F.count("*").alias("docs"), F.sum("dl").alias("tokens"))
+        .collect()
+    )
+    hist = {
+        int(r["value"]) - int_min: (int(r["docs"]), int(r["tokens"]))
+        for r in hist_rows
+    }
+    periods, focus_part = _cut_and_repair(
+        hist, int_min, int_max, start, end, target_non_focus
+    )
+
+    expr = None
+    for part, (first, last, _d, _t) in enumerate(periods):
+        cond = F.col("value").between(int_min + first, int_min + last)
+        expr = F.when(cond, F.lit(part)) if expr is None else expr.when(
+            cond, F.lit(part)
+        )
+    doc_parts = accepted.select(
+        "doc_id", expr.alias("part")
+    ).filter(F.col("part").isNotNull())
+    return doc_parts, focus_part, [
+        (int_min + f, int_min + l, d, t) for f, l, d, t in periods
+    ]
 
 
 # ------------------------------------------------ Specificity kernel

@@ -260,7 +260,7 @@ def wand_topk(
     n_terms_req = len(idf)
     idf_b = dict(idf)
 
-    def run_shard(_key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def run_shard(_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         cursors = []
         for term, g in pdf.groupby("term", sort=True):
             cursors.append(
@@ -518,7 +518,7 @@ def phrase_topk(
         F.col("term").isin(_flat_terms(terms))
     )
 
-    def run_shard(_key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def run_shard(_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         tb = {t: g for t, g in pdf.groupby("term", sort=False)}
         if any(all(a not in tb for a in _slot_alts(s)) for s in terms):
             return pd.DataFrame({"doc_id": [], "tf": [], "dl": []})

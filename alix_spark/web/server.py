@@ -434,13 +434,28 @@ class AlixHttpServer:
         ]
 
     def _op_terms(self, engine, pars) -> list[dict]:
-        """Theme-ranked terms, or keyness focus-vs-rest when ``lang``
-        partitions the corpus (OpTerms branches)."""
+        """Theme-ranked terms, keyness focus-vs-rest when ``lang``
+        partitions the corpus, or chrono-partitioned contrastive terms
+        when ``start``/``end`` bound a day-of-year interval (the
+        reference OpTerms year-query branch)."""
         from pyspark.sql import functions as F
 
         top = pars.get_int("top", 50, 1, 1000)
         lang = pars.get("lang")
         scorer = pars.get("tsort", "g2")
+        start, end = pars.get("start"), pars.get("end")
+        if start is not None or end is not None:
+            if start is None or end is None:
+                raise HttpError(400, "start and end must be given together")
+            self._require_corpus(engine)
+            try:
+                s, e = int(start), int(end)
+            except ValueError:
+                raise HttpError(400, "start/end must be integers")
+            try:
+                return _df_rows(engine.terms(start=s, end=e, top=top))
+            except ValueError as exc:  # empty focus / out-of-range interval
+                raise HttpError(400, str(exc))
         if lang:
             self._require_corpus(engine)  # focus filters the corpus
         focus = F.col("lang") == lang if lang else None

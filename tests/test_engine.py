@@ -168,6 +168,18 @@ def test_chrono(engine):
     assert sum(r["docs"] for r in rows) == 100
 
 
+def test_terms_chrono_partitioned(engine):
+    """OpTerms branch 3: day-of-year focus interval -> Partition.build
+    + LogLikelihoodTail contrastive terms."""
+    rows = engine.terms(start=100, end=200, top=10).collect()
+    assert rows
+    assert set(rows[0].asDict()) == {"term", "score"}
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    with pytest.raises(ValueError):
+        engine.terms(start=100)  # end missing
+
+
 def test_cooc(engine):
     rows = engine.cooc("ville", top=10).collect()
     assert len(rows) > 0

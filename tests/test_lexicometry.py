@@ -236,6 +236,134 @@ def test_specificity_kernel_edges():
         assert got == pytest.approx(want, abs=1e-9), k
 
 
+def test_cut_and_repair_uniform_rich_histogram():
+    """Rich uniform data: cut width = ceil(nonFocus/target), focus kept
+    indivisible at index len(left), every period well-formed."""
+    # 120 values, focus [40, 59] -> 100 non-focus offsets, target 10
+    # -> width 10; plenty of docs/tokens so no repair fires
+    hist = {o: (50, 40_000) for o in range(120)}
+    periods, focus_part = partition._cut_and_repair(
+        hist, 0, 119, 40, 59, target_non_focus=10
+    )
+    assert [p[:2] for p in periods] == [
+        [0, 9], [10, 19], [20, 29], [30, 39],          # left, width 10
+        [40, 59],                                       # focus
+        [60, 69], [70, 79], [80, 89], [90, 99], [100, 109], [110, 119],
+    ]
+    assert focus_part == 4
+    assert periods[focus_part][2] == 20 * 50
+    # left periods cut backward from the focus boundary (adjacent-to-
+    # focus keeps full width, the earliest is truncated) and the
+    # truncated extremity then merges inward: nonFocus = 45+60 = 105,
+    # width = ceil(105/10) = 11, raw left earliest = [0,0] -> merged
+    periods2, fp2 = partition._cut_and_repair(
+        hist, 0, 119, 45, 59, target_non_focus=10
+    )
+    assert periods2[0][:2] == [0, 11]
+    assert periods2[1][:2] == [12, 22]
+    assert periods2[fp2][:2] == [45, 59]
+
+
+def test_cut_and_repair_weak_extremity_merges_inward():
+    # sparse first period (few tokens) merges into its neighbor until
+    # the boundary bucket passes the 25k-token extremity floor
+    hist = {o: (50, 40_000) for o in range(60)}
+    for o in range(10):
+        hist[o] = (50, 100)  # poor early decade
+    periods, fp = partition._cut_and_repair(
+        hist, 0, 59, 40, 49, target_non_focus=4
+    )
+    # width = ceil(50/4) = 13; raw left = [0,0],[1,13],[14,26],[27,39]
+    # first period [0,0] is narrow AND poor -> merged inward
+    assert periods[0][0] == 0
+    assert periods[0][1] >= 13
+    assert all(p[3] >= 25_000 for p in periods[:fp])
+
+
+def test_cut_and_repair_weak_internal_merges_smaller_neighbor():
+    # range 100, focus [80,89]: nonFocus = 90, width = ceil(90/4) = 23;
+    # left cut backward from 79 -> [0,10],[11,33],[34,56],[57,79]
+    hist = {o: (50, 40_000) for o in range(100)}
+    for o in range(11, 34):  # the whole [11,33] period goes thin
+        hist[o] = (1, 30)    # 23 docs but 690 tokens < 1000 floor
+    periods, fp = partition._cut_and_repair(
+        hist, 0, 99, 80, 89, target_non_focus=4
+    )
+    spans = [tuple(p[:2]) for p in periods[:fp]]
+    assert (11, 33) not in spans  # merged away
+    # Huffman direction: [0,10] (440k tokens) <= [34,56] (920k), so the
+    # weak period merged into its LEFT neighbor
+    assert spans[0] == (0, 33)
+    assert periods[fp][:2] == [80, 89]
+    # internal periods all pass both floors after repair
+    assert all(
+        p[2] >= partition.MIN_INTERNAL_DOCS
+        and p[3] >= partition.MIN_INTERNAL_TOKENS
+        for p in periods[1:fp]
+    )
+    # an all-empty period is dropped pre-repair and the remaining spans
+    # still never cross the focus
+    hist2 = {o: (50, 40_000) for o in range(100)}
+    for o in range(11, 34):
+        hist2[o] = (0, 0)
+    periods2, fp2 = partition._cut_and_repair(
+        hist2, 0, 99, 80, 89, target_non_focus=4
+    )
+    spans2 = [tuple(p[:2]) for p in periods2[:fp2]]
+    assert (11, 33) not in spans2
+    assert all(p[1] < 80 for p in periods2[:fp2])
+    assert periods2[fp2][:2] == [80, 89]
+
+
+def test_cut_and_repair_errors():
+    hist = {o: (10, 5_000) for o in range(10)}
+    with pytest.raises(ValueError):
+        partition._cut_and_repair({}, 0, 9, 2, 4, 4)  # empty focus
+    with pytest.raises(ValueError):
+        # focus covering everything leaves no non-focus side
+        partition._cut_and_repair(hist, 0, 9, 0, 9, 4)
+
+
+def test_build_chrono_parts_spark(spark, data):
+    docs, tok = data
+    doc_values = docs.select("doc_id", F.col("n_chars").alias("value"))
+    doc_tokens = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    parts, focus_part, periods = partition.build_chrono_parts(
+        doc_values, doc_tokens, 200, 300
+    )
+    rows = parts.collect()
+    assert rows, "no docs assigned"
+    by_part = {}
+    for r in rows:
+        by_part.setdefault(r["part"], 0)
+        by_part[r["part"]] += 1
+    # periods table consistent with assignments
+    for part, (first, last, d, t) in enumerate(periods):
+        assert by_part.get(part, 0) == d, (part, periods)
+    # focus period covers exactly [200, 300] clipped to the field range
+    f = periods[focus_part]
+    assert f[0] >= 200 - 1 and f[1] <= 300
+    # every doc labeled once
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+    # end-to-end keyness over the built partition
+    out = partition.partition_keyness(
+        tok, parts, focus_part, scorer="tail", min_part_tokens=0, top=10
+    ).collect()
+    assert out
+
+
+def test_build_chrono_parts_errors(spark, data):
+    docs, tok = data
+    doc_values = docs.select("doc_id", F.col("n_chars").alias("value"))
+    doc_tokens = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    with pytest.raises(ValueError):
+        partition.build_chrono_parts(doc_values, doc_tokens, 300, 200)
+    with pytest.raises(ValueError):
+        partition.build_chrono_parts(doc_values, doc_tokens, 10_000, 20_000)
+    with pytest.raises(ValueError):  # focus swallows the whole range
+        partition.build_chrono_parts(doc_values, doc_tokens, 0, 10_000)
+
+
 def test_partition_corpus_family_single_part_empty(spark):
     tok = spark.createDataFrame(
         [("d1", "a"), ("d1", "b"), ("d2", "a")], "doc_id string, term string"

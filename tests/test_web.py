@@ -105,6 +105,22 @@ def test_terms_and_suggest(served):
     server, engine = served
     rows = _json(server, "/demo/terms.json?top=5")["rows"]
     assert len(rows) == 5 and "score" in rows[0]
+
+
+def test_terms_chrono_interval(served):
+    """terms?start=&end= serves the chrono-partitioned branch; half an
+    interval or a data-empty one answers 400, never 500."""
+    server, engine = served
+    rows = _json(server, "/demo/terms.json?start=100&end=220&top=5")["rows"]
+    assert rows and set(rows[0]) == {"term", "score"}
+    for path in (
+        "/demo/terms.json?start=100",           # end missing
+        "/demo/terms.json?start=9000&end=9999", # outside field range
+        "/demo/terms.json?start=x&end=y",       # not integers
+    ):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(server, path)
+        assert e.value.code == 400, path
     want = [r.asDict() for r in engine.suggest("vi", top=5).collect()]
     got = _json(server, "/demo/suggest.json?q=vi&top=5")["rows"]
     assert [r["term"] for r in got] == [r["term"] for r in want]
