@@ -976,9 +976,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the bucket code path; g2 / minhash share their scorers).
         # cooc_window / cooc_matrix / kwic / snippet_topk rotated out
         # this session to admit the four new PartScorer variants: all
-        # four are r03-GREEN and their code paths are untouched this
-        # round (cooc.py / kwic.py / snippets.py have no r04 diff), so
-        # their last driver-visible green row stays <=1 round old.
+        # four are r03-GREEN and their CODE PATHS are untouched this
+        # round (cooc.py gained cooc_profile_scored, but cooc_counts /
+        # cooc_matrix / kwic / snippets themselves have no r04 diff),
+        # so their last driver-visible green row stays <=1 round old.
         "cooc_window": q_cooc_window,
         "cooc_matrix": q_cooc_matrix,
         "kwic": q_kwic,

@@ -268,13 +268,15 @@ def build_chrono_parts(
             f"dense range {int_max - int_min + 1} too large; bin the axis first"
         )
 
+    # one join over the per-doc frame: dl rides along for the histogram
+    # aggregate and is simply projected away for the doc_parts output
+    # (a second doc_tokens join to recover dl re-shuffled the frame)
     accepted = (
         vals.filter(F.col("value").isNotNull())
-        .join(doc_tokens.filter(F.col("dl") > 0).select("doc_id"), "doc_id")
+        .join(doc_tokens.filter(F.col("dl") > 0).select("doc_id", "dl"), "doc_id")
     )
     hist_rows = (
-        accepted.join(doc_tokens, "doc_id")
-        .groupBy("value")
+        accepted.groupBy("value")
         .agg(F.count("*").alias("docs"), F.sum("dl").alias("tokens"))
         .collect()
     )
@@ -571,15 +573,22 @@ def _score_corpus_family(
         )
     else:
         # CorpusScorer.corpusStats (:190-225) needs at least one other
-        # positive-token part; part_tokens is a tiny (<=128-part) frame
-        if part_tokens.filter(F.col("part") != focus_part).limit(1).count() == 0:
-            return base.select("term", F.lit(0.0).alias("score")).limit(0)
+        # positive-token part. Expressed as a lazy broadcast scalar +
+        # filter (not an eager count) so the guard shares ONE physical
+        # plan with the scored frame — an eager action here ran the
+        # whole token-aggregation pipeline a second time at corpus
+        # scale (shuffle exchanges are only reused within one plan).
+        other_parts = part_tokens.filter(F.col("part") != focus_part).agg(
+            F.count("*").alias("other_parts")
+        )
         totals = part_tokens.agg(F.sum("part_toks").alias("nn"))
         term_totals = term_part.groupBy("term").agg(F.sum("freq").alias("kk"))
         st = (
             base.join(term_totals, "term")
             .crossJoin(F.broadcast(focus_tokens))
             .crossJoin(F.broadcast(totals))
+            .crossJoin(F.broadcast(other_parts))
+            .filter(F.col("other_parts") > 0)
         )
         kk = F.col("kk").cast("double")
         nn = F.col("nn").cast("double")

@@ -92,6 +92,11 @@ def first_seen(pages: DataFrame) -> DataFrame:
     occurrence within its first micro-batch; later batches never
     re-emit (the reference batch pipeline dedups at compaction;
     this is the continuous-emission variant)."""
+    from alix_spark.util import ensure_py_files
+
+    # _first_seen_fn pickles by reference to this module: executors
+    # must be able to import alix_spark from any driver cwd
+    ensure_py_files(pages.sparkSession)
     keyed = pages.select(
         "url", "warc_ts", "lang", F.md5(F.col("html")).alias("content_md5")
     )

@@ -447,6 +447,13 @@ class AlixHttpServer:
         if start is not None or end is not None:
             if start is None or end is None:
                 raise HttpError(400, "start and end must be given together")
+            if lang or pars.get("tsort") is not None:
+                # the chrono-contrast branch has a fixed scorer over the
+                # whole corpus; silently dropping these returned
+                # plausible-but-wrong rows
+                raise HttpError(
+                    400, "lang/tsort cannot be combined with start/end"
+                )
             self._require_corpus(engine)
             try:
                 s, e = int(start), int(end)

@@ -105,6 +105,9 @@ def test_terms_and_suggest(served):
     server, engine = served
     rows = _json(server, "/demo/terms.json?top=5")["rows"]
     assert len(rows) == 5 and "score" in rows[0]
+    want = [r.asDict() for r in engine.suggest("vi", top=5).collect()]
+    got = _json(server, "/demo/suggest.json?q=vi&top=5")["rows"]
+    assert [r["term"] for r in got] == [r["term"] for r in want]
 
 
 def test_terms_chrono_interval(served):
@@ -117,13 +120,12 @@ def test_terms_chrono_interval(served):
         "/demo/terms.json?start=100",           # end missing
         "/demo/terms.json?start=9000&end=9999", # outside field range
         "/demo/terms.json?start=x&end=y",       # not integers
+        "/demo/terms.json?start=100&end=220&lang=fr",    # conflicting
+        "/demo/terms.json?start=100&end=220&tsort=chi2", # conflicting
     ):
         with pytest.raises(urllib.error.HTTPError) as e:
             _get(server, path)
         assert e.value.code == 400, path
-    want = [r.asDict() for r in engine.suggest("vi", top=5).collect()]
-    got = _json(server, "/demo/suggest.json?q=vi&top=5")["rows"]
-    assert [r["term"] for r in got] == [r["term"] for r in want]
 
 
 def test_chrono_jsonl(served):
