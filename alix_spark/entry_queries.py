@@ -24,7 +24,7 @@ from alix_spark.lexicometry import suggest as suggest_mod
 from alix_spark.query import bm25
 from alix_spark import util
 from alix_spark.util import round6, sql_round6
-from alix_spark.textops import dedup, multimodal, similarity, textstats
+from alix_spark.textops import dedup, multimodal, similarity, textstats, webpipe
 
 # ---------------------------------------------------------------- helpers
 
@@ -863,6 +863,60 @@ def q_fingerprints(spark, sf_dir):
     return textstats.fingerprints(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def q_repetition(spark, sf_dir):
+    return textstats.repetition_scores(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+# Deterministic dirty-URL / PII fixtures: ONE expression string each,
+# executed verbatim by BOTH engines (Spark F.expr and the DuckDB
+# oracle CTE) — the operators under test are canonical_url/scrub_pii,
+# the fixture just has to be identical on both sides. Only shared
+# syntax: %, ||, CASE, CAST(AS STRING), lpad, upper.
+DIRTY_URL_EXPR = (
+    "CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'https://' END || "
+    "CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END || '.Example.COM' || "
+    "CASE WHEN doc_id % 7 = 0 THEN "
+    "(CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END) ELSE '' END || "
+    "'/page/' || CAST(doc_id % 40 AS STRING) || "
+    "CASE WHEN doc_id % 13 = 0 AND doc_id % 3 <> 1 THEN '/' ELSE '' END || "
+    "CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&utm_campaign=a' "
+    "WHEN doc_id % 3 = 1 THEN '?utm_medium=rss&page=2' ELSE '' END || "
+    "CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END"
+)
+
+PII_TEXT_EXPR = (
+    "text || CASE "
+    "WHEN doc_id % 4 = 0 THEN ' reach user' || CAST(doc_id AS STRING) "
+    "|| '@mail.example.org asap' "
+    "WHEN doc_id % 4 = 1 THEN ' dial +1-555-' "
+    "|| lpad(CAST(doc_id % 10000 AS STRING), 4, '0') || ' now' "
+    "WHEN doc_id % 4 = 2 THEN ' host 10.0.' || CAST(doc_id % 256 AS STRING) "
+    "|| '.' || CAST((doc_id * 3) % 256 AS STRING) || ' up' "
+    "ELSE '' END"
+)
+
+
+def q_url_canon(spark, sf_dir):
+    """Crawl-duplicate URL groups under canonicalization (mirror
+    scheme case, default ports, utm_* params, fragments, trailing
+    slash all collapse)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(DIRTY_URL_EXPR).alias("url")
+    )
+    return webpipe.url_dup_groups(docs, "url", "doc_id")
+
+
+def q_pii_scrub(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(PII_TEXT_EXPR).alias("text")
+    )
+    return webpipe.scrub_pii(docs).orderBy("doc_id")
+
+
+def q_domain_stats(spark, sf_dir):
+    return webpipe.domain_stats(_docs(spark, sf_dir))
+
+
 def q_multimodal_meta(spark, sf_dir):
     return multimodal.as_media_table(_docs(spark, sf_dir)).select(
         "media_id", "mime", "n_bytes"
@@ -927,7 +981,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theme_factor": q_theme_factor,
         "theme_weighted": q_theme_weighted,
         # --- ranking
-        "bm25_and": q_bm25_and,
         "bm25_wand_and": q_bm25_wand_and,
         "bm25_wand_or": q_bm25_wand_or,
         "sim_chi2": q_sim_chi2,
@@ -942,7 +995,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_fullprobe": q_ann_ivf_fullprobe,
         "suggest_population": q_suggest_population,
         # --- lexicometry
-        "keyness_g2": q_keyness_g2,
         "cooc_profile_scored": q_cooc_profile_scored,
         "theme_bm25": q_theme_bm25,
         "theme_irdf": q_theme_irdf,
@@ -966,20 +1018,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # both r03-green, and the r04 dedup.py diff is append-only —
         # the embedding tier — so their code paths are unchanged)
         "dedup_embedding": q_dedup_embedding,
-        "dedup_simhash": q_dedup_simhash,
-        "ann_cosine": q_ann_cosine,
         "ann_ivf": q_ann_ivf,
+        # --- new this round: web-pipeline hygiene ops
+        "repetition": q_repetition,
+        "url_canon": q_url_canon,
+        "pii_scrub": q_pii_scrub,
+        "domain_stats": q_domain_stats,
         # ---- driver window boundary (entry 50) ----
         # structural always-greens, every one green in r03; ann_lsh /
         # logdice / simplemaths / jaccard are green-r03 siblings of
-        # in-window family members (ann_cosine+dedup_embedding share
-        # the bucket code path; g2 / minhash share their scorers).
+        # in-window family members (dedup_embedding shares the bucket
+        # code path; minhash shares dedup's shingle path).
         # cooc_window / cooc_matrix / kwic / snippet_topk rotated out
-        # this session to admit the four new PartScorer variants: all
-        # four are r03-GREEN and their CODE PATHS are untouched this
-        # round (cooc.py gained cooc_profile_scored, but cooc_counts /
-        # cooc_matrix / kwic / snippets themselves have no r04 diff),
-        # so their last driver-visible green row stays <=1 round old.
+        # earlier this round for the four PartScorer variants;
+        # bm25_and / keyness_g2 / ann_cosine / dedup_simhash rotated
+        # out for the four webpipe ops. All eight are r03-GREEN and
+        # their CODE PATHS have no r04 diff (bm25.py / keyness.py /
+        # similarity.py untouched; dedup.py and cooc.py diffs are
+        # append-only new functions), so every rotated query's last
+        # driver-visible green row stays <=1 round old.
+        "bm25_and": q_bm25_and,
+        "keyness_g2": q_keyness_g2,
+        "ann_cosine": q_ann_cosine,
+        "dedup_simhash": q_dedup_simhash,
         "cooc_window": q_cooc_window,
         "cooc_matrix": q_cooc_matrix,
         "kwic": q_kwic,
@@ -2213,6 +2274,124 @@ FROM t ORDER BY doc_id
 SELECT CAST(doc_id AS BIGINT) AS media_id, 'text/plain' AS mime,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
 FROM documents ORDER BY media_id
+"""
+
+    sqls["repetition"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents
+),
+d AS (SELECT doc_id, l, len(l) AS n FROM t WHERE len(l) >= 5),
+b2 AS (
+  SELECT doc_id, max(cnt) AS m2 FROM (
+    SELECT doc_id, g, count(*) AS cnt
+    FROM (SELECT doc_id,
+                 unnest(list_transform(range(1, n),
+                        i -> l[i] || ' ' || l[i + 1])) AS g
+          FROM d)
+    GROUP BY doc_id, g)
+  GROUP BY doc_id
+),
+b3 AS (
+  SELECT doc_id, max(cnt) AS m3 FROM (
+    SELECT doc_id, g, count(*) AS cnt
+    FROM (SELECT doc_id,
+                 unnest(list_transform(range(1, n - 1),
+                        i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS g
+          FROM d)
+    GROUP BY doc_id, g)
+  GROUP BY doc_id
+),
+b5 AS (
+  SELECT doc_id, count(DISTINCT g) AS d5
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, n - 3),
+                      i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]
+                           || ' ' || l[i + 3] || ' ' || l[i + 4])) AS g
+        FROM d)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_tokens,
+       {sql_round6('m2 / CAST(d.n - 1 AS DOUBLE)')} AS top2_frac,
+       {sql_round6('m3 / CAST(d.n - 2 AS DOUBLE)')} AS top3_frac,
+       {sql_round6('1.0 - d5 / CAST(d.n - 4 AS DOUBLE)')} AS dup5_frac
+FROM d JOIN b2 USING (doc_id) JOIN b3 USING (doc_id) JOIN b5 USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+    # the SAME canonicalization chain as webpipe.canonical_url, step
+    # for step (DuckDB regexp_replace defaults to first-match-only, so
+    # the one repeatable pattern — utm params — carries the 'g' flag;
+    # Spark replaces all occurrences, identical for anchored patterns)
+    sqls["url_canon"] = f"""
+WITH u AS (SELECT doc_id, {DIRTY_URL_EXPR} AS url FROM documents),
+s1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS uu FROM u),
+s2 AS (SELECT doc_id, uu,
+              regexp_extract(uu, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0) AS p
+       FROM s1),
+s3 AS (SELECT doc_id,
+              CASE WHEN lower(p) LIKE 'http://%' THEN
+                     regexp_replace(lower(p), ':80$', '')
+                   WHEN lower(p) LIKE 'https://%' THEN
+                     regexp_replace(lower(p), ':443$', '')
+                   ELSE lower(p) END AS p2,
+              substr(uu, length(p) + 1) AS rest
+       FROM s2),
+s4 AS (SELECT doc_id, p2 || regexp_replace(regexp_replace(regexp_replace(
+                rest, 'utm_[a-z]+=[^&#]*&?', '', 'g'),
+                '[?&]$', ''), '/$', '') AS canon_url
+       FROM s3)
+SELECT canon_url, CAST(count(*) AS BIGINT) AS n_urls,
+       min(doc_id) AS keeper
+FROM s4 GROUP BY canon_url HAVING count(*) > 1 ORDER BY canon_url
+"""
+
+    sqls["pii_scrub"] = f"""
+WITH p AS (SELECT doc_id, {PII_TEXT_EXPR} AS text FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{webpipe.EMAIL_RE}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text, '{webpipe.PHONE_RE}')) AS BIGINT)
+         AS n_phones,
+       CAST(len(regexp_extract_all(text, '{webpipe.IPV4_RE}')) AS BIGINT)
+         AS n_ips,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '{webpipe.EMAIL_RE}', '<EMAIL>', 'g'),
+             '{webpipe.PHONE_RE}', '<PHONE>', 'g'),
+             '{webpipe.IPV4_RE}', '<IP>', 'g')) AS clean_md5
+FROM p ORDER BY doc_id
+"""
+
+    sqls["domain_stats"] = f"""
+WITH t AS (
+  SELECT doc_id, length(text) AS n_chars,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents
+),
+base AS (
+  SELECT doc_id, n_chars, len(l) AS n_tokens,
+         len(list_distinct(l)) AS n_types,
+         len(list_filter(l, x -> x IN ({stop_list}))) AS n_stop
+  FROM t WHERE len(l) > 0
+),
+q AS (
+  SELECT doc_id, n_chars,
+         {sql_round6(
+             '0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)'
+             ' + 0.3 * (n_types / CAST(n_tokens AS DOUBLE))'
+             ' + 0.3 * (1.0 - abs(n_stop / CAST(n_tokens AS DOUBLE) - 0.4))'
+         )} AS quality
+  FROM base
+)
+SELECT d.source AS source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(q.n_chars) AS BIGINT) AS sum_chars,
+       CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs,
+       {sql_round6('avg(q.quality)')} AS mean_quality
+FROM q JOIN documents d USING (doc_id)
+GROUP BY d.source ORDER BY d.source
 """
 
     return sqls

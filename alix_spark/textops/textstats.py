@@ -62,20 +62,32 @@ def lang_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return out.withColumn("lang_pred", pred)
 
 
-def quality_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def quality_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
     """(doc_id, n_chars, n_tokens, n_types, ttr, stop_ratio, mean_tok_len,
     quality): heuristic quality channels + a composite score.
 
     quality = 0.4·min(n_tokens/100,1) + 0.3·ttr + 0.3·stop_ratio-closeness
-    (all deterministic closed forms, rounded to 6 dp)."""
+    (all deterministic closed forms, rounded to 6 dp).
+
+    ``carry`` names extra input columns passed through unchanged, so a
+    downstream roll-up (webpipe.domain_stats) stays a single scan
+    instead of self-joining the source on doc_id."""
+    carry = tuple(carry)
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.length(text_col).cast("long").alias("n_chars"),
         tokens_array(df, text_col).alias("toks"),
+        *carry,
     )
     base = toks.select(
         "doc_id",
         "n_chars",
+        *carry,
         F.size("toks").cast("long").alias("n_tokens"),
         F.size(F.array_distinct("toks")).cast("long").alias("n_types"),
         F.size(F.filter(F.col("toks"), _member(STOPWORDS))).cast("long").alias("n_stop"),
@@ -97,6 +109,7 @@ def quality_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     return base.filter(F.col("n_tokens") > 0).select(
         "doc_id",
         "n_chars",
+        *carry,
         "n_tokens",
         "n_types",
         round6(ttr).alias("ttr"),
@@ -164,4 +177,72 @@ def fingerprints(
 
     return toks.mapInPandas(
         gen, f"doc_id {id_type}, fp_full string, fp_min string"
+    )
+
+
+def repetition_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_tokens, top2_frac, top3_frac, dup5_frac): Gopher-style
+    within-document repetition signals for training-data filtering:
+
+    - ``top2_frac`` / ``top3_frac``: occurrences of the single most
+      frequent word {2,3}-gram over the total {2,3}-gram count — high
+      values flag boilerplate loops ("click here click here …");
+    - ``dup5_frac``: fraction of 5-gram slots holding a 5-gram that
+      occurs more than once in the doc (1 − distinct/total) — long
+      verbatim self-repetition.
+
+    Docs with fewer than 5 tokens are excluded so every channel is
+    defined. Counting runs per document in ONE Arrow stage over the
+    input partitions — no shuffle at any scale (the explode→groupBy
+    alternative shuffles every n-gram; the transform/sequence lambda
+    alternative is interpreted) — and the fractions round via the
+    shared floor-based round6 so the DuckDB oracle matches bit-exactly."""
+    ensure_py_files(df.sparkSession)
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokens_array(df, text_col).alias("toks")
+    )
+    id_type = toks.schema["doc_id"].dataType.simpleString()
+
+    def gen(it):
+        from collections import Counter
+
+        for pdf in it:
+            ids, ns, t2, t3, d5 = [], [], [], [], []
+            for doc_id, tl in zip(pdf["doc_id"], pdf["toks"]):
+                tl = list(tl) if tl is not None else []
+                n = len(tl)
+                if n < 5:
+                    continue
+                c2 = Counter(zip(tl, tl[1:]))
+                c3 = Counter(zip(tl, tl[1:], tl[2:]))
+                g5 = set(zip(tl, tl[1:], tl[2:], tl[3:], tl[4:]))
+                ids.append(doc_id)
+                ns.append(n)
+                t2.append(max(c2.values()) / (n - 1))
+                t3.append(max(c3.values()) / (n - 2))
+                d5.append(1.0 - len(g5) / (n - 4))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "n_tokens": ns,
+                        "top2_frac": t2,
+                        "top3_frac": t3,
+                        "dup5_frac": d5,
+                    }
+                )
+
+    out = toks.mapInPandas(
+        gen,
+        f"doc_id {id_type}, n_tokens long, top2_frac double, "
+        "top3_frac double, dup5_frac double",
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        round6(F.col("top2_frac")).alias("top2_frac"),
+        round6(F.col("top3_frac")).alias("top3_frac"),
+        round6(F.col("dup5_frac")).alias("dup5_frac"),
     )

@@ -1,0 +1,148 @@
+"""Web-pipeline hygiene operators for training-data preparation:
+URL canonicalization + URL-duplicate grouping, PII scrubbing, and
+per-domain corpus statistics.
+
+The reference engine ingests a frozen curated corpus (SURVEY §2.1);
+a continuously-crawled training pipeline needs the steps that come
+BEFORE that freeze: collapsing crawl-duplicate URLs (mirror schemes,
+tracking parameters, fragments), redacting personally identifying
+strings from text shards, and per-domain roll-ups for source-level
+filtering decisions. All three are pure column expressions / single
+partial aggregations (JVM-side, codegen'd):
+
+- :func:`canonical_url` — deterministic URL normal form (lowercased
+  scheme+authority, default ports dropped, ``utm_*`` tracking
+  parameters removed, fragment and trailing slash stripped). No UDF:
+  a fixed chain of ``regexp_extract`` / ``regexp_replace`` steps whose
+  patterns avoid backreferences so the same chain runs verbatim in
+  ANSI SQL (the DuckDB oracle replays it character for character).
+- :func:`url_dup_groups` — crawl-duplicate groups keyed by the canon
+  form. ONE hash aggregation with map-side partial counts; at 100 TB
+  the shuffle carries one (canon, count, min_id) triple per distinct
+  canon URL, never the raw rows.
+- :func:`scrub_pii` — email / NANP-style phone / IPv4 redaction with
+  per-doc match counts. One projection, zero shuffles; the match
+  patterns are RE2-safe (no lookaround, no backrefs) so Spark's Java
+  regex and the oracle's RE2 agree.
+- :func:`domain_stats` — per-source doc counts, char volume, language
+  spread and mean quality (reusing :mod:`textstats.quality_scores`
+  channels). One join on doc_id + one 20-ish-row aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from alix_spark.util import round6
+
+# RE2- and Java-compatible: no backreferences, no lookaround.
+EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+PHONE_RE = "\\+[0-9]{1,2}-555-[0-9]{4}"
+IPV4_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+_PREFIX_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+
+
+def canonical_url(col: Column) -> Column:
+    """Canonical form of an absolute URL column.
+
+    Steps (in order, each a single regex pass):
+    1. drop the fragment (``#…``);
+    2. split into authority prefix (``scheme://host[:port]``) and rest;
+    3. lowercase the prefix; drop the scheme's default port
+       (``http…:80`` / ``https…:443``);
+    4. remove ``utm_*`` tracking parameters from the query string,
+       then any dangling ``?`` / ``&`` they leave behind;
+    5. strip one trailing slash.
+
+    Every pattern is backreference-free so the identical chain is
+    expressible in DuckDB SQL (see entry_queries ``url_canon``)."""
+    u = F.regexp_replace(col, "#.*", "")
+    prefix = F.regexp_extract(u, _PREFIX_RE, 0)
+    rest = F.substr(u, F.length(prefix) + F.lit(1))
+    p = F.lower(prefix)
+    p = (
+        F.when(p.startswith("http://"), F.regexp_replace(p, ":80$", ""))
+        .when(p.startswith("https://"), F.regexp_replace(p, ":443$", ""))
+        .otherwise(p)
+    )
+    r = F.regexp_replace(rest, "utm_[a-z]+=[^&#]*&?", "")
+    r = F.regexp_replace(r, "[?&]$", "")
+    r = F.regexp_replace(r, "/$", "")
+    return F.concat(p, r)
+
+
+def url_dup_groups(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """(canon_url, n_urls, keeper): crawl-duplicate groups under
+    :func:`canonical_url`, one row per canon form fetched 2+ times;
+    ``keeper`` is the smallest id (the deterministic survivor the
+    dedup stage would retain)."""
+    return (
+        df.select(
+            F.col(id_col).alias("_id"),
+            canonical_url(F.col(url_col)).alias("canon_url"),
+        )
+        .groupBy("canon_url")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.min("_id").alias("keeper"),
+        )
+        .filter(F.col("n_urls") > 1)
+        .orderBy("canon_url")
+    )
+
+
+def scrub_pii(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_emails, n_phones, n_ips, clean_md5): PII match counts
+    plus the md5 of the redacted text (emails → ``<EMAIL>``, phones →
+    ``<PHONE>``, IPv4 → ``<IP>``, replaced in that order — the order is
+    part of the contract since a later pattern sees the earlier
+    replacements). Counts are taken on the ORIGINAL text."""
+    t = F.col(text_col)
+    clean = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    clean = F.regexp_replace(clean, PHONE_RE, "<PHONE>")
+    clean = F.regexp_replace(clean, IPV4_RE, "<IP>")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.size(F.regexp_extract_all(t, F.lit(IPV4_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_ips"),
+        F.md5(F.encode(clean, "utf-8")).alias("clean_md5"),
+    )
+
+
+def domain_stats(docs: DataFrame) -> DataFrame:
+    """(source, n_docs, sum_chars, n_langs, mean_quality): per-domain
+    roll-up for source-level keep/drop decisions (the step a pipeline
+    runs before committing a domain's shards to the training mix).
+
+    Char counts come from the quality channels (length of the actual
+    text, not a stored column that may drift); docs whose text has no
+    tokens are excluded exactly as in ``quality_scores``. ONE scan —
+    source/lang ride through the quality projection (``carry=``), so
+    the only shuffle is the final ~#domains-row aggregation (a doc_id
+    self-join here would re-shuffle the whole corpus twice)."""
+    from alix_spark.textops.textstats import quality_scores
+
+    q = quality_scores(docs, carry=("source", "lang"))
+    return (
+        q.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            round6(F.avg("quality")).alias("mean_quality"),
+        )
+        .orderBy("source")
+    )

@@ -1,0 +1,124 @@
+"""Unit tests for the web-pipeline hygiene operators (webpipe +
+textstats.repetition_scores) on hand-built fixtures — the contract
+oracle covers the distributional case; these pin the semantics the
+synthetic corpus can't reach (repeated 5-grams, every URL dirt form,
+PII edge shapes)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from alix_spark.textops import textstats, webpipe
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "doc_id long, url string")
+    rows = df.select(webpipe.canonical_url(F.col("url")).alias("c")).collect()
+    return [r["c"] for r in rows]
+
+
+class TestCanonicalUrl:
+    def test_scheme_host_lowered_ports_params_dropped(self, spark):
+        got = _canon(
+            spark,
+            [
+                "HTTP://WWW.Example.COM:80/a/b?utm_source=x&q=1#frag",
+                "https://example.com:443/a/",
+                "https://example.com:8443/a",  # non-default port kept
+                "http://example.com/?utm_campaign=a&utm_medium=b",
+                "http://example.com/p?page=2&utm_term=z",
+            ],
+        )
+        assert got == [
+            "http://www.example.com/a/b?q=1",
+            "https://example.com/a",
+            "https://example.com:8443/a",
+            "http://example.com",
+            "http://example.com/p?page=2",
+        ]
+
+    def test_identical_after_canon_group_together(self, spark):
+        df = spark.createDataFrame(
+            [
+                (3, "HTTP://A.com/x?utm_source=f"),
+                (1, "http://a.com/x#top"),
+                (2, "http://a.com/x/"),
+                (9, "https://b.com/only"),
+            ],
+            "doc_id long, url string",
+        )
+        rows = webpipe.url_dup_groups(df).collect()
+        assert len(rows) == 1
+        assert rows[0]["canon_url"] == "http://a.com/x"
+        assert rows[0]["n_urls"] == 3 and rows[0]["keeper"] == 1
+
+
+class TestScrubPii:
+    def test_counts_and_redaction(self, spark):
+        text = (
+            "write to jane.doe+x@corp.example.org or call +1-555-0199; "
+            "server 192.168.1.10 and 10.0.0.1 are internal"
+        )
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        r = webpipe.scrub_pii(df).collect()[0]
+        assert (r["n_emails"], r["n_phones"], r["n_ips"]) == (1, 1, 2)
+        clean = (
+            "write to <EMAIL> or call <PHONE>; "
+            "server <IP> and <IP> are internal"
+        )
+        assert r["clean_md5"] == hashlib.md5(clean.encode()).hexdigest()
+
+    def test_no_pii_is_all_zero(self, spark):
+        df = spark.createDataFrame([(1, "nothing here")], "doc_id long, text string")
+        r = webpipe.scrub_pii(df).collect()[0]
+        assert (r["n_emails"], r["n_phones"], r["n_ips"]) == (0, 0, 0)
+        assert r["clean_md5"] == hashlib.md5(b"nothing here").hexdigest()
+
+
+class TestRepetition:
+    def test_loop_text_channels(self, spark):
+        # "click here " * 6 -> 12 tokens; top bigram ('click','here') 6
+        # of 11; dup 5-grams: 8 slots, 5 distinct
+        df = spark.createDataFrame(
+            [(1, "click here " * 6), (2, "a b c d e f g h")],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in textstats.repetition_scores(df).collect()}
+        r1 = rows[1]
+        assert r1["n_tokens"] == 12
+        assert r1["top2_frac"] == round(6 / 11, 6) or abs(r1["top2_frac"] - 6 / 11) < 1e-6
+        assert r1["dup5_frac"] > 0.3
+        r2 = rows[2]  # all-distinct text: no repetition anywhere
+        assert r2["top2_frac"] == pytest.approx(1 / 7, abs=1e-6)
+        assert r2["dup5_frac"] == 0.0
+
+    def test_short_docs_excluded(self, spark):
+        df = spark.createDataFrame(
+            [(1, "one two three four"), (2, "one two three four five")],
+            "doc_id long, text string",
+        )
+        got = [r["doc_id"] for r in textstats.repetition_scores(df).collect()]
+        assert got == [2]
+
+
+class TestDomainStats:
+    def test_rollup(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "the and of to in is a", "en", "s1"),
+                (2, "the the the the the", "en", "s1"),
+                (3, "le la les de et un est", "fr", "s2"),
+                (4, "", "fr", "s2"),  # tokenless: excluded
+            ],
+            "doc_id long, text string, lang string, source string",
+        )
+        rows = {r["source"]: r for r in webpipe.domain_stats(df).collect()}
+        assert rows["s1"]["n_docs"] == 2 and rows["s2"]["n_docs"] == 1
+        assert rows["s1"]["n_langs"] == 1
+        assert rows["s1"]["sum_chars"] == len("the and of to in is a") + len(
+            "the the the the the"
+        )
+        assert 0.0 < rows["s1"]["mean_quality"] < 1.0
