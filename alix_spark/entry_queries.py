@@ -781,6 +781,14 @@ def q_dedup_minhash(spark, sf_dir):
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.08)
 
 
+def q_dedup_groups(spark, sf_dir):
+    """Connected components over the Jaccard near-dup pair graph →
+    (doc_id, group_id) keeper assignment; oracle = recursive-CTE
+    transitive closure over the same pair SQL."""
+    pairs = dedup.jaccard_pairs(_docs(spark, sf_dir), threshold=0.08)
+    return dedup.dup_groups(pairs)
+
+
 def q_dedup_simhash(spark, sf_dir):
     # fully oracle-checked: 60-bit md5-based fingerprints are
     # reproducible in SQL (bit ops + weighted per-bit sums)
@@ -983,7 +991,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- ranking
         "bm25_wand_and": q_bm25_wand_and,
         "bm25_wand_or": q_bm25_wand_or,
-        "sim_chi2": q_sim_chi2,
         "mixed_term_or": q_mixed_term_or,
         "phrase_wand": q_phrase_wand,
         "near_match": q_near_match,
@@ -1024,6 +1031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canon": q_url_canon,
         "pii_scrub": q_pii_scrub,
         "domain_stats": q_domain_stats,
+        "dedup_groups": q_dedup_groups,
         # ---- driver window boundary (entry 50) ----
         # structural always-greens, every one green in r03; ann_lsh /
         # logdice / simplemaths / jaccard are green-r03 siblings of
@@ -1032,11 +1040,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cooc_window / cooc_matrix / kwic / snippet_topk rotated out
         # earlier this round for the four PartScorer variants;
         # bm25_and / keyness_g2 / ann_cosine / dedup_simhash rotated
-        # out for the four webpipe ops. All eight are r03-GREEN and
-        # their CODE PATHS have no r04 diff (bm25.py / keyness.py /
-        # similarity.py untouched; dedup.py and cooc.py diffs are
-        # append-only new functions), so every rotated query's last
+        # out for the four webpipe ops; sim_chi2 for dedup_groups. All
+        # nine are r03-GREEN and their CODE PATHS have no r04 diff
+        # (bm25.py / keyness.py / similarity.py untouched; dedup.py,
+        # cooc.py and similarities.py diffs are append-only new
+        # functions/branches), so every rotated query's last
         # driver-visible green row stays <=1 round old.
+        "sim_chi2": q_sim_chi2,
         "bm25_and": q_bm25_and,
         "keyness_g2": q_keyness_g2,
         "ann_cosine": q_ann_cosine,
@@ -1979,6 +1989,46 @@ inter AS (
 SELECT doc_a, doc_b, floor((i * 1.0 / (na + nb - i)) * 1000000.0 + 0.5) / 1000000.0 AS jac
 FROM inter WHERE floor((i * 1.0 / (na + nb - i)) * 1000000.0 + 0.5) / 1000000.0 >= 0.08
 ORDER BY doc_a, doc_b
+"""
+
+    # connected components over the SAME jaccard pair set: recursive
+    # transitive closure (components are small near-dup clusters, so
+    # the closure is bounded by sum of component sizes squared) then
+    # min reachable id per node — exactly dup_groups' fixpoint.
+    sqls["dedup_groups"] = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(l) - 2, 0)),
+           i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS shingles
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS l
+        FROM documents)
+),
+shn AS (SELECT doc_id, shingles, len(shingles) AS n_sh FROM sh WHERE len(shingles) > 0),
+ex AS (SELECT doc_id, n_sh, unnest(shingles) AS s FROM shn),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+         count(*) AS i
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+),
+p AS (
+  SELECT doc_a, doc_b FROM inter
+  WHERE floor((i * 1.0 / (na + nb - i)) * 1000000.0 + 0.5) / 1000000.0 >= 0.08
+),
+e AS (
+  SELECT doc_a AS s, doc_b AS d FROM p
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM p
+),
+reach(s, d) AS (
+  SELECT s, s AS d FROM (SELECT DISTINCT s FROM e) t
+  UNION
+  SELECT r.s, e2.d FROM reach r JOIN e e2 ON r.d = e2.s
+)
+SELECT s AS doc_id, min(d) AS group_id FROM reach GROUP BY s ORDER BY doc_id
 """
 
     # banded MinHash LSH, exactly as the Spark side computes it: the

@@ -436,3 +436,71 @@ def embedding_dup_pairs(
         scored.filter(F.col("cos") >= F.lit(threshold))
         .orderBy("id_a", "id_b")
     )
+
+
+def dup_groups(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(doc_id, group_id): connected components of a near-dup pair
+    graph; ``group_id`` is the component's minimum doc id — the keeper
+    a dedup stage retains, every other member is the drop list. Docs
+    with no dup pair never appear (they keep themselves trivially).
+
+    This is the missing step between the pair-emitting tiers
+    (jaccard/minhash/simhash/embedding) and an actionable keep/drop
+    decision: transitive near-dups (A~B, B~C, A!~C) must land in ONE
+    group or the pipeline keeps two of the three copies.
+
+    Scale shape: distributed min-label propagation — labels start at
+    the node id and each round every node takes the min of its own and
+    its neighbors' labels, converging in O(component diameter) rounds
+    (dup clusters are cliques/short chains, 2-3 rounds in practice;
+    for adversarially long paths GraphX-style large/small-star halves
+    the rounds but the per-round plan is the same join+agg). Each
+    round is ONE shuffle join + ONE aggregation over the edge list;
+    lineage is cut per round with an eager localCheckpoint so the plan
+    and the convergence check never re-execute prior rounds."""
+    e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = (
+        e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new = (
+            labels.join(nbr, labels["node"] == nbr["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+        )
+        done = changed.isEmpty()
+        labels = new
+        if done:
+            return labels.select(
+                F.col("node").alias("doc_id"), F.col("label").alias("group_id")
+            ).orderBy("doc_id")
+    raise RuntimeError(
+        f"dup_groups did not converge in {max_iter} rounds — component "
+        "diameter exceeds the bound; raise max_iter"
+    )

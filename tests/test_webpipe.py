@@ -122,3 +122,34 @@ class TestDomainStats:
             "the the the the the"
         )
         assert 0.0 < rows["s1"]["mean_quality"] < 1.0
+
+
+class TestDupGroups:
+    def test_transitive_chain_and_cliques(self, spark):
+        from alix_spark.textops.dedup import dup_groups
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (3, 7)],
+            "doc_a long, doc_b long",
+        )
+        got = {r["doc_id"]: r["group_id"] for r in dup_groups(pairs).collect()}
+        assert got == {
+            1: 1, 2: 1, 3: 1, 7: 1,          # chain 1-2-3-7: transitive
+            10: 10, 11: 10,
+            20: 20, 21: 20, 22: 20, 23: 20,
+        }
+
+    def test_reversed_edge_direction_is_symmetric(self, spark):
+        from alix_spark.textops.dedup import dup_groups
+
+        pairs = spark.createDataFrame(
+            [(5, 1), (2, 5)], "doc_a long, doc_b long"
+        )
+        got = {r["doc_id"]: r["group_id"] for r in dup_groups(pairs).collect()}
+        assert got == {1: 1, 2: 1, 5: 1}
+
+    def test_empty_pairs(self, spark):
+        from alix_spark.textops.dedup import dup_groups
+
+        pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+        assert dup_groups(pairs).count() == 0
