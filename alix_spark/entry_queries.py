@@ -925,6 +925,13 @@ def q_domain_stats(spark, sf_dir):
     return webpipe.domain_stats(_docs(spark, sf_dir))
 
 
+def q_training_shard(spark, sf_dir):
+    """The composed preparation pipeline: near-dup keeper selection →
+    quality gate → repetition gate → PII scrub. Oracle = one SQL
+    assembling the same verified stage CTEs."""
+    return webpipe.training_shard(_docs(spark, sf_dir))
+
+
 def q_multimodal_meta(spark, sf_dir):
     return multimodal.as_media_table(_docs(spark, sf_dir)).select(
         "media_id", "mime", "n_bytes"
@@ -995,7 +1002,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_wand": q_phrase_wand,
         "near_match": q_near_match,
         # --- multimodal (rows-only: stubbed codec seam)
-        "multimodal_features": q_multimodal_features,
         "multimodal_image_pipeline": q_multimodal_image_pipeline,
         # --- chrono (red in r03 — oracle type fix needs a fresh row)
         "chrono_channels": q_chrono_channels,
@@ -1032,6 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "domain_stats": q_domain_stats,
         "dedup_groups": q_dedup_groups,
+        "training_shard": q_training_shard,
         # ---- driver window boundary (entry 50) ----
         # structural always-greens, every one green in r03; ann_lsh /
         # logdice / simplemaths / jaccard are green-r03 siblings of
@@ -1040,13 +1047,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cooc_window / cooc_matrix / kwic / snippet_topk rotated out
         # earlier this round for the four PartScorer variants;
         # bm25_and / keyness_g2 / ann_cosine / dedup_simhash rotated
-        # out for the four webpipe ops; sim_chi2 for dedup_groups. All
-        # nine are r03-GREEN and their CODE PATHS have no r04 diff
-        # (bm25.py / keyness.py / similarity.py untouched; dedup.py,
-        # cooc.py and similarities.py diffs are append-only new
-        # functions/branches), so every rotated query's last
-        # driver-visible green row stays <=1 round old.
+        # out for the four webpipe ops; sim_chi2 for dedup_groups;
+        # multimodal_features (rows-only in every round — multimodal.py
+        # has no r04 diff and multimodal_image_pipeline covers the
+        # deeper path in-window) for training_shard. All rotated
+        # queries are r03-GREEN (or r03 rows-only for the no-oracle
+        # multimodal row) and their CODE PATHS have no r04 diff
+        # (bm25.py / keyness.py / similarity.py / multimodal.py
+        # untouched; dedup.py, cooc.py and similarities.py diffs are
+        # append-only new functions/branches), so every rotated
+        # query's last driver-visible row stays <=1 round old.
         "sim_chi2": q_sim_chi2,
+        "multimodal_features": q_multimodal_features,
         "bm25_and": q_bm25_and,
         "keyness_g2": q_keyness_g2,
         "ann_cosine": q_ann_cosine,
@@ -1147,6 +1159,8 @@ LIMIT 50
 
 def oracle_sql() -> dict[str, str]:
     sqls: dict[str, str] = {}
+    # shared by the quality / domain_stats / training_shard oracles
+    stop_list = ", ".join(f"'{w}'" for w in textstats.STOPWORDS)
 
     sqls["term_dict"] = f"""
 WITH {TOKS_CTE}
@@ -2031,6 +2045,93 @@ reach(s, d) AS (
 SELECT s AS doc_id, min(d) AS group_id FROM reach GROUP BY s ORDER BY doc_id
 """
 
+    # the composed pipeline: the SAME stage CTEs as repetition /
+    # quality / dedup_groups / pii_scrub, assembled with the gates
+    # training_shard applies (drop non-keepers, quality >= 0.5,
+    # top2_frac <= 0.1, scrub survivors)
+    sqls["training_shard"] = f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents
+),
+d AS (SELECT doc_id, l, len(l) AS n FROM t WHERE len(l) >= 5),
+b2 AS (
+  SELECT doc_id, max(cnt) AS m2 FROM (
+    SELECT doc_id, g, count(*) AS cnt
+    FROM (SELECT doc_id,
+                 unnest(list_transform(range(1, n),
+                        i -> l[i] || ' ' || l[i + 1])) AS g
+          FROM d)
+    GROUP BY doc_id, g)
+  GROUP BY doc_id
+),
+rep AS (
+  SELECT d.doc_id, d.n,
+         {sql_round6('m2 / CAST(d.n - 1 AS DOUBLE)')} AS top2_frac
+  FROM d JOIN b2 USING (doc_id)
+),
+base AS (
+  SELECT doc_id, len(l) AS n_tokens, len(list_distinct(l)) AS n_types,
+         len(list_filter(l, x -> x IN ({stop_list}))) AS n_stop
+  FROM t WHERE len(l) > 0
+),
+q AS (
+  SELECT doc_id,
+         {sql_round6(
+             '0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)'
+             ' + 0.3 * (n_types / CAST(n_tokens AS DOUBLE))'
+             ' + 0.3 * (1.0 - abs(n_stop / CAST(n_tokens AS DOUBLE) - 0.4))'
+         )} AS quality
+  FROM base
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(l) - 2, 0)),
+           i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS shingles
+  FROM t
+),
+shn AS (SELECT doc_id, shingles, len(shingles) AS n_sh FROM sh WHERE len(shingles) > 0),
+ex AS (SELECT doc_id, n_sh, unnest(shingles) AS s FROM shn),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+         count(*) AS i
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+),
+p AS (
+  SELECT doc_a, doc_b FROM inter
+  WHERE floor((i * 1.0 / (na + nb - i)) * 1000000.0 + 0.5) / 1000000.0 >= 0.08
+),
+e AS (
+  SELECT doc_a AS s, doc_b AS d FROM p
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM p
+),
+reach(s, d) AS (
+  SELECT s, s AS d FROM (SELECT DISTINCT s FROM e) t2
+  UNION
+  SELECT r.s, e2.d FROM reach r JOIN e e2 ON r.d = e2.s
+),
+drops AS (SELECT s AS doc_id FROM reach GROUP BY s HAVING s <> min(d)),
+scrub AS (
+  SELECT doc_id,
+         md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '{webpipe.EMAIL_RE}', '<EMAIL>', 'g'),
+             '{webpipe.PHONE_RE}', '<PHONE>', 'g'),
+             '{webpipe.IPV4_RE}', '<IP>', 'g')) AS clean_md5
+  FROM documents
+)
+SELECT rep.doc_id, CAST(rep.n AS BIGINT) AS n_tokens, q.quality,
+       rep.top2_frac, scrub.clean_md5
+FROM rep JOIN q USING (doc_id) JOIN scrub USING (doc_id)
+WHERE rep.doc_id NOT IN (SELECT doc_id FROM drops)
+  AND q.quality >= 0.5 AND rep.top2_frac <= 0.1
+ORDER BY rep.doc_id
+"""
+
     # banded MinHash LSH, exactly as the Spark side computes it: the
     # md5-60bit shingle hash and the literal permutation constants
     # (dedup.minhash_perms, same seed) are shared, so signatures,
@@ -2272,7 +2373,6 @@ SELECT doc_id, de, en, es, fr,
 FROM scores ORDER BY doc_id
 """
 
-    stop_list = ", ".join(f"'{w}'" for w in textstats.STOPWORDS)
     sqls["quality"] = f"""
 WITH t AS (
   SELECT doc_id, length(text) AS n_chars,

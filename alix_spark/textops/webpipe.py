@@ -146,3 +146,50 @@ def domain_stats(docs: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def training_shard(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    max_top2: float = 0.1,
+    jaccard_threshold: float = 0.08,
+) -> DataFrame:
+    """(doc_id, n_tokens, quality, top2_frac, clean_md5): the composed
+    preparation pipeline — which documents make it into a training
+    shard, and their scrubbed payload hash:
+
+    1. near-dup keeper selection: Jaccard pairs → connected components
+       (:func:`alix_spark.textops.dedup.dup_groups`), non-keepers drop;
+    2. quality gate (``quality >= min_quality``);
+    3. repetition gate (``top2_frac <= max_top2``; sub-5-token docs
+       are out by construction);
+    4. PII scrub of the survivors' text (md5 of the redacted payload).
+
+    Each stage is the already-tested standalone operator; this op pins
+    the WIRING (drop lists anti-join, gate order, column contracts) so
+    a pipeline user composes one call instead of five. All joins are
+    doc_id-keyed, so at scale AQE coalesces them onto one partitioning;
+    the only non-doc_id shuffles are inside the pair/CC stages."""
+    from alix_spark.textops.dedup import dup_groups, jaccard_pairs
+    from alix_spark.textops.textstats import quality_scores, repetition_scores
+
+    pairs = jaccard_pairs(docs, threshold=jaccard_threshold)
+    drops = (
+        dup_groups(pairs)
+        .filter(F.col("doc_id") != F.col("group_id"))
+        .select("doc_id")
+    )
+    q = quality_scores(docs).select("doc_id", "quality")
+    rep = repetition_scores(docs).select("doc_id", "n_tokens", "top2_frac")
+    scrub = scrub_pii(docs).select("doc_id", "clean_md5")
+    return (
+        rep.join(q, "doc_id")
+        .join(drops, "doc_id", "left_anti")
+        .filter(
+            (F.col("quality") >= F.lit(min_quality))
+            & (F.col("top2_frac") <= F.lit(max_top2))
+        )
+        .join(scrub, "doc_id")
+        .select("doc_id", "n_tokens", "quality", "top2_frac", "clean_md5")
+        .orderBy("doc_id")
+    )

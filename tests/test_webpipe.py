@@ -153,3 +153,27 @@ class TestDupGroups:
 
         pairs = spark.createDataFrame([], "doc_a long, doc_b long")
         assert dup_groups(pairs).count() == 0
+
+
+class TestTrainingShard:
+    def test_each_gate_drops_its_doc(self, spark):
+        stop = "the and of to in is a"  # stop-heavy base for quality
+        good = f"{stop} quick brown fox jumps over lazy dog near river"
+        dup = good + " tail"  # near-dup of good (high shingle overlap)
+        loopy = ("spam ham " * 20).strip()  # top2 repetition
+        junk = "zxq zxq wvu wvu tsr"  # no stopwords, low ttr: quality .38
+        docs = spark.createDataFrame(
+            [(1, good), (2, dup), (3, loopy), (4, junk), (5, "tiny doc")],
+            "doc_id long, text string",
+        )
+        kept = webpipe.training_shard(
+            docs, min_quality=0.5, max_top2=0.4, jaccard_threshold=0.5
+        )
+        rows = {r["doc_id"]: r for r in kept.collect()}
+        # 2 = near-dup non-keeper, 3 = repetition, 4 = quality,
+        # 5 = sub-5-token; only the keeper survives
+        assert set(rows) == {1}
+        import hashlib
+
+        assert rows[1]["clean_md5"] == hashlib.md5(good.encode()).hexdigest()
+        assert rows[1]["n_tokens"] == len(good.split())
