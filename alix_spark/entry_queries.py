@@ -932,6 +932,45 @@ def q_training_shard(spark, sf_dir):
     return webpipe.training_shard(_docs(spark, sf_dir))
 
 
+# Sample rates for the stratified-sample contract query: thresholds are
+# integer literals computed HERE once and embedded verbatim in both the
+# Spark when-chain and the oracle CASE, so float rounding can never
+# split the engines.
+SAMPLE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+SAMPLE_DEFAULT = 0.1
+SAMPLE_SEED = "alix"
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination: every 17th doc plays the eval set,
+    the rest are the training corpus; distinct trigram overlap per
+    train doc (clean docs appear with n_hit = 0)."""
+    docs = _docs(spark, sf_dir)
+    return webpipe.contamination(
+        docs.filter(F.col("doc_id") % 17 != 0),
+        docs.filter(F.col("doc_id") % 17 == 0),
+        n=3,
+    )
+
+
+def q_pack_shards(spark, sf_dir):
+    """Deterministic token-budget shard packing (budget 2000 → ~14
+    shards at sf0.01); oracle = the naive global-window prefix sum the
+    distributed two-pass plan must reproduce exactly."""
+    return webpipe.pack_shards(_docs(spark, sf_dir), budget=2000)
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-source mix sampling: src0 kept whole, src1
+    halved, src2 quartered, everything else at 10%."""
+    return webpipe.stratified_sample(
+        _docs(spark, sf_dir),
+        SAMPLE_RATES,
+        default_rate=SAMPLE_DEFAULT,
+        seed=SAMPLE_SEED,
+    )
+
+
 def q_multimodal_meta(spark, sf_dir):
     return multimodal.as_media_table(_docs(spark, sf_dir)).select(
         "media_id", "mime", "n_bytes"
@@ -1001,8 +1040,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixed_term_or": q_mixed_term_or,
         "phrase_wand": q_phrase_wand,
         "near_match": q_near_match,
-        # --- multimodal (rows-only: stubbed codec seam)
-        "multimodal_image_pipeline": q_multimodal_image_pipeline,
         # --- chrono (red in r03 — oracle type fix needs a fresh row)
         "chrono_channels": q_chrono_channels,
         "ann_ivf_fullprobe": q_ann_ivf_fullprobe,
@@ -1011,7 +1048,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooc_profile_scored": q_cooc_profile_scored,
         "theme_bm25": q_theme_bm25,
         "theme_irdf": q_theme_irdf,
-        "doc_vectors": q_doc_vectors,
         "part_keyness_min": q_part_keyness_min,
         "part_keyness_tail": q_part_keyness_tail,
         # --- new this round: the four remaining PartScorer variants
@@ -1031,7 +1067,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # both r03-green, and the r04 dedup.py diff is append-only —
         # the embedding tier — so their code paths are unchanged)
         "dedup_embedding": q_dedup_embedding,
-        "ann_ivf": q_ann_ivf,
         # --- new this round: web-pipeline hygiene ops
         "repetition": q_repetition,
         "url_canon": q_url_canon,
@@ -1039,6 +1074,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "dedup_groups": q_dedup_groups,
         "training_shard": q_training_shard,
+        # --- new this session: training-mix preparation ops.
+        # Rotated out to make room (policy: every rotated query is
+        # r03-checked and its code path has NO r04 diff): ann_ivf
+        # (rows-only every round; similarity.py untouched in r04,
+        # ann_ivf_fullprobe keeps the deeper IVF path oracled
+        # in-window), doc_vectors (r03 green; theme.doc_term_weights
+        # untouched — the r04 theme.py diff is theme_weights_focus
+        # only), multimodal_image_pipeline (rows-only; multimodal.py
+        # untouched, multimodal_meta stays oracled in the tail).
+        "contamination": q_contamination,
+        "pack_shards": q_pack_shards,
+        "stratified_sample": q_stratified_sample,
         # ---- driver window boundary (entry 50) ----
         # structural always-greens, every one green in r03; ann_lsh /
         # logdice / simplemaths / jaccard are green-r03 siblings of
@@ -1088,6 +1135,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_counts": q_facet_counts,
         "time_histogram": q_time_histogram,
         "lang_id": q_lang_id,
+        # rotated out this session for the training-mix ops (all
+        # r03-checked, code paths untouched in r04 — see the window
+        # comment above)
+        "doc_vectors": q_doc_vectors,
+        "ann_ivf": q_ann_ivf,
+        "multimodal_image_pipeline": q_multimodal_image_pipeline,
     }
 
 
@@ -2542,6 +2595,80 @@ SELECT d.source AS source, CAST(count(*) AS BIGINT) AS n_docs,
        {sql_round6('avg(q.quality)')} AS mean_quality
 FROM q JOIN documents d USING (doc_id)
 GROUP BY d.source ORDER BY d.source
+"""
+
+    # same shingle contract as dedup_jaccard (space-joined lowercase
+    # token trigrams, distinct); eval set = every 17th doc
+    sqls["contamination"] = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(l) - 2, 0)),
+           i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS shingles
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS l
+        FROM documents)
+),
+train AS (SELECT doc_id, shingles, len(shingles) AS n_grams
+          FROM base WHERE doc_id % 17 <> 0 AND len(shingles) > 0),
+ev AS (SELECT DISTINCT unnest(shingles) AS s
+       FROM base WHERE doc_id % 17 = 0 AND len(shingles) > 0),
+hits AS (
+  SELECT t.doc_id, count(*) AS n_hit
+  FROM (SELECT doc_id, unnest(shingles) AS s FROM train) t
+  JOIN ev USING (s)
+  GROUP BY t.doc_id
+)
+SELECT t.doc_id, CAST(t.n_grams AS BIGINT) AS n_grams,
+       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       {sql_round6('coalesce(h.n_hit, 0) / CAST(t.n_grams AS DOUBLE)')}
+         AS hit_frac
+FROM train t LEFT JOIN hits h USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+    # the naive global-window prefix sum the distributed two-pass plan
+    # must reproduce exactly (budget 2000, matching q_pack_shards)
+    sqls["pack_shards"] = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(coalesce(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                       x -> x <> '')), 0) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS tok_offset
+  FROM t
+)
+SELECT doc_id, n_tokens, tok_offset,
+       CAST(tok_offset // 2000 AS BIGINT) AS shard_id
+FROM o ORDER BY doc_id
+"""
+
+    # thresholds are the SAME integers the Spark when-chain embeds
+    # (int(rate * 2^24), computed from SAMPLE_RATES once)
+    scale = 1 << 24
+    cases = " ".join(
+        f"WHEN '{k}' THEN {int(SAMPLE_RATES[k] * scale)}"
+        for k in sorted(SAMPLE_RATES)
+    )
+    sqls["stratified_sample"] = f"""
+WITH k AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5('{SAMPLE_SEED}:' || CAST(doc_id AS VARCHAR)),
+                              1, 6)) AS BIGINT) AS sample_key
+  FROM documents
+)
+SELECT doc_id, source AS stratum, sample_key
+FROM k
+WHERE sample_key < CASE source {cases}
+        ELSE {int(SAMPLE_DEFAULT * scale)} END
+ORDER BY doc_id
 """
 
     return sqls

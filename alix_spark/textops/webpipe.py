@@ -31,6 +31,7 @@ partial aggregations (JVM-side, codegen'd):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -145,6 +146,190 @@ def domain_stats(docs: DataFrame) -> DataFrame:
             round6(F.avg("quality")).alias("mean_quality"),
         )
         .orderBy("source")
+    )
+
+
+def contamination(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_grams, n_hit, hit_frac): benchmark decontamination —
+    per training doc, how many of its distinct word n-grams also occur
+    anywhere in the evaluation set. The step every training pipeline
+    runs before freezing a mix: a doc sharing verbatim n-grams with a
+    benchmark leaks test answers into the weights.
+
+    Scale shape: the eval side collapses to ONE distinct shingle set —
+    eval suites are thousands of docs, so it broadcasts (count-guarded
+    via :func:`alix_spark.util.maybe_broadcast`) and the corpus-side
+    explode→semi-join never shuffles the corpus on the shingle key; the
+    only corpus-wide shuffle is the final doc_id-keyed count. Shingles
+    are the same space-joined lowercase token n-grams as the dedup
+    tiers (:func:`alix_spark.textops.dedup.doc_shingles`), so the
+    DuckDB oracle replays the contract exactly. Clean docs appear with
+    n_hit = 0 (the pipeline gates on hit_frac downstream; silently
+    dropping clean docs would make the report unusable as a join side)."""
+    from alix_spark.textops.dedup import doc_shingles
+    from alix_spark.util import maybe_broadcast
+
+    train = doc_shingles(docs, id_col, text_col, n=n)
+    ev = (
+        doc_shingles(eval_docs, id_col, text_col, n=n)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    hits = (
+        train.select("doc_id", F.explode("shingles").alias("s"))
+        .join(maybe_broadcast(ev), "s", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_hit"))
+    )
+    n_hit = F.coalesce(F.col("n_hit"), F.lit(0)).cast("long")
+    return (
+        train.select("doc_id", F.col("n_sh").alias("n_grams"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            n_hit.alias("n_hit"),
+            round6(n_hit.cast("double") / F.col("n_grams")).alias("hit_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def pack_shards(
+    docs: DataFrame,
+    budget: int = 1 << 22,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_parts: int | None = None,
+) -> DataFrame:
+    """(doc_id, n_tokens, tok_offset, shard_id): deterministic
+    token-budget shard packing — docs in doc_id order, ``tok_offset``
+    the global running token total before the doc, ``shard_id`` =
+    tok_offset // budget (contiguous shards; a shard overruns the
+    budget by at most its last doc, the standard writer contract).
+
+    A naive global window (``sum() over (order by doc_id)``) funnels
+    the whole corpus through ONE task. Here the prefix sum is
+    distributed: range-partition on doc_id (ascending ranges land on
+    ascending partition ids), pin the split with an eager
+    localCheckpoint (the totals pass and the scan pass MUST see the
+    same assignment — RangePartitioner's sampling is not re-run
+    identically across jobs), aggregate one (pid, Σtokens) row per
+    partition (≤ #partitions rows collected, like the per-shard
+    manifests), prefix-sum those on the driver, then a single
+    Arrow-batched pass adds each partition's offset to its local
+    running cumsum — batches arrive in order within a partition, so
+    the carry is a scalar. ONE corpus shuffle total; no global sort,
+    no second window shuffle."""
+    from alix_spark.textops.textstats import token_counts
+    from alix_spark.util import ensure_py_files
+
+    ensure_py_files(docs.sparkSession)
+    sized = token_counts(docs, id_col, text_col).select(
+        "doc_id",
+        F.coalesce(F.col("ws_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+    )
+    if num_parts is None:
+        num_parts = int(
+            docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    ranged = (
+        sized.repartitionByRange(num_parts, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = {
+        r["pid"]: r["t"]
+        for r in ranged.groupBy("pid").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    offsets, off = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = off
+        off += totals[pid]
+    id_type = ranged.schema["doc_id"].dataType.simpleString()
+
+    def gen(it):
+        part_off = None
+        run = 0
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            if part_off is None:
+                part_off = offsets.get(int(pdf["pid"].iloc[0]), 0)
+            before = pdf["n_tokens"].cumsum() - pdf["n_tokens"]
+            tok_off = part_off + run + before
+            run += int(pdf["n_tokens"].sum())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tokens": pdf["n_tokens"],
+                    "tok_offset": tok_off,
+                    "shard_id": tok_off // budget,
+                }
+            )
+
+    return ranged.mapInPandas(
+        gen,
+        f"doc_id {id_type}, n_tokens long, tok_offset long, shard_id long",
+    ).orderBy("doc_id")
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    seed: str = "alix",
+    id_col: str = "doc_id",
+    strat_col: str = "source",
+) -> DataFrame:
+    """(doc_id, stratum, sample_key): deterministic per-stratum
+    sampling — the mix-weighting step that up/down-samples sources
+    into a training blend. Each doc draws a uniform 24-bit key from
+    ``md5(seed ':' doc_id)`` and survives iff key < rate·2²⁴ for its
+    stratum's rate (unknown strata use ``default_rate``).
+
+    Pure codegen projection + filter — zero shuffles, no RNG state:
+    the same (seed, doc_id) always lands on the same side of the cut,
+    so reruns, retries and incremental appends sample consistently
+    (a ``df.sample()`` draw changes membership under AQE retries and
+    cannot be replayed in SQL). Thresholds are integer literals
+    computed ONCE here, so the DuckDB oracle embeds the identical
+    integers and float rounding can never split the engines."""
+    key = F.conv(
+        F.substring(
+            F.md5(
+                F.encode(
+                    F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")),
+                    "utf-8",
+                )
+            ),
+            1,
+            6,
+        ),
+        16,
+        10,
+    ).cast("long")
+    scale = 1 << 24
+    thr: Column = F.lit(int(default_rate * scale))
+    for stratum in sorted(rates):
+        thr = F.when(
+            F.col(strat_col) == stratum, F.lit(int(rates[stratum] * scale))
+        ).otherwise(thr)
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(strat_col).alias("stratum"),
+            key.alias("sample_key"),
+        )
+        .filter(F.col("sample_key") < thr)
+        .orderBy("doc_id")
     )
 
 

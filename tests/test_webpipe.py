@@ -155,6 +155,106 @@ class TestDupGroups:
         assert dup_groups(pairs).count() == 0
 
 
+class TestContamination:
+    def test_overlap_counts(self, spark):
+        ev = spark.createDataFrame(
+            [(100, "the quick brown fox jumps")], "doc_id long, text string"
+        )
+        train = spark.createDataFrame(
+            [
+                (1, "the quick brown fox runs away"),
+                (2, "completely different text entirely here"),
+                (3, "too short"),  # < 3 tokens: no trigram, no row
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in webpipe.contamination(train, ev).collect()}
+        assert set(rows) == {1, 2}
+        # doc1 trigrams: 'the quick brown', 'quick brown fox',
+        # 'brown fox runs', 'fox runs away' — first two hit the eval set
+        assert (rows[1]["n_grams"], rows[1]["n_hit"]) == (4, 2)
+        assert rows[1]["hit_frac"] == pytest.approx(0.5, abs=1e-9)
+        # clean docs stay in the report with zero hits
+        assert (rows[2]["n_grams"], rows[2]["n_hit"]) == (3, 0)
+        assert rows[2]["hit_frac"] == 0.0
+
+    def test_duplicate_eval_docs_do_not_double_count(self, spark):
+        ev = spark.createDataFrame(
+            [(100, "a b c d"), (101, "a b c d")], "doc_id long, text string"
+        )
+        train = spark.createDataFrame([(1, "a b c x")], "doc_id long, text string")
+        r = webpipe.contamination(train, ev).collect()[0]
+        assert (r["n_grams"], r["n_hit"]) == (2, 1)  # only 'a b c' hits
+
+
+class TestPackShards:
+    def test_offsets_and_boundaries(self, spark):
+        docs = spark.createDataFrame(
+            [(i, " ".join(["w"] * n)) for i, n in enumerate([4, 3, 5, 2, 6])],
+            "doc_id long, text string",
+        )
+        rows = {
+            r["doc_id"]: r for r in webpipe.pack_shards(docs, budget=7).collect()
+        }
+        # running offsets 0,4,7,12,14 -> shards 0,0,1,1,2
+        assert [rows[i]["tok_offset"] for i in range(5)] == [0, 4, 7, 12, 14]
+        assert [rows[i]["shard_id"] for i in range(5)] == [0, 0, 1, 1, 2]
+
+    def test_partitioning_invariance(self, spark):
+        docs = spark.createDataFrame(
+            [(i, " ".join(["tok"] * (1 + i % 9))) for i in range(200)],
+            "doc_id long, text string",
+        )
+        one = webpipe.pack_shards(docs, budget=50, num_parts=1).collect()
+        many = webpipe.pack_shards(docs, budget=50, num_parts=7).collect()
+        assert [tuple(r) for r in one] == [tuple(r) for r in many]
+
+    def test_empty_text_occupies_no_budget(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b c"), (2, ""), (3, "d e")], "doc_id long, text string"
+        )
+        rows = {r["doc_id"]: r for r in webpipe.pack_shards(docs, budget=4).collect()}
+        assert rows[2]["n_tokens"] == 0
+        assert rows[2]["tok_offset"] == 3 and rows[3]["tok_offset"] == 3
+
+
+class TestStratifiedSample:
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [(i, f"s{i % 3}") for i in range(90)], "doc_id long, source string"
+        )
+
+    def test_rate_one_keeps_all_rate_zero_drops_all(self, spark):
+        docs = self._docs(spark)
+        got = webpipe.stratified_sample(docs, {"s0": 1.0, "s1": 0.0}).collect()
+        strata = {r["stratum"] for r in got}
+        assert strata == {"s0"}  # s1 zeroed, s2 at default 0.0
+        assert len(got) == 30
+        assert all(0 <= r["sample_key"] < (1 << 24) for r in got)
+
+    def test_default_rate_applies_to_unknown_strata(self, spark):
+        docs = self._docs(spark)
+        got = webpipe.stratified_sample(docs, {"s0": 0.0}, default_rate=1.0).collect()
+        assert {r["stratum"] for r in got} == {"s1", "s2"}
+        assert len(got) == 60
+
+    def test_deterministic_and_seed_sensitive(self, spark):
+        docs = self._docs(spark)
+        a = webpipe.stratified_sample(docs, {}, default_rate=0.5, seed="x").collect()
+        b = webpipe.stratified_sample(docs, {}, default_rate=0.5, seed="x").collect()
+        c = webpipe.stratified_sample(docs, {}, default_rate=0.5, seed="y").collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+        assert {r["doc_id"] for r in a} != {r["doc_id"] for r in c}
+
+    def test_membership_is_monotone_in_rate(self, spark):
+        # a doc kept at rate r stays kept at any r' > r (the property
+        # that makes incremental mix re-weighting consistent)
+        docs = self._docs(spark)
+        lo = {r["doc_id"] for r in webpipe.stratified_sample(docs, {}, 0.3).collect()}
+        hi = {r["doc_id"] for r in webpipe.stratified_sample(docs, {}, 0.7).collect()}
+        assert lo <= hi
+
+
 class TestTrainingShard:
     def test_each_gate_drops_its_doc(self, spark):
         stop = "the and of to in is a"  # stop-heavy base for quality
