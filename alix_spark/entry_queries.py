@@ -896,7 +896,7 @@ PII_TEXT_EXPR = (
     "text || CASE "
     "WHEN doc_id % 4 = 0 THEN ' reach user' || CAST(doc_id AS STRING) "
     "|| '@mail.example.org asap' "
-    "WHEN doc_id % 4 = 1 THEN ' dial +1-555-' "
+    "WHEN doc_id % 4 = 1 THEN ' dial +1-212-555-' "
     "|| lpad(CAST(doc_id % 10000 AS STRING), 4, '0') || ' now' "
     "WHEN doc_id % 4 = 2 THEN ' host 10.0.' || CAST(doc_id % 256 AS STRING) "
     "|| '.' || CAST((doc_id * 3) % 256 AS STRING) || ' up' "
@@ -2526,8 +2526,10 @@ ORDER BY d.doc_id
 
     # the SAME canonicalization chain as webpipe.canonical_url, step
     # for step (DuckDB regexp_replace defaults to first-match-only, so
-    # the one repeatable pattern — utm params — carries the 'g' flag;
-    # Spark replaces all occurrences, identical for anchored patterns)
+    # the one repeatable pattern — '&utm_k=v' — carries the 'g' flag;
+    # Spark replaces all occurrences, identical for anchored patterns).
+    # utm stripping is anchored to parameter boundaries in three
+    # backref-free passes — see the webpipe.canonical_url comment.
     sqls["url_canon"] = f"""
 WITH u AS (SELECT doc_id, {DIRTY_URL_EXPR} AS url FROM documents),
 s1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS uu FROM u),
@@ -2543,7 +2545,10 @@ s3 AS (SELECT doc_id,
               substr(uu, length(p) + 1) AS rest
        FROM s2),
 s4 AS (SELECT doc_id, p2 || regexp_replace(regexp_replace(regexp_replace(
-                rest, 'utm_[a-z]+=[^&#]*&?', '', 'g'),
+                regexp_replace(regexp_replace(
+                rest, '&utm_[a-z]+=[^&#]*', '', 'g'),
+                '\\?utm_[a-z]+=[^&#]*&', '?'),
+                '\\?utm_[a-z]+=[^&#]*$', ''),
                 '[?&]$', ''), '/$', '') AS canon_url
        FROM s3)
 SELECT canon_url, CAST(count(*) AS BIGINT) AS n_urls,

@@ -40,7 +40,13 @@ def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
-def doc_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+def doc_shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    toks_col: str | None = None,
+) -> DataFrame:
     """(doc_id, shingles array<string>, n_sh) — distinct word n-grams,
     first-occurrence order.
 
@@ -48,9 +54,17 @@ def doc_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", 
     (transform/sequence lambdas) are interpreted, not codegen'd, and
     measured ~6x slower than the Arrow-batched python join for this
     shape. The shingle contract (space-joined lowercase token n-grams,
-    distinct) is unchanged and shared with the DuckDB oracle."""
+    distinct) is unchanged and shared with the DuckDB oracle.
+
+    ``toks_col`` names an already-tokenized array<string> column to use
+    instead of re-tokenizing ``text_col`` — the sharing hook that lets
+    a composed pipeline (webpipe.training_shard) tokenize the corpus
+    ONCE for shingling, quality and repetition."""
     ensure_py_files(df.sparkSession)
-    toks = df.select(F.col(id_col).alias("doc_id"), tokens_array(df, text_col).alias("toks"))
+    tok_expr = (
+        F.col(toks_col) if toks_col is not None else tokens_array(df, text_col)
+    )
+    toks = df.select(F.col(id_col).alias("doc_id"), tok_expr.alias("toks"))
     # preserve the caller's id dtype (url string keys work, like the
     # minhash/simhash tiers); NULL text (failed fetches) yields no row
     id_type = toks.schema["doc_id"].dataType.simpleString()
@@ -87,6 +101,7 @@ def jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     max_shingle_df: int | None = None,
+    toks_col: str | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (doc_a < doc_b, jac >= t).
 
@@ -103,7 +118,7 @@ def jaccard_pairs(
     shingles are not candidates — the standard stop-shingle trade.
     Default None = exact (the oracle-matched contract setting).
     """
-    sh = doc_shingles(df, id_col, text_col, n)
+    sh = doc_shingles(df, id_col, text_col, n, toks_col=toks_col)
     ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("sh"))
     if max_shingle_df is not None:
         hot = (

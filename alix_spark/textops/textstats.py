@@ -67,6 +67,7 @@ def quality_scores(
     id_col: str = "doc_id",
     text_col: str = "text",
     carry: tuple[str, ...] = (),
+    toks_col: str | None = None,
 ) -> DataFrame:
     """(doc_id, n_chars, n_tokens, n_types, ttr, stop_ratio, mean_tok_len,
     quality): heuristic quality channels + a composite score.
@@ -76,12 +77,18 @@ def quality_scores(
 
     ``carry`` names extra input columns passed through unchanged, so a
     downstream roll-up (webpipe.domain_stats) stays a single scan
-    instead of self-joining the source on doc_id."""
+    instead of self-joining the source on doc_id. ``toks_col`` names a
+    pre-tokenized array<string> column to reuse instead of
+    re-tokenizing (webpipe.training_shard's one-tokenize hook);
+    char counts still come from ``text_col``."""
     carry = tuple(carry)
+    tok_expr = (
+        F.col(toks_col) if toks_col is not None else tokens_array(df, text_col)
+    )
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.length(text_col).cast("long").alias("n_chars"),
-        tokens_array(df, text_col).alias("toks"),
+        tok_expr.alias("toks"),
         *carry,
     )
     base = toks.select(
@@ -181,7 +188,10 @@ def fingerprints(
 
 
 def repetition_scores(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    toks_col: str | None = None,
 ) -> DataFrame:
     """(doc_id, n_tokens, top2_frac, top3_frac, dup5_frac): Gopher-style
     within-document repetition signals for training-data filtering:
@@ -198,11 +208,14 @@ def repetition_scores(
     input partitions — no shuffle at any scale (the explode→groupBy
     alternative shuffles every n-gram; the transform/sequence lambda
     alternative is interpreted) — and the fractions round via the
-    shared floor-based round6 so the DuckDB oracle matches bit-exactly."""
+    shared floor-based round6 so the DuckDB oracle matches bit-exactly.
+    ``toks_col`` reuses a pre-tokenized array<string> column
+    (webpipe.training_shard's one-tokenize hook)."""
     ensure_py_files(df.sparkSession)
-    toks = df.select(
-        F.col(id_col).alias("doc_id"), tokens_array(df, text_col).alias("toks")
+    tok_expr = (
+        F.col(toks_col) if toks_col is not None else tokens_array(df, text_col)
     )
+    toks = df.select(F.col(id_col).alias("doc_id"), tok_expr.alias("toks"))
     id_type = toks.schema["doc_id"].dataType.simpleString()
 
     def gen(it):

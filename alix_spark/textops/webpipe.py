@@ -39,8 +39,18 @@ from alix_spark.util import round6
 
 # RE2- and Java-compatible: no backreferences, no lookaround.
 EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
-PHONE_RE = "\\+[0-9]{1,2}-555-[0-9]{4}"
-IPV4_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+# NANP 10-digit shapes: optional +1/1 prefix, (212) or 212 area code,
+# -/./space separators; \b guards keep the match out of longer digit
+# runs. Separator-less runs ('2125550199') are intentionally NOT
+# matched — bare 10-digit integers are usually ids, not phones.
+PHONE_RE = (
+    "(\\+1[-. ])?(\\([0-9]{3}\\) ?|\\b[0-9]{3}[-. ])"
+    "[0-9]{3}[-. ][0-9]{4}\\b"
+)
+# dotted quad with octets bounded to 0-255: an unbounded [0-9]{1,3}
+# quad would redact version/section strings like '10.20.300.456'
+_OCT = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+IPV4_RE = f"\\b{_OCT}(\\.{_OCT}){{3}}\\b"
 
 _PREFIX_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
 
@@ -68,7 +78,19 @@ def canonical_url(col: Column) -> Column:
         .when(p.startswith("https://"), F.regexp_replace(p, ":443$", ""))
         .otherwise(p)
     )
-    r = F.regexp_replace(rest, "utm_[a-z]+=[^&#]*&?", "")
+    # utm params are stripped ONLY at a parameter boundary ([?&]utm_…),
+    # in three backref-free passes (replacement groups would need
+    # engine-specific syntax: Spark '$1' vs RE2 '\\1'). An unanchored
+    # 'utm_[a-z]+=…' would also eat PATH segments ('/blog/utm_source=x/
+    # article-1' → '/blog') and other params' VALUES ('?ref=utm_x=1'),
+    # collapsing distinct pages into one canon form:
+    # 1. '&utm_k=v' anywhere after the first param — plain drop;
+    # 2. '?utm_k=v&' as the FIRST param with more following — the '?'
+    #    must survive, so replace with '?' (fixed string, no backref);
+    # 3. '?utm_k=v' as the only/last remaining param — drop entirely.
+    r = F.regexp_replace(rest, "&utm_[a-z]+=[^&#]*", "")
+    r = F.regexp_replace(r, "\\?utm_[a-z]+=[^&#]*&", "?")
+    r = F.regexp_replace(r, "\\?utm_[a-z]+=[^&#]*$", "")
     r = F.regexp_replace(r, "[?&]$", "")
     r = F.regexp_replace(r, "/$", "")
     return F.concat(p, r)
@@ -354,19 +376,34 @@ def training_shard(
     the WIRING (drop lists anti-join, gate order, column contracts) so
     a pipeline user composes one call instead of five. All joins are
     doc_id-keyed, so at scale AQE coalesces them onto one partitioning;
-    the only non-doc_id shuffles are inside the pair/CC stages."""
+    the only non-doc_id shuffles are inside the pair/CC stages.
+
+    The corpus is scanned and tokenized ONCE: a lazily
+    localCheckpoint'ed (doc_id, text, toks) base feeds the shingle,
+    quality and repetition stages through their ``toks_col`` hooks —
+    without it each stage's plan subtree re-reads and re-tokenizes the
+    input independently (4 scans, 3 tokenizations per call). Lazy
+    localCheckpoint over persist() so the ContextCleaner reclaims the
+    blocks when the result goes out of scope (same trade as
+    dedup.minhash_lsh_pairs' shingle table)."""
+    from alix_spark.index.simple import tokens_array
     from alix_spark.textops.dedup import dup_groups, jaccard_pairs
     from alix_spark.textops.textstats import quality_scores, repetition_scores
 
-    pairs = jaccard_pairs(docs, threshold=jaccard_threshold)
+    base = docs.select(
+        "doc_id", "text", tokens_array(docs, "text").alias("toks")
+    ).localCheckpoint(eager=False)
+    pairs = jaccard_pairs(base, threshold=jaccard_threshold, toks_col="toks")
     drops = (
         dup_groups(pairs)
         .filter(F.col("doc_id") != F.col("group_id"))
         .select("doc_id")
     )
-    q = quality_scores(docs).select("doc_id", "quality")
-    rep = repetition_scores(docs).select("doc_id", "n_tokens", "top2_frac")
-    scrub = scrub_pii(docs).select("doc_id", "clean_md5")
+    q = quality_scores(base, toks_col="toks").select("doc_id", "quality")
+    rep = repetition_scores(base, toks_col="toks").select(
+        "doc_id", "n_tokens", "top2_frac"
+    )
+    scrub = scrub_pii(base).select("doc_id", "clean_md5")
     return (
         rep.join(q, "doc_id")
         .join(drops, "doc_id", "left_anti")

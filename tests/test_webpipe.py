@@ -40,6 +40,28 @@ class TestCanonicalUrl:
             "http://example.com/p?page=2",
         ]
 
+    def test_utm_only_stripped_at_param_boundaries(self, spark):
+        # 'utm_…=' in a PATH segment or inside another param's VALUE
+        # is content, not tracking — stripping it collapses distinct
+        # pages into one canon form
+        got = _canon(
+            spark,
+            [
+                "http://a.com/blog/utm_source=x/article-1",
+                "http://a.com/blog/utm_source=y/article-2",
+                "http://a.com/p?ref=utm_source=abc&q=1",
+                "http://a.com/p?utm_source=a&utm_medium=b&q=1",
+                "http://a.com/p?utm_source=a&utm_medium=b",
+            ],
+        )
+        assert got == [
+            "http://a.com/blog/utm_source=x/article-1",
+            "http://a.com/blog/utm_source=y/article-2",
+            "http://a.com/p?ref=utm_source=abc&q=1",
+            "http://a.com/p?q=1",
+            "http://a.com/p",
+        ]
+
     def test_identical_after_canon_group_together(self, spark):
         df = spark.createDataFrame(
             [
@@ -59,7 +81,7 @@ class TestCanonicalUrl:
 class TestScrubPii:
     def test_counts_and_redaction(self, spark):
         text = (
-            "write to jane.doe+x@corp.example.org or call +1-555-0199; "
+            "write to jane.doe+x@corp.example.org or call +1-212-867-5309; "
             "server 192.168.1.10 and 10.0.0.1 are internal"
         )
         df = spark.createDataFrame([(1, text)], "doc_id long, text string")
@@ -70,6 +92,47 @@ class TestScrubPii:
             "server <IP> and <IP> are internal"
         )
         assert r["clean_md5"] == hashlib.md5(clean.encode()).hexdigest()
+
+    def test_real_nanp_phone_shapes_match(self, spark):
+        texts = [
+            "call (212) 867-5309 today",
+            "call (212)867-5309 today",
+            "call 212-555-0199 today",
+            "call 212.555.0199 today",
+            "call +1 (212) 867-5309 today",
+        ]
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        rows = webpipe.scrub_pii(df).collect()
+        assert all(r["n_phones"] == 1 for r in rows)
+
+    def test_phone_non_matches(self, spark):
+        # dates, dotted versions, and digit runs around a phone-shaped
+        # core must not be redacted
+        texts = [
+            "dated 2026-08-19 here",
+            "version 1.2.3 rc4",
+            "serial 12345-678-90123 unit",
+        ]
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        rows = webpipe.scrub_pii(df).collect()
+        assert all(r["n_phones"] == 0 for r in rows)
+
+    def test_ip_octets_bounded(self, spark):
+        texts = [
+            "release 10.20.300.456 notes",  # out-of-range octets
+            "grid 999.999.999.999 cells",
+            "host 255.255.255.255 up",  # boundary: valid
+            "host 0.0.0.0 any",
+        ]
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = {r["doc_id"]: r["n_ips"] for r in webpipe.scrub_pii(df).collect()}
+        assert got == {0: 0, 1: 0, 2: 1, 3: 1}
 
     def test_no_pii_is_all_zero(self, spark):
         df = spark.createDataFrame([(1, "nothing here")], "doc_id long, text string")
