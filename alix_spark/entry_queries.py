@@ -971,6 +971,12 @@ def q_stratified_sample(spark, sf_dir):
     )
 
 
+def q_lm_score(spark, sf_dir):
+    """Bigram-LM mean negative log-likelihood per doc (the CCNet/KenLM
+    model-based quality gate), self-trained on the corpus."""
+    return textstats.lm_scores(_docs(spark, sf_dir))
+
+
 def q_multimodal_meta(spark, sf_dir):
     return multimodal.as_media_table(_docs(spark, sf_dir)).select(
         "media_id", "mime", "n_bytes"
@@ -1057,7 +1063,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_specificity": q_part_specificity,
         # rows-only (sequential period-repair walk, non-SQL)
         "part_chrono": q_part_chrono,
-        "ca_map": q_ca_map,
         "term_embeddings": q_term_embeddings,
         # --- webtext chain
         "webtext_extract": q_webtext_extract,
@@ -1086,6 +1091,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "pack_shards": q_pack_shards,
         "stratified_sample": q_stratified_sample,
+        # lm_score enters for ca_map (rows-only every round; svd.py has
+        # NO r04 diff and term_embeddings keeps the SVD path's
+        # rows-only check in-window)
+        "lm_score": q_lm_score,
         # ---- driver window boundary (entry 50) ----
         # structural always-greens, every one green in r03; ann_lsh /
         # logdice / simplemaths / jaccard are green-r03 siblings of
@@ -1141,6 +1150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_vectors": q_doc_vectors,
         "ann_ivf": q_ann_ivf,
         "multimodal_image_pipeline": q_multimodal_image_pipeline,
+        "ca_map": q_ca_map,
     }
 
 
@@ -2674,6 +2684,35 @@ FROM k
 WHERE sample_key < CASE source {cases}
         ELSE {int(SAMPLE_DEFAULT * scale)} END
 ORDER BY doc_id
+"""
+
+    # add-0.5-smoothed bigram LM, self-trained (alpha 0.5 is exact in
+    # binary floating point); V = exact distinct-token count
+    sqls["lm_score"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, l[u.i] AS w1, l[u.i + 1] AS w2
+  FROM t, unnest(generate_series(1, greatest(len(l) - 1, 0))) AS u(i)
+),
+c12 AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c12 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, CAST(count(*) AS DOUBLE) AS c1 FROM bg GROUP BY 1),
+v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v
+      FROM (SELECT unnest(l) AS w FROM t))
+SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       {sql_round6(
+           'avg(-ln((coalesce(c12.c12, 0) + 0.5)'
+           ' / (coalesce(c1.c1, 0) + 0.5 * v.v)))'
+       )} AS avg_nll
+FROM bg b
+LEFT JOIN c12 USING (w1, w2)
+LEFT JOIN c1 USING (w1)
+CROSS JOIN v
+GROUP BY b.doc_id ORDER BY b.doc_id
 """
 
     return sqls

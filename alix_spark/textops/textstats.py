@@ -187,6 +187,94 @@ def fingerprints(
     )
 
 
+def lm_scores(
+    docs: DataFrame,
+    train_docs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    toks_col: str | None = None,
+) -> DataFrame:
+    """(doc_id, n_bigrams, avg_nll): per-doc mean negative
+    log-likelihood under an add-α-smoothed bigram language model —
+    the model-based quality gate (the CCNet/KenLM filtering pattern):
+    boilerplate and in-domain prose score low, lexical noise and
+    out-of-domain garble score high.
+
+    Model, estimated on ``train_docs`` (default: the scored corpus
+    itself): P(w₂|w₁) = (c(w₁w₂) + α) / (c(w₁·) + α·V) with c(w₁·) the
+    bigram-head count and V the training vocabulary size; a doc's
+    avg_nll is the mean −ln P over its bigrams (multiplicity kept).
+    Docs with fewer than 2 tokens have no bigram and are excluded.
+    α = 0.5 is exact in binary floating point, so the smoothing
+    constant can never split the engines.
+
+    Scale shape: bigram stats are ONE map-side-combined groupBy over
+    the exploded training bigrams (output is bounded by distinct
+    bigrams, far below corpus size); scoring joins the exploded doc
+    bigrams against those stats on the bigram key — a standard shuffle
+    equi-join whose skewed keys (frequent bigrams) AQE splits — then
+    one doc_id-keyed aggregation. V and the α literals ride in a
+    broadcast 1-row crossJoin. No Python stage anywhere: bigram
+    construction is arrays_zip over a sliced token array (a single
+    projection), so the whole plan is JVM-side."""
+    tok_expr = (
+        F.col(toks_col) if toks_col is not None else tokens_array(docs, text_col)
+    )
+    doc_toks = docs.select(F.col(id_col).alias("doc_id"), tok_expr.alias("toks"))
+
+    def bigrams(frame):
+        # (doc_id, w1, w2) with multiplicity: zip toks[0:n-1] with
+        # toks[1:n] — pure column expressions, no interpreted lambda
+        z = F.arrays_zip(
+            F.slice(F.col("toks"), 1, F.greatest(F.size("toks") - 1, F.lit(0))),
+            F.expr("slice(toks, 2, greatest(size(toks) - 1, 0))"),
+        )
+        return (
+            frame.filter(F.size("toks") >= 2)
+            .select("doc_id", F.explode(z).alias("bg"))
+            .select("doc_id", F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2"))
+        )
+
+    if train_docs is None:
+        train_toks = doc_toks
+    else:
+        train_toks = train_docs.select(
+            F.col(id_col).alias("doc_id"), tokens_array(train_docs, text_col).alias("toks")
+        )
+    tb = bigrams(train_toks)
+    c12 = tb.groupBy("w1", "w2").agg(F.count("*").cast("double").alias("c12"))
+    c1 = tb.groupBy("w1").agg(F.count("*").cast("double").alias("c1"))
+    vocab = train_toks.select(F.explode("toks").alias("w")).agg(
+        F.countDistinct("w").cast("double").alias("v")
+    )
+
+    a = F.lit(float(alpha))
+    scored = (
+        bigrams(doc_toks)
+        .join(c12, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            (
+                -F.log(
+                    (F.coalesce(F.col("c12"), F.lit(0.0)) + a)
+                    / (F.coalesce(F.col("c1"), F.lit(0.0)) + a * F.col("v"))
+                )
+            ).alias("nll"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            round6(F.avg("nll")).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def repetition_scores(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -318,6 +318,39 @@ class TestStratifiedSample:
         assert lo <= hi
 
 
+class TestLmScores:
+    def test_hand_computed_bigram_model(self, spark):
+        import math
+
+        docs = spark.createDataFrame(
+            [(1, "the cat sat"), (2, "the cat ran"), (3, "a")],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in textstats.lm_scores(docs).collect()}
+        # train bigrams: (the,cat)x2 (cat,sat) (cat,ran); c1: the=2 cat=2
+        # V=5; doc1 nll = -[ln(2.5/4.5) + ln(1.5/4.5)]/2
+        assert set(rows) == {1, 2}  # doc 3 has no bigram
+        expect = -(math.log(2.5 / 4.5) + math.log(1.5 / 4.5)) / 2
+        assert rows[1]["n_bigrams"] == 2
+        assert rows[1]["avg_nll"] == pytest.approx(expect, abs=1e-6)
+        assert rows[2]["avg_nll"] == rows[1]["avg_nll"]  # symmetric corpus
+
+    def test_out_of_domain_scores_higher(self, spark):
+        train = spark.createDataFrame(
+            [(i, "the cat sat on the mat") for i in range(10)],
+            "doc_id long, text string",
+        )
+        docs = spark.createDataFrame(
+            [(1, "the cat sat on the mat"), (2, "zxq wvu tsr qpo nml kji")],
+            "doc_id long, text string",
+        )
+        rows = {
+            r["doc_id"]: r["avg_nll"]
+            for r in textstats.lm_scores(docs, train_docs=train).collect()
+        }
+        assert rows[2] > rows[1]  # unseen bigrams cost more
+
+
 class TestTrainingShard:
     def test_each_gate_drops_its_doc(self, spark):
         stop = "the and of to in is a"  # stop-heavy base for quality
