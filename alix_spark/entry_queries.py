@@ -977,6 +977,15 @@ def q_lm_score(spark, sf_dir):
     return textstats.lm_scores(_docs(spark, sf_dir))
 
 
+def q_pack_shards_shuffled(spark, sf_dir):
+    """Token-budget packing in deterministic-shuffle order (the order
+    a training run consumes); oracle = the same global window ordered
+    by the identical md5 key."""
+    return webpipe.pack_shards(
+        _docs(spark, sf_dir), budget=2000, order="hash", seed=SAMPLE_SEED
+    )
+
+
 def q_multimodal_meta(spark, sf_dir):
     return multimodal.as_media_table(_docs(spark, sf_dir)).select(
         "media_id", "mime", "n_bytes"
@@ -1063,7 +1072,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_specificity": q_part_specificity,
         # rows-only (sequential period-repair walk, non-SQL)
         "part_chrono": q_part_chrono,
-        "term_embeddings": q_term_embeddings,
         # --- webtext chain
         "webtext_extract": q_webtext_extract,
         "webtext_wand_fr": q_webtext_wand_fr,
@@ -1091,10 +1099,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "pack_shards": q_pack_shards,
         "stratified_sample": q_stratified_sample,
-        # lm_score enters for ca_map (rows-only every round; svd.py has
-        # NO r04 diff and term_embeddings keeps the SVD path's
-        # rows-only check in-window)
+        # lm_score enters for ca_map, pack_shards_shuffled for
+        # term_embeddings (both rows-only every round; svd.py has NO
+        # r04 diff — the SVD family keeps its r03 rows-only rows and
+        # the full local mini-driver/verify checks, like the other
+        # rotated rows-only entries)
         "lm_score": q_lm_score,
+        "pack_shards_shuffled": q_pack_shards_shuffled,
         # ---- driver window boundary (entry 50) ----
         # structural always-greens, every one green in r03; ann_lsh /
         # logdice / simplemaths / jaccard are green-r03 siblings of
@@ -1151,6 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "multimodal_image_pipeline": q_multimodal_image_pipeline,
         "ca_map": q_ca_map,
+        "term_embeddings": q_term_embeddings,
     }
 
 
@@ -2684,6 +2696,30 @@ FROM k
 WHERE sample_key < CASE source {cases}
         ELSE {int(SAMPLE_DEFAULT * scale)} END
 ORDER BY doc_id
+"""
+
+    # same prefix sum, windowed over the identical md5 shuffle key
+    # (15 hex chars = 60 bits, exact in BIGINT on both engines)
+    sqls["pack_shards_shuffled"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(coalesce(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                       x -> x <> '')), 0) AS BIGINT)
+           AS n_tokens,
+         CAST(('0x' || substr(md5('{SAMPLE_SEED}:' || CAST(doc_id AS VARCHAR)),
+                              1, 15)) AS BIGINT) AS ord
+  FROM documents
+),
+o AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY ord, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS tok_offset
+  FROM t
+)
+SELECT doc_id, n_tokens, tok_offset,
+       CAST(tok_offset // 2000 AS BIGINT) AS shard_id
+FROM o ORDER BY doc_id
 """
 
     # add-0.5-smoothed bigram LM, self-trained (alpha 0.5 is exact in

@@ -229,16 +229,24 @@ def pack_shards(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_parts: int | None = None,
+    order: str = "id",
+    seed: str = "alix",
 ) -> DataFrame:
     """(doc_id, n_tokens, tok_offset, shard_id): deterministic
-    token-budget shard packing — docs in doc_id order, ``tok_offset``
-    the global running token total before the doc, ``shard_id`` =
-    tok_offset // budget (contiguous shards; a shard overruns the
-    budget by at most its last doc, the standard writer contract).
+    token-budget shard packing — ``tok_offset`` the global running
+    token total before the doc, ``shard_id`` = tok_offset // budget
+    (contiguous shards; a shard overruns the budget by at most its
+    last doc, the standard writer contract).
 
-    A naive global window (``sum() over (order by doc_id)``) funnels
-    the whole corpus through ONE task. Here the prefix sum is
-    distributed: range-partition on doc_id (ascending ranges land on
+    ``order`` picks the packing order: ``"id"`` (doc_id ascending —
+    stable, resumable) or ``"hash"`` (md5(seed ':' doc_id) ascending —
+    a deterministic global shuffle, the order a training run actually
+    consumes; same seed → same permutation, so shard contents are
+    replayable without any RNG state).
+
+    A naive global window (``sum() over (order by …)``) funnels the
+    whole corpus through ONE task. Here the prefix sum is distributed:
+    range-partition on the order key (ascending ranges land on
     ascending partition ids), pin the split with an eager
     localCheckpoint (the totals pass and the scan pass MUST see the
     same assignment — RangePartitioner's sampling is not re-run
@@ -252,18 +260,42 @@ def pack_shards(
     from alix_spark.textops.textstats import token_counts
     from alix_spark.util import ensure_py_files
 
+    if order not in ("id", "hash"):
+        raise ValueError(f"order must be 'id' or 'hash', got {order!r}")
     ensure_py_files(docs.sparkSession)
     sized = token_counts(docs, id_col, text_col).select(
         "doc_id",
         F.coalesce(F.col("ws_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
     )
+    if order == "hash":
+        # same md5→int trick as stratified_sample/dedup: 15 hex chars
+        # = 60 bits, exactly representable in BIGINT on both engines
+        sort_key = F.conv(
+            F.substring(
+                F.md5(
+                    F.encode(
+                        F.concat(
+                            F.lit(f"{seed}:"), F.col("doc_id").cast("string")
+                        ),
+                        "utf-8",
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        sized = sized.withColumn("ord", sort_key)
+    else:
+        sized = sized.withColumn("ord", F.col("doc_id"))
     if num_parts is None:
         num_parts = int(
             docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
     ranged = (
-        sized.repartitionByRange(num_parts, "doc_id")
-        .sortWithinPartitions("doc_id")
+        sized.repartitionByRange(num_parts, "ord", "doc_id")
+        .sortWithinPartitions("ord", "doc_id")
         .withColumn("pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )

@@ -272,6 +272,32 @@ class TestPackShards:
         many = webpipe.pack_shards(docs, budget=50, num_parts=7).collect()
         assert [tuple(r) for r in one] == [tuple(r) for r in many]
 
+    def test_hash_order_is_a_deterministic_permutation(self, spark):
+        docs = spark.createDataFrame(
+            [(i, " ".join(["tok"] * (1 + i % 9))) for i in range(120)],
+            "doc_id long, text string",
+        )
+        a = webpipe.pack_shards(docs, budget=40, order="hash", num_parts=1).collect()
+        b = webpipe.pack_shards(docs, budget=40, order="hash", num_parts=5).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]  # split-invariant
+        by_id = webpipe.pack_shards(docs, budget=40).collect()
+        # same docs, same token totals, different packing order
+        assert {r["doc_id"] for r in a} == {r["doc_id"] for r in by_id}
+        assert sum(r["n_tokens"] for r in a) == sum(r["n_tokens"] for r in by_id)
+        assert [r["tok_offset"] for r in a] != [r["tok_offset"] for r in by_id]
+        # offsets are a dense prefix-sum permutation: sorted by offset,
+        # each doc starts where the previous one ended
+        seq = sorted(a, key=lambda r: r["tok_offset"])
+        run = 0
+        for r in seq:
+            assert r["tok_offset"] == run
+            run += r["n_tokens"]
+
+    def test_bad_order_rejected(self, spark):
+        docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            webpipe.pack_shards(docs, order="random")
+
     def test_empty_text_occupies_no_budget(self, spark):
         docs = spark.createDataFrame(
             [(1, "a b c"), (2, ""), (3, "d e")], "doc_id long, text string"
