@@ -2549,8 +2549,9 @@ ORDER BY d.doc_id
     # the SAME canonicalization chain as webpipe.canonical_url, step
     # for step (DuckDB regexp_replace defaults to first-match-only, so
     # the one repeatable pattern — '&utm_k=v' — carries the 'g' flag;
-    # Spark replaces all occurrences, identical for anchored patterns).
-    # utm stripping is anchored to parameter boundaries in three
+    # the ^-anchored query passes are single-match in BOTH engines).
+    # utm stripping operates on the query only (split at the FIRST
+    # '?') and is anchored to parameter boundaries in three
     # backref-free passes — see the webpipe.canonical_url comment.
     sqls["url_canon"] = f"""
 WITH u AS (SELECT doc_id, {DIRTY_URL_EXPR} AS url FROM documents),
@@ -2566,13 +2567,19 @@ s3 AS (SELECT doc_id,
                    ELSE lower(p) END AS p2,
               substr(uu, length(p) + 1) AS rest
        FROM s2),
-s4 AS (SELECT doc_id, p2 || regexp_replace(regexp_replace(regexp_replace(
-                regexp_replace(regexp_replace(
-                rest, '&utm_[a-z]+=[^&#]*', '', 'g'),
-                '\\?utm_[a-z]+=[^&#]*&', '?'),
-                '\\?utm_[a-z]+=[^&#]*$', ''),
+s3b AS (SELECT doc_id, p2,
+               regexp_extract(rest, '^[^?]*', 0) AS pth,
+               substr(rest, length(regexp_extract(rest, '^[^?]*', 0)) + 1)
+                 AS qry
+        FROM s3),
+s4 AS (SELECT doc_id, regexp_replace(p2 || pth ||
+                regexp_replace(regexp_replace(regexp_replace(
+                regexp_replace(
+                qry, '&utm_[a-z]+=[^&#]*', '', 'g'),
+                '^\\?utm_[a-z]+=[^&#]*&', '?'),
+                '^\\?utm_[a-z]+=[^&#]*$', ''),
                 '[?&]$', ''), '/$', '') AS canon_url
-       FROM s3)
+       FROM s3b)
 SELECT canon_url, CAST(count(*) AS BIGINT) AS n_urls,
        min(doc_id) AS keeper
 FROM s4 GROUP BY canon_url HAVING count(*) > 1 ORDER BY canon_url

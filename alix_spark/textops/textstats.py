@@ -209,19 +209,26 @@ def lm_scores(
     α = 0.5 is exact in binary floating point, so the smoothing
     constant can never split the engines.
 
-    Scale shape: bigram stats are ONE map-side-combined groupBy over
-    the exploded training bigrams (output is bounded by distinct
-    bigrams, far below corpus size); scoring joins the exploded doc
-    bigrams against those stats on the bigram key — a standard shuffle
-    equi-join whose skewed keys (frequent bigrams) AQE splits — then
-    one doc_id-keyed aggregation. V and the α literals ride in a
-    broadcast 1-row crossJoin. No Python stage anywhere: bigram
-    construction is arrays_zip over a sliced token array (a single
-    projection), so the whole plan is JVM-side."""
+    Scale shape: the tokenized corpus is materialized ONCE (lazy
+    localCheckpoint — ContextCleaner reclaims the blocks, same trade
+    as dedup.minhash_lsh_pairs) and feeds every consumer; bigram
+    stats are ONE map-side-combined groupBy over the exploded training
+    bigrams (output bounded by distinct bigrams, far below corpus
+    size), and the head counts c(w₁·) roll up from that
+    already-aggregated result — never a second corpus-wide explode.
+    Scoring joins the exploded doc bigrams against the stats on the
+    bigram key — a standard shuffle equi-join whose skewed keys
+    (frequent bigrams) AQE splits — then one doc_id-keyed aggregation.
+    V and the α literals ride in a broadcast 1-row crossJoin. No
+    Python stage anywhere: bigram construction is arrays_zip over a
+    sliced token array (a single projection), so the whole plan is
+    JVM-side."""
     tok_expr = (
         F.col(toks_col) if toks_col is not None else tokens_array(docs, text_col)
     )
-    doc_toks = docs.select(F.col(id_col).alias("doc_id"), tok_expr.alias("toks"))
+    doc_toks = docs.select(
+        F.col(id_col).alias("doc_id"), tok_expr.alias("toks")
+    ).localCheckpoint(eager=False)
 
     def bigrams(frame):
         # (doc_id, w1, w2) with multiplicity: zip toks[0:n-1] with
@@ -240,11 +247,18 @@ def lm_scores(
         train_toks = doc_toks
     else:
         train_toks = train_docs.select(
-            F.col(id_col).alias("doc_id"), tokens_array(train_docs, text_col).alias("toks")
-        )
+            F.col(id_col).alias("doc_id"),
+            tokens_array(train_docs, text_col).alias("toks"),
+        ).localCheckpoint(eager=False)
     tb = bigrams(train_toks)
     c12 = tb.groupBy("w1", "w2").agg(F.count("*").cast("double").alias("c12"))
-    c1 = tb.groupBy("w1").agg(F.count("*").cast("double").alias("c1"))
+    # head counts from the aggregated bigram table, not a second
+    # corpus-wide explode: Σ_w2 c(w1,w2) ≡ c(w1·), exact (integer-
+    # valued doubles, far below 2^53)
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    # V counts ALL distinct tokens (a 1-token doc contributes to the
+    # vocabulary but to no bigram), so it reads the checkpointed
+    # token table, not the bigram stats
     vocab = train_toks.select(F.explode("toks").alias("w")).agg(
         F.countDistinct("w").cast("double").alias("v")
     )

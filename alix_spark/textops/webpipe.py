@@ -44,7 +44,7 @@ EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
 # runs. Separator-less runs ('2125550199') are intentionally NOT
 # matched — bare 10-digit integers are usually ids, not phones.
 PHONE_RE = (
-    "(\\+1[-. ])?(\\([0-9]{3}\\) ?|\\b[0-9]{3}[-. ])"
+    "(\\+?1[-. ])?(\\([0-9]{3}\\) ?|\\b[0-9]{3}[-. ])"
     "[0-9]{3}[-. ][0-9]{4}\\b"
 )
 # dotted quad with octets bounded to 0-255: an unbounded [0-9]{1,3}
@@ -78,22 +78,29 @@ def canonical_url(col: Column) -> Column:
         .when(p.startswith("https://"), F.regexp_replace(p, ":443$", ""))
         .otherwise(p)
     )
-    # utm params are stripped ONLY at a parameter boundary ([?&]utm_…),
-    # in three backref-free passes (replacement groups would need
-    # engine-specific syntax: Spark '$1' vs RE2 '\\1'). An unanchored
-    # 'utm_[a-z]+=…' would also eat PATH segments ('/blog/utm_source=x/
-    # article-1' → '/blog') and other params' VALUES ('?ref=utm_x=1'),
-    # collapsing distinct pages into one canon form:
-    # 1. '&utm_k=v' anywhere after the first param — plain drop;
-    # 2. '?utm_k=v&' as the FIRST param with more following — the '?'
-    #    must survive, so replace with '?' (fixed string, no backref);
-    # 3. '?utm_k=v' as the only/last remaining param — drop entirely.
-    r = F.regexp_replace(rest, "&utm_[a-z]+=[^&#]*", "")
-    r = F.regexp_replace(r, "\\?utm_[a-z]+=[^&#]*&", "?")
-    r = F.regexp_replace(r, "\\?utm_[a-z]+=[^&#]*$", "")
-    r = F.regexp_replace(r, "[?&]$", "")
-    r = F.regexp_replace(r, "/$", "")
-    return F.concat(p, r)
+    # Split rest into PATH and QUERY at the FIRST '?' (the only '?'
+    # that delimits per RFC 3986 — later raw '?'s are legal DATA
+    # inside param values), with the same extract+substr trick as the
+    # authority split; utm params are then stripped from the query
+    # ONLY, at parameter boundaries, in three backref-free passes
+    # (replacement groups would need engine-specific syntax: Spark
+    # '$1' vs RE2 '\\1'). An unanchored 'utm_[a-z]+=…' would eat PATH
+    # segments ('/blog/utm_source=x/article-1' → '/blog') and other
+    # params' VALUES ('?ref=…?utm_x=1'), collapsing distinct pages:
+    # 1. '&utm_k=v' anywhere — a raw '&' always separates top-level
+    #    params, so this is safe globally (both engines replace ALL);
+    # 2. '^?utm_k=v&' — leading utm with more params following; the
+    #    '?' must survive, so replace with '?' (fixed string). The ^
+    #    anchor makes it single-match, so DuckDB's first-match-only
+    #    default and Spark's replace-all agree;
+    # 3. '^?utm_k=v$' — the only remaining param: drop entirely.
+    path = F.regexp_extract(rest, "^[^?]*", 0)
+    q = F.substr(rest, F.length(path) + F.lit(1))
+    q = F.regexp_replace(q, "&utm_[a-z]+=[^&#]*", "")
+    q = F.regexp_replace(q, "^\\?utm_[a-z]+=[^&#]*&", "?")
+    q = F.regexp_replace(q, "^\\?utm_[a-z]+=[^&#]*$", "")
+    q = F.regexp_replace(q, "[?&]$", "")
+    return F.regexp_replace(F.concat(p, path, q), "/$", "")
 
 
 def url_dup_groups(

@@ -40,6 +40,22 @@ class TestCanonicalUrl:
             "http://example.com/p?page=2",
         ]
 
+    def test_literal_question_mark_in_values_is_data(self, spark):
+        # RFC 3986: only the FIRST '?' delimits; later raw '?'s are
+        # value data. A '?utm_' embedded in a redirect-target value
+        # must survive, and both engines must agree on multiplicity.
+        got = _canon(
+            spark,
+            [
+                "http://a.com/p?ref=http://b.com/?utm_a=1&q=2",
+                "http://a.com/p?a=x?utm_b=1&c=2?utm_d=3&e=4",
+            ],
+        )
+        assert got == [
+            "http://a.com/p?ref=http://b.com/?utm_a=1&q=2",
+            "http://a.com/p?a=x?utm_b=1&c=2?utm_d=3&e=4",
+        ]
+
     def test_utm_only_stripped_at_param_boundaries(self, spark):
         # 'utm_…=' in a PATH segment or inside another param's VALUE
         # is content, not tracking — stripping it collapses distinct
@@ -100,6 +116,7 @@ class TestScrubPii:
             "call 212-555-0199 today",
             "call 212.555.0199 today",
             "call +1 (212) 867-5309 today",
+            "call 1-212-555-0199 today",  # bare long-distance prefix
         ]
         df = spark.createDataFrame(
             list(enumerate(texts)), "doc_id long, text string"
