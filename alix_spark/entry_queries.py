@@ -977,6 +977,30 @@ def q_lm_score(spark, sf_dir):
     return textstats.lm_scores(_docs(spark, sf_dir))
 
 
+# Boilerplate-injected fixture for line_dedup: chr(10) (NOT the '\n'
+# escape — Spark SQL interprets it inside string literals, DuckDB does
+# not) so the expression runs verbatim in both engines. Two shared
+# boilerplate lines at different frequencies plus a per-doc-unique
+# footer that must survive.
+LINE_TEXT_EXPR = (
+    "text"
+    " || CASE WHEN doc_id % 3 = 0 THEN chr(10) || "
+    "'Subscribe to our newsletter today' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN chr(10) || "
+    "'  All rights reserved' ELSE '' END"
+    " || chr(10) || 'Doc footer ' || CAST(doc_id AS STRING)"
+)
+
+
+def q_line_dedup(spark, sf_dir):
+    """RefinedWeb-style boilerplate line removal: lines recurring in
+    >= 3 distinct docs drop everywhere; unique footers survive."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(LINE_TEXT_EXPR).alias("text")
+    )
+    return webpipe.line_dedup(docs, min_df=3)
+
+
 def q_pack_shards_shuffled(spark, sf_dir):
     """Token-budget packing in deterministic-shuffle order (the order
     a training run consumes); oracle = the same global window ordered
@@ -1058,7 +1082,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- chrono (red in r03 — oracle type fix needs a fresh row)
         "chrono_channels": q_chrono_channels,
         "ann_ivf_fullprobe": q_ann_ivf_fullprobe,
-        "suggest_population": q_suggest_population,
         # --- lexicometry
         "cooc_profile_scored": q_cooc_profile_scored,
         "theme_bm25": q_theme_bm25,
@@ -1106,6 +1129,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated rows-only entries)
         "lm_score": q_lm_score,
         "pack_shards_shuffled": q_pack_shards_shuffled,
+        # line_dedup enters for suggest_population (r03 green; the r04
+        # suggest.py diff is lock hygiene + the separate spell backend
+        # — the fold+rank value path is unchanged and suggest /
+        # suggest_folded keep it covered from the tail + full local
+        # verify)
+        "line_dedup": q_line_dedup,
         # ---- driver window boundary (entry 50) ----
         # structural always-greens, every one green in r03; ann_lsh /
         # logdice / simplemaths / jaccard are green-r03 siblings of
@@ -1163,6 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_pipeline": q_multimodal_image_pipeline,
         "ca_map": q_ca_map,
         "term_embeddings": q_term_embeddings,
+        "suggest_population": q_suggest_population,
     }
 
 
@@ -2703,6 +2733,38 @@ FROM k
 WHERE sample_key < CASE source {cases}
         ELSE {int(SAMPLE_DEFAULT * scale)} END
 ORDER BY doc_id
+"""
+
+    # line-level boilerplate removal: same trimmed-line df counting,
+    # same whitespace-only exemption, reassembly via list(ORDER BY)
+    sqls["line_dedup"] = f"""
+WITH d AS (SELECT doc_id, {LINE_TEXT_EXPR} AS text FROM documents),
+ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM d),
+lines AS (
+  SELECT doc_id, u.i AS pos, arr[u.i] AS line, trim(arr[u.i]) AS l
+  FROM ls, unnest(generate_series(1, len(arr))) AS u(i)
+),
+bp AS (
+  SELECT l FROM (SELECT DISTINCT doc_id, l FROM lines WHERE l <> '')
+  GROUP BY l HAVING count(*) >= 3
+),
+kept AS (
+  SELECT doc_id, pos, line FROM lines
+  WHERE l = '' OR l NOT IN (SELECT l FROM bp)
+),
+rebuilt AS (
+  SELECT doc_id,
+         count(*) AS n_kept,
+         array_to_string(list(line ORDER BY pos), chr(10)) AS clean
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines,
+       CAST(len(string_split(d.text, chr(10)))
+            - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+       md5(coalesce(r.clean, '')) AS clean_md5
+FROM d LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY d.doc_id
 """
 
     # same prefix sum, windowed over the identical md5 shuffle key

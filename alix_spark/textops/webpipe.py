@@ -394,6 +394,78 @@ def stratified_sample(
     )
 
 
+def line_dedup(
+    docs: DataFrame,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_lines, n_removed, clean_md5): line-level boilerplate
+    removal (the RefinedWeb/Falcon pattern) — a line whose trimmed
+    form occurs in ≥ ``min_df`` DISTINCT documents is boilerplate
+    (nav menus, cookie banners, footers) and is dropped from every
+    document; everything else keeps its original spelling and order.
+    Whitespace-only lines are formatting, not content: never counted,
+    never removed. ``clean_md5`` hashes the kept lines re-joined with
+    newlines; a doc whose every line is boilerplate hashes the empty
+    string (it stays in the report for the downstream gate).
+
+    Scale shape: the boilerplate set is the ≥min_df tail of a
+    (trimmed-line → distinct-doc count) aggregation — tiny next to
+    the corpus, count-guarded broadcast for the removal semi-join. One
+    posexplode shuffle + one doc_id reassembly agg; reassembly sorts
+    the per-doc struct array (sort_array over collect_list), so the
+    result is order-deterministic at any parallelism."""
+    from alix_spark.util import maybe_broadcast
+
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    content = lines.withColumn("l", F.trim("line")).filter(F.col("l") != "")
+    bp = (
+        content.select("doc_id", "l")
+        .distinct()
+        .groupBy("l")
+        .agg(F.count("*").alias("ldf"))
+        .filter(F.col("ldf") >= min_df)
+        .select("l")
+    )
+    removed = content.join(maybe_broadcast(bp), "l", "left_semi").select(
+        "doc_id", "pos"
+    )
+    kept = lines.join(removed, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("pos", "line"))).alias("ls")
+    )
+    totals = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(F.size(F.split(F.col(text_col), "\n")), F.lit(0))
+        .cast("long")
+        .alias("n_lines"),
+    )
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            (
+                F.col("n_lines")
+                - F.coalesce(F.size("ls"), F.lit(0)).cast("long")
+            ).alias("n_removed"),
+            F.md5(
+                F.encode(
+                    F.concat_ws(
+                        "\n", F.coalesce(F.col("ls.line"), F.array())
+                    ),
+                    "utf-8",
+                )
+            ).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def training_shard(
     docs: DataFrame,
     min_quality: float = 0.5,

@@ -361,6 +361,50 @@ class TestStratifiedSample:
         assert lo <= hi
 
 
+class TestLineDedup:
+    def test_boilerplate_lines_removed_everywhere(self, spark):
+        bp = "Subscribe to our newsletter"
+        docs = spark.createDataFrame(
+            [
+                (1, f"real content one\n{bp}\nmore text"),
+                (2, f"{bp}\nother content"),
+                (3, f"unique doc\n  {bp}  "),  # padded: same trimmed form
+                (4, "nothing shared here"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in webpipe.line_dedup(docs, min_df=3).collect()}
+        assert rows[1]["n_removed"] == 1 and rows[1]["n_lines"] == 3
+        assert rows[2]["n_removed"] == 1
+        assert rows[3]["n_removed"] == 1  # trimmed match, padded original
+        assert rows[4]["n_removed"] == 0
+        assert (
+            rows[1]["clean_md5"]
+            == hashlib.md5(b"real content one\nmore text").hexdigest()
+        )
+        assert rows[4]["clean_md5"] == hashlib.md5(b"nothing shared here").hexdigest()
+
+    def test_blank_lines_never_counted_or_removed(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "keep\n\nalso keep") for i in range(1, 5)],
+            "doc_id long, text string",
+        )
+        rows = webpipe.line_dedup(docs, min_df=5).collect()
+        # blank line occurs in 4 docs but is exempt; nothing hits df 5
+        assert all(r["n_removed"] == 0 for r in rows)
+        expect = hashlib.md5(b"keep\n\nalso keep").hexdigest()
+        assert all(r["clean_md5"] == expect for r in rows)
+
+    def test_fully_boilerplate_doc_hashes_empty(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "same line"), (2, "same line"), (3, "same line")],
+            "doc_id long, text string",
+        )
+        rows = webpipe.line_dedup(docs, min_df=3).collect()
+        assert all(r["n_removed"] == 1 for r in rows)
+        assert all(r["clean_md5"] == hashlib.md5(b"").hexdigest() for r in rows)
+
+
 class TestLmScores:
     def test_hand_computed_bigram_model(self, spark):
         import math
