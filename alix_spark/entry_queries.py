@@ -1001,6 +1001,12 @@ def q_line_dedup(spark, sf_dir):
     return webpipe.line_dedup(docs, min_df=3)
 
 
+def q_passage_chunks(spark, sf_dir):
+    """Overlapping 32-token passage windows with stride 16 (the
+    embedding-pipeline chunking step), md5-keyed."""
+    return webpipe.passage_chunks(_docs(spark, sf_dir), size=32, stride=16)
+
+
 def q_pack_shards_shuffled(spark, sf_dir):
     """Token-budget packing in deterministic-shuffle order (the order
     a training run consumes); oracle = the same global window ordered
@@ -1081,7 +1087,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_match": q_near_match,
         # --- chrono (red in r03 — oracle type fix needs a fresh row)
         "chrono_channels": q_chrono_channels,
-        "ann_ivf_fullprobe": q_ann_ivf_fullprobe,
         # --- lexicometry
         "cooc_profile_scored": q_cooc_profile_scored,
         "theme_bm25": q_theme_bm25,
@@ -1135,6 +1140,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # suggest_folded keep it covered from the tail + full local
         # verify)
         "line_dedup": q_line_dedup,
+        # passage_chunks enters for ann_ivf_fullprobe (r03 green;
+        # similarity.py has NO r04 diff — the whole IVF/LSH/cosine
+        # family now sits in the tail on its r03 rows + the full
+        # local verify, matching the policy the other rotated
+        # similarity queries already use)
+        "passage_chunks": q_passage_chunks,
         # ---- driver window boundary (entry 50) ----
         # structural always-greens, every one green in r03; ann_lsh /
         # logdice / simplemaths / jaccard are green-r03 siblings of
@@ -1193,6 +1204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ca_map": q_ca_map,
         "term_embeddings": q_term_embeddings,
         "suggest_population": q_suggest_population,
+        "ann_ivf_fullprobe": q_ann_ivf_fullprobe,
     }
 
 
@@ -2765,6 +2777,28 @@ SELECT d.doc_id,
        md5(coalesce(r.clean, '')) AS clean_md5
 FROM d LEFT JOIN rebuilt r USING (doc_id)
 ORDER BY d.doc_id
+"""
+
+    # overlapping token windows: starts every 16, width ≤32, last
+    # chunk = remainder; DuckDB list slices clamp at the end like
+    # Spark's slice()
+    sqls["passage_chunks"] = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents
+),
+tt AS (SELECT doc_id, l, len(l) AS n FROM t WHERE len(l) > 0),
+ch AS (
+  SELECT doc_id, u.k AS chunk_id,
+         l[u.k * 16 + 1 : u.k * 16 + 32] AS piece
+  FROM tt, unnest(generate_series(0, (n - 1) // 16)) AS u(k)
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(piece) AS BIGINT) AS n_tokens,
+       md5(array_to_string(piece, ' ')) AS chunk_md5
+FROM ch ORDER BY doc_id, chunk_id
 """
 
     # same prefix sum, windowed over the identical md5 shuffle key

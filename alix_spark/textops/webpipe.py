@@ -466,6 +466,62 @@ def line_dedup(
     )
 
 
+def passage_chunks(
+    docs: DataFrame,
+    size: int = 128,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    toks_col: str | None = None,
+) -> DataFrame:
+    """(doc_id, chunk_id, n_tokens, chunk_md5): fixed-size token
+    windows with overlap — the passage-chunking step an
+    embedding/retrieval pipeline runs before vectorizing (every doc →
+    ⌈(len−size)/stride⌉+1 chunks of ≤``size`` tokens starting every
+    ``stride`` tokens; stride defaults to size, i.e. disjoint chunks).
+    The final chunk is the remainder (never empty, never duplicated:
+    a chunk starts at s only if s = 0 or s < len). ``chunk_md5``
+    hashes the space-joined tokens — the dedup/join key for the
+    vector store.
+
+    Pure column expressions: chunk starts come from an exploded
+    ``sequence`` (bounded by the doc's own length — Spark's
+    ``sequence(0, negative)`` DESCENDS, so the upper bound is clamped
+    to ≥0 per the repo rule), the window is a dynamic-start ``slice``,
+    and the hash is md5 over concat_ws. No Python stage, no shuffle
+    besides the caller's downstream use."""
+    from alix_spark.index.simple import tokens_array
+
+    if stride is None:
+        stride = size
+    if size < 1 or stride < 1:
+        raise ValueError(f"size={size} and stride={stride} must be >= 1")
+    tok_expr = (
+        F.col(toks_col) if toks_col is not None else tokens_array(docs, text_col)
+    )
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tok_expr.alias("toks")
+    ).filter(F.size("toks") > 0)
+    n = F.size("toks")
+    # last start: the largest multiple of stride strictly below len
+    # (so a start of len, which would yield an empty chunk, is out)
+    n_chunks = F.floor((n - F.lit(1)) / F.lit(stride)) + F.lit(1)
+    chunks = toks.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1))).alias("chunk_id"),
+    )
+    piece = F.slice(
+        F.col("toks"), F.col("chunk_id") * F.lit(stride) + F.lit(1), F.lit(size)
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.md5(F.encode(F.concat_ws(" ", piece), "utf-8")).alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_id")
+
+
 def training_shard(
     docs: DataFrame,
     min_quality: float = 0.5,

@@ -405,6 +405,40 @@ class TestLineDedup:
         assert all(r["clean_md5"] == hashlib.md5(b"").hexdigest() for r in rows)
 
 
+class TestPassageChunks:
+    def test_overlapping_windows_and_remainder(self, spark):
+        import hashlib as h
+
+        words = [f"w{i}" for i in range(10)]
+        docs = spark.createDataFrame(
+            [(1, " ".join(words))], "doc_id long, text string"
+        )
+        rows = webpipe.passage_chunks(docs, size=4, stride=3).collect()
+        # starts 0,3,6,9 -> windows w0-3, w3-6, w6-9, w9 (remainder)
+        assert [(r["chunk_id"], r["n_tokens"]) for r in rows] == [
+            (0, 4), (1, 4), (2, 4), (3, 1),
+        ]
+        assert rows[1]["chunk_md5"] == h.md5(b"w3 w4 w5 w6").hexdigest()
+        assert rows[3]["chunk_md5"] == h.md5(b"w9").hexdigest()
+
+    def test_exact_multiple_has_no_empty_tail_chunk(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f")], "doc_id long, text string"
+        )
+        rows = webpipe.passage_chunks(docs, size=3, stride=3).collect()
+        # len 6, stride 3: starts 0,3 only — never a start AT len
+        assert [(r["chunk_id"], r["n_tokens"]) for r in rows] == [(0, 3), (1, 3)]
+
+    def test_default_stride_is_disjoint_and_args_validated(self, spark):
+        docs = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+        rows = webpipe.passage_chunks(docs, size=2).collect()
+        assert [(r["chunk_id"], r["n_tokens"]) for r in rows] == [
+            (0, 2), (1, 2), (2, 1),
+        ]
+        with pytest.raises(ValueError):
+            webpipe.passage_chunks(docs, size=0)
+
+
 class TestLmScores:
     def test_hand_computed_bigram_model(self, spark):
         import math
