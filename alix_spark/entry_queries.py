@@ -1007,6 +1007,13 @@ def q_passage_chunks(spark, sf_dir):
     return webpipe.passage_chunks(_docs(spark, sf_dir), size=32, stride=16)
 
 
+def q_dup_spans(spark, sf_dir):
+    """Exact-substring dedup audit (Lee et al. ExactSubstr): per doc,
+    maximal spans of 8-gram windows shared verbatim with >= 2 distinct
+    docs; covered-token count and ratio."""
+    return dedup.dup_spans(_docs(spark, sf_dir), k=8, min_df=2)
+
+
 def q_pack_shards_shuffled(spark, sf_dir):
     """Token-budget packing in deterministic-shuffle order (the order
     a training run consumes); oracle = the same global window ordered
@@ -1090,7 +1097,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- lexicometry
         "cooc_profile_scored": q_cooc_profile_scored,
         "theme_bm25": q_theme_bm25,
-        "theme_irdf": q_theme_irdf,
         "part_keyness_min": q_part_keyness_min,
         "part_keyness_tail": q_part_keyness_tail,
         # --- new this round: the four remaining PartScorer variants
@@ -1146,6 +1152,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # local verify, matching the policy the other rotated
         # similarity queries already use)
         "passage_chunks": q_passage_chunks,
+        # dup_spans (the ExactSubstr dedup tier) enters for theme_irdf
+        # (r03 green; the r04 theme.py diff — the vectorized score map
+        # and the shared _bm25_inputs — is exercised in-window by FOUR
+        # sibling scorers: theme_bm25/rsj/factor/weighted; irdf's own
+        # contrast formula predates r04 and keeps its r03 row + the
+        # full local verify from the tail)
+        "dup_spans": q_dup_spans,
         # ---- driver window boundary (entry 50) ----
         # structural always-greens, every one green in r03; ann_lsh /
         # logdice / simplemaths / jaccard are green-r03 siblings of
@@ -1205,6 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_embeddings": q_term_embeddings,
         "suggest_population": q_suggest_population,
         "ann_ivf_fullprobe": q_ann_ivf_fullprobe,
+        "theme_irdf": q_theme_irdf,
     }
 
 
@@ -2799,6 +2813,47 @@ SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
        CAST(len(piece) AS BIGINT) AS n_tokens,
        md5(array_to_string(piece, ' ')) AS chunk_md5
 FROM ch ORDER BY doc_id, chunk_id
+"""
+
+    # ExactSubstr audit: duplicated 8-gram starts -> covered positions
+    # (the oracle explodes the 8 positions per start and re-derives
+    # spans as gaps-and-islands over distinct covered positions — an
+    # independently-shaped computation that must agree with the Spark
+    # side's constant-k interval merge)
+    sqls["dup_spans"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents
+),
+base AS (SELECT doc_id, coalesce(len(l), 0) AS n_tokens FROM t),
+g AS (
+  SELECT doc_id, u.i AS pos,
+         md5(array_to_string(l[u.i + 1 : u.i + 8], ' ')) AS gh
+  FROM t, unnest(generate_series(0, len(l) - 8)) AS u(i)
+  WHERE len(l) >= 8
+),
+d AS (SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+s AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gh)),
+cov AS (SELECT DISTINCT doc_id, u.t AS t
+        FROM s, unnest(generate_series(pos, pos + 7)) AS u(t)),
+isl AS (SELECT doc_id, t,
+               t - row_number() OVER (PARTITION BY doc_id ORDER BY t) AS grp
+        FROM cov),
+spans AS (SELECT doc_id, grp, count(*) AS span_toks
+          FROM isl GROUP BY doc_id, grp),
+pd AS (SELECT doc_id, count(*) AS n_spans, sum(span_toks) AS dup_tokens
+       FROM spans GROUP BY doc_id)
+SELECT b.doc_id,
+       CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       CAST(coalesce(pd.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(pd.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CASE WHEN b.n_tokens > 0
+            THEN {sql_round6("coalesce(pd.dup_tokens, 0) * 1.0 / b.n_tokens")}
+            ELSE 0.0 END AS dup_ratio
+FROM base b LEFT JOIN pd USING (doc_id)
+ORDER BY doc_id
 """
 
     # same prefix sum, windowed over the identical md5 shuffle key

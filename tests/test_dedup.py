@@ -156,3 +156,72 @@ def test_embedding_dup_pairs_finds_near_identical(spark):
         a, b = by_id[r["id_a"]], by_id[r["id_b"]]
         cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
         assert math.floor(cos * 1e6 + 0.5) / 1e6 >= 0.95
+
+
+class TestDupSpans:
+    def test_overlapping_windows_merge_into_one_span(self, spark):
+        # docs 1 and 2 share tokens c..h (6 tokens); with k=4 the
+        # duplicated starts in doc 1 are positions 2,3,4 (c d e f,
+        # d e f g, e f g h) -> ONE merged span covering c..h
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c d e f g h i j"),
+                (2, "x y c d e f g h z w"),
+                (3, "p q r s t u v m n o"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in dedup.dup_spans(docs, k=4).collect()}
+        assert rows[1]["n_spans"] == 1 and rows[1]["dup_tokens"] == 6
+        assert rows[2]["n_spans"] == 1 and rows[2]["dup_tokens"] == 6
+        assert rows[3]["n_spans"] == 0 and rows[3]["dup_tokens"] == 0
+        assert rows[1]["dup_ratio"] == 0.6
+        assert rows[1]["n_tokens"] == 10
+
+    def test_disjoint_duplicated_regions_stay_separate_spans(self, spark):
+        # two shared 4-gram regions separated by a unique gap
+        docs = spark.createDataFrame(
+            [
+                (1, "c d e f GAP1 GAP2 GAP3 w x y z"),
+                (2, "c d e f QQQ1 QQQ2 QQQ3 w x y z"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in dedup.dup_spans(docs, k=4).collect()}
+        assert rows[1]["n_spans"] == 2
+        assert rows[1]["dup_tokens"] == 8
+
+    def test_min_df_counts_distinct_docs_not_occurrences(self, spark):
+        # doc 1 repeats its own 4-gram twice; no OTHER doc has it, so
+        # with min_df=2 (distinct docs) nothing is flagged
+        docs = spark.createDataFrame(
+            [
+                (1, "c d e f m n o p c d e f"),
+                (2, "q r s t u v w x y z a b"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in dedup.dup_spans(docs, k=4).collect()}
+        assert rows[1]["n_spans"] == 0 and rows[2]["n_spans"] == 0
+
+    def test_short_and_null_docs_zero_rows_kept(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b"), (2, None), (3, "a b c d e"), (4, "a b c d e")],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in dedup.dup_spans(docs, k=4).collect()}
+        assert set(rows) == {1, 2, 3, 4}
+        assert rows[1] == (1, 2, 0, 0, 0.0) or (
+            rows[1]["n_tokens"] == 2 and rows[1]["dup_ratio"] == 0.0
+        )
+        assert rows[2]["n_tokens"] == 0 and rows[2]["dup_ratio"] == 0.0
+        # docs 3 and 4 are verbatim dups: one span covering everything
+        assert rows[3]["n_spans"] == 1 and rows[3]["dup_tokens"] == 5
+        assert rows[3]["dup_ratio"] == 1.0
+
+    def test_args_validated(self, spark):
+        docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            dedup.dup_spans(docs, k=0)
+        with pytest.raises(ValueError):
+            dedup.dup_spans(docs, min_df=1)
