@@ -2785,17 +2785,20 @@ rebuilt AS (
   FROM kept GROUP BY doc_id
 )
 SELECT d.doc_id,
-       CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines,
-       CAST(len(string_split(d.text, chr(10)))
+       CAST(coalesce(len(string_split(d.text, chr(10))), 0) AS BIGINT)
+         AS n_lines,
+       CAST(coalesce(len(string_split(d.text, chr(10))), 0)
             - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
        md5(coalesce(r.clean, '')) AS clean_md5
 FROM d LEFT JOIN rebuilt r USING (doc_id)
 ORDER BY d.doc_id
 """
 
-    # overlapping token windows: starts every 16, width ≤32, last
-    # chunk = remainder; DuckDB list slices clamp at the end like
-    # Spark's slice()
+    # overlapping token windows: starts every 16, width ≤32; a start
+    # is emitted only while the previous chunk did not already reach
+    # the end (extra chunks = ceil((n-32)/16) clamped at 0), so no
+    # tail chunk is wholly contained in its predecessor; DuckDB list
+    # slices clamp at the end like Spark's slice()
     sqls["passage_chunks"] = """
 WITH t AS (
   SELECT doc_id,
@@ -2807,7 +2810,7 @@ tt AS (SELECT doc_id, l, len(l) AS n FROM t WHERE len(l) > 0),
 ch AS (
   SELECT doc_id, u.k AS chunk_id,
          l[u.k * 16 + 1 : u.k * 16 + 32] AS piece
-  FROM tt, unnest(generate_series(0, (n - 1) // 16)) AS u(k)
+  FROM tt, unnest(generate_series(0, greatest(0, (n - 32 + 16 - 1) // 16))) AS u(k)
 )
 SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
        CAST(len(piece) AS BIGINT) AS n_tokens,

@@ -590,11 +590,18 @@ def dup_spans(
                 yield pd.DataFrame({"doc_id": ids, "pos": poss, "gh": hs})
 
     grams = toks.mapInPandas(gen, f"doc_id {id_type}, pos long, gh string")
+    # lazy localCheckpoint: maybe_broadcast's count job materializes
+    # the (small, post-filter) duplicated-hash set, so the count and
+    # the join build side share ONE gram pass instead of each
+    # re-deriving it — without it the gram stage runs three times
+    # (count, build, probe), not the two the contract costs out.
+    # ContextCleaner reclaims the checkpoint blocks via GC.
     dup = (
         grams.groupBy("gh")
         .agg(F.countDistinct("doc_id").alias("df_docs"))
         .filter(F.col("df_docs") >= min_df)
         .select("gh")
+        .localCheckpoint(eager=False)
     )
     starts = grams.join(maybe_broadcast(dup), "gh").select("doc_id", "pos")
 

@@ -423,6 +423,10 @@ def line_dedup(
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     )
     content = lines.withColumn("l", F.trim("line")).filter(F.col("l") != "")
+    # lazy localCheckpoint: the boilerplate set is tiny post-filter but
+    # its lineage is a full corpus explode + distinct + aggregate —
+    # maybe_broadcast's count job materializes it once, and the removal
+    # join's build side reads the checkpoint instead of re-deriving
     bp = (
         content.select("doc_id", "l")
         .distinct()
@@ -430,6 +434,7 @@ def line_dedup(
         .agg(F.count("*").alias("ldf"))
         .filter(F.col("ldf") >= min_df)
         .select("l")
+        .localCheckpoint(eager=False)
     )
     removed = content.join(maybe_broadcast(bp), "l", "left_semi").select(
         "doc_id", "pos"
@@ -477,12 +482,14 @@ def passage_chunks(
     """(doc_id, chunk_id, n_tokens, chunk_md5): fixed-size token
     windows with overlap — the passage-chunking step an
     embedding/retrieval pipeline runs before vectorizing (every doc →
-    ⌈(len−size)/stride⌉+1 chunks of ≤``size`` tokens starting every
-    ``stride`` tokens; stride defaults to size, i.e. disjoint chunks).
-    The final chunk is the remainder (never empty, never duplicated:
-    a chunk starts at s only if s = 0 or s < len). ``chunk_md5``
-    hashes the space-joined tokens — the dedup/join key for the
-    vector store.
+    max(1, ⌈(len−size)/stride⌉+1) chunks of ≤``size`` tokens starting
+    every ``stride`` tokens; stride defaults to size, i.e. disjoint
+    chunks). A start is emitted only while it adds tokens the previous
+    chunk did not already cover (s = 0, or s−stride+size < len) — so
+    the final chunk is never empty, never wholly contained in its
+    predecessor, and a vector store gets no redundant passages when
+    stride < size. ``chunk_md5`` hashes the space-joined tokens — the
+    dedup/join key for the vector store.
 
     Pure column expressions: chunk starts come from an exploded
     ``sequence`` (bounded by the doc's own length — Spark's
@@ -503,9 +510,15 @@ def passage_chunks(
         F.col(id_col).alias("doc_id"), tok_expr.alias("toks")
     ).filter(F.size("toks") > 0)
     n = F.size("toks")
-    # last start: the largest multiple of stride strictly below len
-    # (so a start of len, which would yield an empty chunk, is out)
-    n_chunks = F.floor((n - F.lit(1)) / F.lit(stride)) + F.lit(1)
+    # chunks beyond the first exist only while the previous chunk did
+    # not already reach the end: start j*stride is valid iff
+    # (j-1)*stride + size < len, so extra = ceil((len - size)/stride)
+    # clamped at 0 (integer form; no float division)
+    extra = F.greatest(
+        F.lit(0),
+        F.floor((n - F.lit(size) + F.lit(stride) - F.lit(1)) / F.lit(stride)),
+    )
+    n_chunks = extra + F.lit(1)
     chunks = toks.select(
         "doc_id",
         "toks",

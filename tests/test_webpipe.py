@@ -409,17 +409,28 @@ class TestPassageChunks:
     def test_overlapping_windows_and_remainder(self, spark):
         import hashlib as h
 
-        words = [f"w{i}" for i in range(10)]
         docs = spark.createDataFrame(
-            [(1, " ".join(words))], "doc_id long, text string"
+            [
+                (1, " ".join(f"w{i}" for i in range(10))),
+                (2, " ".join(f"v{i}" for i in range(11))),
+            ],
+            "doc_id long, text string",
         )
         rows = webpipe.passage_chunks(docs, size=4, stride=3).collect()
-        # starts 0,3,6,9 -> windows w0-3, w3-6, w6-9, w9 (remainder)
-        assert [(r["chunk_id"], r["n_tokens"]) for r in rows] == [
-            (0, 4), (1, 4), (2, 4), (3, 1),
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        # len 10: starts 0,3,6 — chunk 2 (w6-w9) reaches the end, so
+        # start 9 (wholly contained in chunk 2) is NOT emitted
+        assert [(r["chunk_id"], r["n_tokens"]) for r in by_doc[1]] == [
+            (0, 4), (1, 4), (2, 4),
         ]
-        assert rows[1]["chunk_md5"] == h.md5(b"w3 w4 w5 w6").hexdigest()
-        assert rows[3]["chunk_md5"] == h.md5(b"w9").hexdigest()
+        assert by_doc[1][1]["chunk_md5"] == h.md5(b"w3 w4 w5 w6").hexdigest()
+        # len 11: start 9 DOES add v10 -> remainder chunk of 2
+        assert [(r["chunk_id"], r["n_tokens"]) for r in by_doc[2]] == [
+            (0, 4), (1, 4), (2, 4), (3, 2),
+        ]
+        assert by_doc[2][3]["chunk_md5"] == h.md5(b"v9 v10").hexdigest()
 
     def test_exact_multiple_has_no_empty_tail_chunk(self, spark):
         docs = spark.createDataFrame(
