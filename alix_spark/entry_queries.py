@@ -1023,6 +1023,102 @@ def q_pack_shards_shuffled(spark, sf_dir):
     )
 
 
+# Dirt-injection fixture for normalize_text: per-residue suffixes
+# exercising each normalization stage. A SHARED expr string is
+# impossible here (Spark's chr() truncates codepoints mod 256, so
+# combining marks can't be built in shared syntax): the Spark side
+# concatenates these Python literals, the oracle side renders the SAME
+# dict through _sql_str (control chars become chr(n) calls).
+NORM_SUFFIXES = {
+    0: " cafe\u0301  deux  espaces",  # decomposed NFC target + space runs
+    1: " zero\u200bwidth\u00adsoft\ufeff",  # format chars to drop
+    2: " ctl\x07bell\x0bvt\r\nline",  # controls + CRLF
+    3: " tab\t\tend ",  # tab run + trailing space
+    4: "",  # untouched
+}
+
+
+def _sql_str(s: str) -> str:
+    """Render a Python string as a DuckDB SQL expression, emitting
+    chr(n) for control chars and doubling single quotes."""
+    parts: list[str] = []
+    buf = ""
+    for ch in s:
+        if ord(ch) < 32 or ch == "\x7f":
+            if buf:
+                parts.append("'" + buf.replace("'", "''") + "'")
+                buf = ""
+            parts.append(f"chr({ord(ch)})")
+        else:
+            buf += ch
+    if buf:
+        parts.append("'" + buf.replace("'", "''") + "'")
+    return " || ".join(parts) if parts else "''"
+
+
+def _norm_fixture_sql() -> str:
+    cases = " ".join(
+        f"WHEN {k} THEN {_sql_str(v)}" for k, v in sorted(NORM_SUFFIXES.items()) if v
+    )
+    return f"text || CASE doc_id % {len(NORM_SUFFIXES)} {cases} ELSE '' END"
+
+
+def q_normalize_text(spark, sf_dir):
+    """Unicode normalization gate (NFC + format-char strip + control
+    squash + whitespace collapse) over dirt-injected text."""
+    n = len(NORM_SUFFIXES)
+    sfx = F.lit("")
+    for k, v in sorted(NORM_SUFFIXES.items()):
+        if v:
+            sfx = F.when(F.col("doc_id") % n == k, F.lit(v)).otherwise(sfx)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.concat(F.col("text"), sfx).alias("text")
+    )
+    return textstats.normalize_text(docs).orderBy("doc_id")
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Hashed-bigram linear classifier gate (fastText-filter pattern,
+    md5-derived deterministic weights, integer milli-unit sums)."""
+    return textstats.classifier_scores(_docs(spark, sf_dir))
+
+
+def q_zipf_profile(spark, sf_dir):
+    """Per-source Zipf's-law fit: OLS slope/r2 of ln(freq) on ln(rank)
+    over each source's top-500 terms."""
+    return textstats.zipf_profile(_docs(spark, sf_dir), top_n=500)
+
+
+# Structured-URL fixture for url_filter: variable path depth (repeat)
+# and a 0/1/3/5-parameter query ladder, in shared Spark/DuckDB syntax
+# (repeat, CASE, CAST, ||) so both engines run it verbatim.
+FILTER_URL_EXPR = (
+    "'https://' || source || '.example.com' || "
+    "repeat('/d', CAST(doc_id % 11 AS INTEGER)) || '/p' || "
+    "CASE WHEN doc_id % 4 = 0 THEN '' WHEN doc_id % 4 = 1 THEN '?a=1' "
+    "WHEN doc_id % 4 = 2 THEN '?a=1&b=2&c=3' "
+    "ELSE '?a=1&b=2&c=3&d=4&e=5' END"
+)
+URL_BLOCKLIST = ["src3.example.com", "src7.example.com"]
+
+
+def q_url_filter(spark, sf_dir):
+    """URL keep/drop gate: blocklist (broadcast dim), crawler-trap
+    depth, session-state param count — first matching rule wins."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.expr(FILTER_URL_EXPR).alias("url")
+    )
+    return webpipe.url_filter(
+        docs, blocklist=URL_BLOCKLIST, max_depth=6, max_params=3
+    )
+
+
+def q_length_outliers(spark, sf_dir):
+    """Corpus-relative length gate: exact discrete p05/p95 token-count
+    thresholds via the histogram plan (never a global sort)."""
+    return webpipe.length_outliers(_docs(spark, sf_dir))
+
+
 def q_multimodal_meta(spark, sf_dir):
     return multimodal.as_media_table(_docs(spark, sf_dir)).select(
         "media_id", "mime", "n_bytes"
@@ -1084,8 +1180,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keywords_doc": q_keywords_doc,
         "spell_suggest": q_spell_suggest,
         "theme_rsj": q_theme_rsj,
-        "theme_factor": q_theme_factor,
-        "theme_weighted": q_theme_weighted,
         # --- ranking
         "bm25_wand_and": q_bm25_wand_and,
         "bm25_wand_or": q_bm25_wand_or,
@@ -1099,10 +1193,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theme_bm25": q_theme_bm25,
         "part_keyness_min": q_part_keyness_min,
         "part_keyness_tail": q_part_keyness_tail,
-        # --- new this round: the four remaining PartScorer variants
+        # --- PartScorer variants: residual (the column-expression
+        # branch) and specificity (the Arrow hypergeometric kernel)
+        # stay in-window; pearson/rateratio share residual's exact
+        # plan (_score_corpus_family) differing only in the cell
+        # formula, and rotate to the tail for the third-session ops
         "part_residual": q_part_residual,
-        "part_pearson": q_part_pearson,
-        "part_rateratio": q_part_rateratio,
         "part_specificity": q_part_specificity,
         # rows-only (sequential period-repair walk, non-SQL)
         "part_chrono": q_part_chrono,
@@ -1139,7 +1235,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the full local mini-driver/verify checks, like the other
         # rotated rows-only entries)
         "lm_score": q_lm_score,
-        "pack_shards_shuffled": q_pack_shards_shuffled,
         # line_dedup enters for suggest_population (r03 green; the r04
         # suggest.py diff is lock hygiene + the separate spell backend
         # — the fold+rank value path is unchanged and suggest /
@@ -1159,6 +1254,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # contrast formula predates r04 and keeps its r03 row + the
         # full local verify from the tail)
         "dup_spans": q_dup_spans,
+        # --- new this session (third): text-normalization gate,
+        # hashed-linear quality classifier, Zipf source profiling,
+        # URL blocklist/structure gate, histogram-quantile length
+        # gate. Window slots freed by rotating five NEW-this-round
+        # siblings whose exact code paths keep an in-window
+        # representative: theme_factor/theme_weighted (same
+        # _bm25_inputs aggregate + score map as theme_bm25/theme_rsj,
+        # different contrast arithmetic only), part_pearson/
+        # part_rateratio (same _score_corpus_family plan as
+        # part_residual, different cell formula), and
+        # pack_shards_shuffled (rows-only every round; pack_shards
+        # keeps the distributed prefix-sum oracled in-window and
+        # stratified_sample keeps the md5 order-key path oracled).
+        # All five stay fully checked by the local mini-driver
+        # (tests/test_oracle_parity.py) every suite run.
+        "normalize_text": q_normalize_text,
+        "quality_classifier": q_quality_classifier,
+        "zipf_profile": q_zipf_profile,
+        "url_filter": q_url_filter,
+        "length_outliers": q_length_outliers,
         # ---- driver window boundary (entry 50) ----
         # structural always-greens, every one green in r03; ann_lsh /
         # logdice / simplemaths / jaccard are green-r03 siblings of
@@ -1219,6 +1334,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_population": q_suggest_population,
         "ann_ivf_fullprobe": q_ann_ivf_fullprobe,
         "theme_irdf": q_theme_irdf,
+        # rotated out this session for the five new gates (see the
+        # window comment above): in-window siblings keep every code
+        # path driver-visible
+        "theme_factor": q_theme_factor,
+        "theme_weighted": q_theme_weighted,
+        "part_pearson": q_part_pearson,
+        "part_rateratio": q_part_rateratio,
+        "pack_shards_shuffled": q_pack_shards_shuffled,
     }
 
 
@@ -2910,6 +3033,143 @@ LEFT JOIN c12 USING (w1, w2)
 LEFT JOIN c1 USING (w1)
 CROSS JOIN v
 GROUP BY b.doc_id ORDER BY b.doc_id
+"""
+
+    # the Python-side chain step for step (NFC → format-char strip →
+    # CR normalization → control squash → run collapse → trim); RE2
+    # \x{...} escapes stand in for Python's \uXXXX classes. No
+    # f-string: the RE2 braces would need doubling.
+    sqls["normalize_text"] = (
+        """
+WITH src AS (SELECT doc_id, """
+        + _norm_fixture_sql()
+        + """ AS t FROM documents),
+n AS (
+  SELECT doc_id, t,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      replace(replace(
+        regexp_replace(nfc_normalize(t),
+          '[\\x{200B}\\x{200C}\\x{200D}\\x{2060}\\x{FEFF}\\x{00AD}]', '', 'g'),
+        chr(13) || chr(10), chr(10)), chr(13), chr(10)),
+      '[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}\\x{7F}]', ' ', 'g'),
+      '[ \\t]+', ' ', 'g'),
+      '^[ \\t\\n\\r]+', ''),
+      '[ \\t\\n\\r]+$', '') AS s
+  FROM src)
+SELECT doc_id,
+       CAST(length(t) AS BIGINT) AS n_chars_raw,
+       CAST(length(s) AS BIGINT) AS n_chars_norm,
+       s <> t AS changed,
+       md5(s) AS norm_md5
+FROM n ORDER BY doc_id
+"""
+    )
+
+    # integer milli-unit weights: hexval(md5[:4]) mod 2001 - 1000; the
+    # per-doc sum is exact integer arithmetic on both engines
+    sqls["quality_classifier"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents
+),
+d AS (SELECT doc_id, l, len(l) AS n FROM t WHERE len(l) >= 2),
+g AS (
+  SELECT doc_id, l[u.i] || ' ' || l[u.i + 1] AS g
+  FROM d, unnest(generate_series(1, n - 1)) AS u(i)
+),
+w AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(g), 1, 4)) AS BIGINT) % 2001 - 1000 AS w
+  FROM g
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(w) AS BIGINT) AS w_sum,
+       {sql_round6('CAST(sum(w) AS DOUBLE) / (1000.0 * count(*))')} AS clf_score,
+       CAST(sum(w) AS BIGINT) > 0 AS keep
+FROM w GROUP BY doc_id ORDER BY doc_id
+"""
+
+    sqls["zipf_profile"] = f"""
+WITH t AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents
+),
+f AS (
+  SELECT source, w, count(*) AS freq
+  FROM (SELECT source, unnest(l) AS w FROM t)
+  GROUP BY source, w
+),
+r AS (
+  SELECT source, freq,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY freq DESC, w ASC) AS rank
+  FROM f
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(max(CASE WHEN rank = 1 THEN freq END) AS BIGINT) AS top_freq,
+       {sql_round6('regr_slope(ln(CAST(freq AS DOUBLE)), ln(CAST(rank AS DOUBLE)))')} AS slope,
+       {sql_round6('regr_r2(ln(CAST(freq AS DOUBLE)), ln(CAST(rank AS DOUBLE)))')} AS r2
+FROM r WHERE rank <= 500 GROUP BY source ORDER BY source
+"""
+
+    _bl = ", ".join(f"'{d}'" for d in URL_BLOCKLIST)
+    sqls["url_filter"] = f"""
+WITH u AS (SELECT doc_id, {FILTER_URL_EXPR} AS url FROM documents),
+p AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)) AS host,
+    regexp_replace(substr(url,
+      length(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0)) + 1),
+      '[?#].*', '') AS rest,
+    regexp_extract(url, '\\?([^#]*)', 1) AS q
+  FROM u),
+p2 AS (
+  SELECT doc_id, host,
+    list_transform(range(0, greatest(len(string_split(host, '.')) - 1, 1)),
+                   i -> array_to_string(string_split(host, '.')[i + 1:], '.'))
+      AS sfx,
+    len(list_filter(string_split(rest, '/'), x -> x <> '')) AS depth,
+    CASE WHEN q = '' THEN 0 ELSE len(string_split(q, '&')) END AS nparams,
+    length(url) AS ulen
+  FROM p),
+sel AS (
+  SELECT doc_id, host,
+    CASE WHEN list_has_any(sfx, [{_bl}]) THEN 'blocked_domain'
+         WHEN depth > 6 THEN 'depth'
+         WHEN nparams > 3 THEN 'params'
+         WHEN ulen > 2048 THEN 'length' END AS reason
+  FROM p2)
+SELECT doc_id, host, reason IS NOT NULL AS blocked, reason
+FROM sel ORDER BY doc_id
+"""
+
+    # exact discrete p05/p95 via the histogram walk; k in pure integer
+    # arithmetic (never a float rank)
+    sqls["length_outliers"] = """
+WITH c AS (
+  SELECT doc_id,
+         CAST(coalesce(len(list_filter(
+           regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+           x -> x <> '')), 0) AS BIGINT) AS n_tokens
+  FROM documents
+),
+n AS (SELECT count(*) AS n FROM c),
+h AS (SELECT n_tokens, count(*) AS cnt FROM c GROUP BY n_tokens),
+cw AS (SELECT n_tokens, sum(cnt) OVER (ORDER BY n_tokens) AS cum FROM h),
+th AS (
+  SELECT
+    CAST(min(CASE WHEN cum >= (n * 5 + 99) // 100 THEN n_tokens END) AS BIGINT) AS t_lo,
+    CAST(min(CASE WHEN cum >= (n * 95 + 99) // 100 THEN n_tokens END) AS BIGINT) AS t_hi
+  FROM cw CROSS JOIN n)
+SELECT c.doc_id, c.n_tokens, th.t_lo, th.t_hi,
+       (c.n_tokens < th.t_lo OR c.n_tokens > th.t_hi) AS outlier,
+       CASE WHEN c.n_tokens < th.t_lo THEN 'short'
+            WHEN c.n_tokens > th.t_hi THEN 'long' END AS reason
+FROM c CROSS JOIN th ORDER BY c.doc_id
 """
 
     return sqls

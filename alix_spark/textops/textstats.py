@@ -289,6 +289,202 @@ def lm_scores(
     )
 
 
+def normalize_text(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_chars_raw, n_chars_norm, changed, norm_md5): Unicode
+    normalization gate — the first step of any web-crawl text pipeline
+    (C4/CCNet both normalize before dedup so that byte-different,
+    render-identical pages hash together).
+
+    Chain (order is part of the contract):
+    1. NFC composition (``unicodedata.normalize`` — same tables as
+       DuckDB's ``nfc_normalize``, verified identical incl. the
+       combining-mark reorder cases);
+    2. zero-width / joiner / BOM / soft-hyphen removal
+       (U+200B..U+200D, U+2060, U+FEFF, U+00AD);
+    3. CRLF and lone CR → LF;
+    4. remaining C0/C1 controls (except TAB and LF) → space;
+    5. runs of spaces/tabs → one space; leading/trailing whitespace
+       stripped.
+
+    ``norm_md5`` (md5 of the UTF-8 of the normal form) is the join key
+    a downstream exact-dedup stage uses; ``changed`` flags docs whose
+    normal form differs (the crawl-health metric). NULL text yields
+    NULL channels. Runs in ONE Arrow-batched pass over the input
+    partitions — no shuffle at any scale; Python is unavoidable here
+    (Spark has no NFC builtin) but ``unicodedata.normalize`` and
+    ``re`` are C-speed and the pass is per-partition."""
+    ensure_py_files(df.sparkSession)
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("t"))
+    id_type = src.schema["doc_id"].dataType.simpleString()
+
+    def gen(it):
+        import hashlib
+        import re
+        import unicodedata
+
+        zw = re.compile("[​‌‍⁠﻿­]")
+        ctl = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
+        runs = re.compile("[ \t]+")
+        lead = re.compile("^[ \t\n\r]+")
+        trail = re.compile("[ \t\n\r]+$")
+        for pdf in it:
+            ids, raws, norms, chs, md5s = [], [], [], [], []
+            for doc_id, t in zip(pdf["doc_id"], pdf["t"]):
+                ids.append(doc_id)
+                if t is None:
+                    raws.append(None)
+                    norms.append(None)
+                    chs.append(None)
+                    md5s.append(None)
+                    continue
+                s = unicodedata.normalize("NFC", t)
+                s = zw.sub("", s)
+                s = s.replace("\r\n", "\n").replace("\r", "\n")
+                s = ctl.sub(" ", s)
+                s = runs.sub(" ", s)
+                s = trail.sub("", lead.sub("", s))
+                raws.append(len(t))
+                norms.append(len(s))
+                chs.append(s != t)
+                md5s.append(hashlib.md5(s.encode("utf-8")).hexdigest())
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": ids,
+                        "n_chars_raw": pd.array(raws, dtype="Int64"),
+                        "n_chars_norm": pd.array(norms, dtype="Int64"),
+                        "changed": pd.array(chs, dtype="boolean"),
+                        "norm_md5": md5s,
+                    }
+                )
+
+    return src.mapInPandas(
+        gen,
+        f"doc_id {id_type}, n_chars_raw long, n_chars_norm long, "
+        "changed boolean, norm_md5 string",
+    )
+
+
+def classifier_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    toks_col: str | None = None,
+) -> DataFrame:
+    """(doc_id, n_bigrams, w_sum, clf_score, keep): fastText-style
+    hashed-bigram linear classifier gate — the quality-classifier
+    pattern (CCNet's fastText filter, GPT-3's LR filter) with a
+    deterministic hash-derived weight table so both engines and every
+    run agree bit-for-bit.
+
+    Each word bigram hashes into a signed weight on a 1/1000 grid:
+    ``w = (hexval(md5(w1||' '||w2)[:4]) mod 2001 − 1000)`` (an integer
+    in [−1000, 1000], i.e. a weight in [−1, 1] in milli-units). A real
+    deployment swaps the md5-derived table for trained weights via an
+    identical hash→weight lookup; everything else — the plan shape,
+    the hashing, the aggregation — is the production path.
+
+    ``w_sum`` accumulates in INTEGER milli-units, so the per-doc sum is
+    exact under any aggregation order; ``clf_score`` = w_sum/(1000·n)
+    rounded to 6 dp, and ``keep`` compares the integer sum (never a
+    float boundary). Docs with <2 tokens have no bigram and are
+    excluded. Fully JVM-side: bigrams are a slice+arrays_zip
+    projection, the hash is Spark's ``md5``/``conv``, and the per-doc
+    aggregation is one map-side-combined groupBy — at 100 TB the
+    shuffle carries (doc_id, partial sums) only."""
+    tok_expr = (
+        F.col(toks_col) if toks_col is not None else tokens_array(df, text_col)
+    )
+    toks = df.select(F.col(id_col).alias("doc_id"), tok_expr.alias("toks"))
+    z = F.arrays_zip(
+        F.slice(F.col("toks"), 1, F.greatest(F.size("toks") - 1, F.lit(0))),
+        F.expr("slice(toks, 2, greatest(size(toks) - 1, 0))"),
+    )
+    grams = (
+        toks.filter(F.size("toks") >= 2)
+        .select("doc_id", F.explode(z).alias("bg"))
+        .select(
+            "doc_id",
+            F.concat(F.col("bg.0"), F.lit(" "), F.col("bg.1")).alias("g"),
+        )
+    )
+    hv = F.conv(F.substring(F.md5(F.col("g")), 1, 4), 16, 10).cast("long")
+    w = (hv % F.lit(2001) - F.lit(1000)).alias("w")
+    return (
+        grams.select("doc_id", w)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("w").cast("long").alias("w_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "w_sum",
+            round6(
+                F.col("w_sum") / (F.lit(1000.0) * F.col("n_bigrams"))
+            ).alias("clf_score"),
+            (F.col("w_sum") > 0).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def zipf_profile(
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 500,
+) -> DataFrame:
+    """(source, n_terms, top_freq, slope, r2): per-source Zipf's-law
+    fit — OLS of ln(freq) on ln(rank) over the source's ``top_n`` most
+    frequent terms (rank ties broken term-asc). Natural text sits near
+    slope −1 with high r²; machine-generated spam, navigation
+    boilerplate, and keyword-stuffed pages bend the curve — a cheap
+    source-level signal for the domain keep/drop decision that
+    complements :func:`webpipe.domain_stats`.
+
+    Scale shape: ONE corpus-wide explode→groupBy (map-side combined,
+    output bounded by distinct (source, term) — far below corpus
+    size); the rank window and the regression then run on that
+    aggregated table, partitioned BY SOURCE (never a global sort).
+    ``regr_slope``/``regr_r2`` are float sums whose addend order Spark
+    does not fix; the 6-dp floor rounding absorbs the last-ulp noise
+    (same contract as every float oracle in this repo)."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(group_col).alias("source"),
+        tokens_array(docs, text_col).alias("toks"),
+    )
+    freqs = (
+        toks.select("source", F.explode("toks").alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    rk = Window.partitionBy("source").orderBy(
+        F.col("freq").desc(), F.col("w").asc()
+    )
+    ranked = freqs.select(
+        "source", "freq", F.row_number().over(rk).alias("rank")
+    ).filter(F.col("rank") <= top_n)
+    lf = F.log(F.col("freq").cast("double"))
+    lr = F.log(F.col("rank").cast("double"))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.max(F.when(F.col("rank") == 1, F.col("freq"))).alias("top_freq"),
+            round6(F.expr("regr_slope(ln(cast(freq as double)), ln(cast(rank as double)))")).alias("slope"),
+            round6(F.expr("regr_r2(ln(cast(freq as double)), ln(cast(rank as double)))")).alias("r2"),
+        )
+        .orderBy("source")
+    )
+
+
 def repetition_scores(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -595,3 +595,175 @@ def training_shard(
         .select("doc_id", "n_tokens", "quality", "top2_frac", "clean_md5")
         .orderBy("doc_id")
     )
+
+
+def url_filter(
+    df: DataFrame,
+    blocklist: DataFrame | list[str] = (),
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    max_depth: int = 6,
+    max_params: int = 8,
+    max_len: int = 2048,
+) -> DataFrame:
+    """(doc_id, host, blocked, reason): URL-level keep/drop gate — the
+    stage every crawl pipeline runs before fetching or tokenizing a
+    byte of page text (RefinedWeb/C4 both gate on URL blocklists and
+    structural URL shape first, because it is ~free relative to any
+    text op).
+
+    Ordered rules, FIRST match wins (the order is part of the
+    contract):
+    1. ``blocked_domain`` — the URL's host, or ANY of its domain
+       suffixes with >= 2 labels, is in the blocklist
+       (``a.ads.spam.example`` matches blocked ``spam.example`` and
+       blocked ``ads.spam.example`` alike — blocklists carry entries
+       at arbitrary depth);
+    2. ``depth`` — more than ``max_depth`` path segments (crawler
+       traps: calendars, faceted navigation);
+    3. ``params`` — more than ``max_params`` query parameters
+       (session-state explosions);
+    4. ``length`` — more than ``max_len`` characters total.
+
+    Scale shape: the blocklist is a SMALL dimension (thousands to low
+    millions of domains) joined via an explicit broadcast — the corpus
+    side never shuffles; every structural rule is a column expression
+    over one projection. The subdomain match explodes the host's few
+    dot-suffixes and broadcast-equi-joins each against the blocklist —
+    never a per-row contains-scan over the list."""
+    spark = df.sparkSession
+    if not isinstance(blocklist, DataFrame):
+        rows = [(d.lower(),) for d in blocklist]
+        bl = spark.createDataFrame(rows or [("",)], "bdom string")
+        if not rows:
+            bl = bl.filter(F.lit(False))
+    else:
+        bl = blocklist.select(F.lower(F.col(blocklist.columns[0])).alias("bdom"))
+    bl = bl.distinct()
+
+    u = F.col(url_col)
+    prefix = F.regexp_extract(u, _PREFIX_RE, 0)
+    host = F.lower(
+        F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)", 1)
+    )
+    rest = F.regexp_replace(
+        F.substr(u, F.length(prefix) + F.lit(1)), "[?#].*", ""
+    )
+    # path segments: '/a/b/' -> ['a','b'] (empty splits dropped)
+    depth = F.size(F.filter(F.split(rest, "/"), lambda x: x != F.lit("")))
+    query = F.regexp_extract(u, "\\?([^#]*)", 1)
+    n_params = F.when(query == "", F.lit(0)).otherwise(
+        F.size(F.split(query, "&"))
+    )
+    # all dot-suffixes of the host with >= 2 labels, full host included
+    # ('a.b.c.com' -> [a.b.c.com, b.c.com, c.com]); the per-host label
+    # array is tiny, so the interpreted lambda costs nothing next to
+    # the scan
+    suffixes = F.expr(
+        "transform(sequence(0, greatest(size(split(host, '[.]')) - 2, 0)),"
+        " i -> array_join(slice(split(host, '[.]'), i + 1,"
+        "                       size(split(host, '[.]')) - i), '.'))"
+    )
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        host.alias("host"),
+        depth.cast("long").alias("_depth"),
+        n_params.cast("long").alias("_nparams"),
+        F.length(u).cast("long").alias("_len"),
+    )
+    # equi-join on the exploded suffix keys — an OR/contains join
+    # condition would compile to BroadcastNestedLoopJoin (per-row scan
+    # of the whole blocklist); this stays a BroadcastHashJoin
+    keyed = base.withColumn("_key", F.explode(F.array_distinct(suffixes)))
+    hit = (
+        keyed.join(F.broadcast(bl), F.col("_key") == F.col("bdom"), "left")
+        .groupBy("doc_id", "host", "_depth", "_nparams", "_len")
+        .agg(F.max(F.col("bdom").isNotNull()).alias("_dom_hit"))
+    )
+    reason = (
+        F.when(F.col("_dom_hit"), F.lit("blocked_domain"))
+        .when(F.col("_depth") > max_depth, F.lit("depth"))
+        .when(F.col("_nparams") > max_params, F.lit("params"))
+        .when(F.col("_len") > max_len, F.lit("length"))
+    )
+    return (
+        hit.select(
+            "doc_id",
+            "host",
+            reason.isNotNull().alias("blocked"),
+            reason.alias("reason"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def length_outliers(
+    docs: DataFrame,
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    toks_col: str | None = None,
+) -> DataFrame:
+    """(doc_id, n_tokens, t_lo, t_hi, outlier, reason): corpus-relative
+    document-length gate — drop the shortest ``lo_pct``% and longest
+    ``100−hi_pct``% of documents by token count (the Gopher/C4 length
+    filter, but with thresholds LEARNED from the corpus rather than
+    fixed constants, so the gate survives domain shift).
+
+    Thresholds are exact DISCRETE quantiles: ``t_lo`` is the k-th
+    smallest token count with k = ⌈n·lo_pct/100⌉ (pure integer
+    arithmetic — never a float rank that the two engines could round
+    apart), and docs with ``t_lo ≤ n_tokens ≤ t_hi`` are kept
+    (thresholds inclusive).
+
+    Scale shape: a global exact quantile normally needs a sort, which
+    is the one thing you never do to 100 TB — instead the token counts
+    aggregate into a HISTOGRAM (groupBy n_tokens → ≤ max-doc-length
+    rows, map-side combined), the cumulative walk and threshold pick
+    run on that tiny table (the single-partition window is bounded by
+    distinct lengths, not docs), and the two thresholds ride back over
+    the corpus in a broadcast 1-row crossJoin. Three narrow shuffles
+    of an already-aggregated table; the corpus itself is scanned
+    once."""
+    from pyspark.sql import Window
+
+    from alix_spark.index.simple import tokens_array
+
+    tok_expr = (
+        F.col(toks_col) if toks_col is not None else tokens_array(docs, text_col)
+    )
+    counts = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(F.size(tok_expr), F.lit(0)).cast("long").alias("n_tokens"),
+    )
+    hist = counts.groupBy("n_tokens").agg(F.count("*").cast("long").alias("c"))
+    w = Window.orderBy("n_tokens").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("n_tokens", F.sum("c").over(w).alias("cum")).crossJoin(
+        F.broadcast(
+            counts.agg(F.count("*").cast("long").alias("n"))
+        )
+    )
+    # k = ceil(n * pct / 100) in pure integer arithmetic
+    k_lo = F.expr(f"(n * {int(lo_pct)} + 99) div 100")
+    k_hi = F.expr(f"(n * {int(hi_pct)} + 99) div 100")
+    thresholds = cum.agg(
+        F.min(F.when(F.col("cum") >= k_lo, F.col("n_tokens"))).alias("t_lo"),
+        F.min(F.when(F.col("cum") >= k_hi, F.col("n_tokens"))).alias("t_hi"),
+    )
+    reason = F.when(F.col("n_tokens") < F.col("t_lo"), F.lit("short")).when(
+        F.col("n_tokens") > F.col("t_hi"), F.lit("long")
+    )
+    return (
+        counts.crossJoin(F.broadcast(thresholds))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "t_lo",
+            "t_hi",
+            reason.isNotNull().alias("outlier"),
+            reason.alias("reason"),
+        )
+        .orderBy("doc_id")
+    )

@@ -505,3 +505,193 @@ class TestTrainingShard:
 
         assert rows[1]["clean_md5"] == hashlib.md5(good.encode()).hexdigest()
         assert rows[1]["n_tokens"] == len(good.split())
+
+
+class TestNormalizeText:
+    def _norm(self, spark, texts):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        return {
+            r["doc_id"]: r for r in textstats.normalize_text(df).collect()
+        }
+
+    def test_nfc_composes_and_md5_matches(self, spark):
+        rows = self._norm(spark, ["café noir"])
+        r = rows[0]
+        assert r["n_chars_raw"] == 10 and r["n_chars_norm"] == 9
+        assert r["changed"] is True
+        assert (
+            r["norm_md5"]
+            == hashlib.md5("café noir".encode("utf-8")).hexdigest()
+        )
+
+    def test_format_chars_dropped_controls_squashed(self, spark):
+        rows = self._norm(
+            spark,
+            [
+                "zero​width­gone",
+                "bell\x07here",
+                "a\r\nb\rc",
+                "x  \t y",
+                " lead and trail \t",
+            ],
+        )
+        assert rows[0]["norm_md5"] == hashlib.md5(b"zerowidthgone").hexdigest()
+        assert rows[1]["norm_md5"] == hashlib.md5(b"bell here").hexdigest()
+        assert rows[2]["norm_md5"] == hashlib.md5(b"a\nb\nc").hexdigest()
+        assert rows[3]["norm_md5"] == hashlib.md5(b"x y").hexdigest()
+        assert rows[4]["norm_md5"] == hashlib.md5(b"lead and trail").hexdigest()
+
+    def test_clean_text_unchanged(self, spark):
+        rows = self._norm(spark, ["already clean text"])
+        assert rows[0]["changed"] is False
+        assert rows[0]["n_chars_raw"] == rows[0]["n_chars_norm"]
+
+    def test_null_text_yields_null_channels(self, spark):
+        df = spark.createDataFrame(
+            [(1, "ok"), (2, None)], "doc_id long, text string"
+        )
+        rows = {r["doc_id"]: r for r in textstats.normalize_text(df).collect()}
+        assert rows[2]["norm_md5"] is None
+        assert rows[2]["n_chars_raw"] is None
+        assert rows[2]["changed"] is None
+        assert rows[1]["changed"] is False
+
+
+class TestClassifierScores:
+    @staticmethod
+    def _w(gram: str) -> int:
+        return int(hashlib.md5(gram.encode()).hexdigest()[:4], 16) % 2001 - 1000
+
+    def test_hand_computed_weights(self, spark):
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "solo")], "doc_id long, text string"
+        )
+        rows = {
+            r["doc_id"]: r for r in textstats.classifier_scores(df).collect()
+        }
+        expect = self._w("alpha beta") + self._w("beta gamma")
+        assert set(rows) == {1}  # sub-2-token doc has no bigram
+        assert rows[1]["n_bigrams"] == 2
+        assert rows[1]["w_sum"] == expect
+        assert rows[1]["keep"] is (expect > 0)
+        assert rows[1]["clf_score"] == pytest.approx(expect / 2000.0, abs=1e-6)
+
+    def test_multiplicity_counts(self, spark):
+        df = spark.createDataFrame(
+            [(1, "x y x y")], "doc_id long, text string"
+        )
+        r = textstats.classifier_scores(df).collect()[0]
+        assert r["n_bigrams"] == 3
+        assert r["w_sum"] == 2 * self._w("x y") + self._w("y x")
+
+
+class TestZipfProfile:
+    def test_slope_matches_numpy_ols(self, spark):
+        import numpy as np
+
+        # f = 48/rank exactly: ln f is linear in ln rank, slope -1
+        words = []
+        for i, f in enumerate([48, 24, 16, 12]):
+            words += [f"w{i}"] * f
+        df = spark.createDataFrame(
+            [(1, " ".join(words), "s1")], "doc_id long, text string, source string"
+        )
+        r = textstats.zipf_profile(df).collect()[0]
+        freqs = np.array([48.0, 24.0, 16.0, 12.0])
+        ranks = np.arange(1, 5, dtype=float)
+        slope, _ = np.polyfit(np.log(ranks), np.log(freqs), 1)
+        assert r["n_terms"] == 4 and r["top_freq"] == 48
+        assert r["slope"] == pytest.approx(slope, abs=1e-6)
+        assert r["slope"] == pytest.approx(-1.0, abs=1e-6)
+        assert r["r2"] == pytest.approx(1.0, abs=1e-6)
+
+    def test_rank_ties_break_term_asc_and_top_n(self, spark):
+        df = spark.createDataFrame(
+            [(1, "b b a a c", "s1")], "doc_id long, text string, source string"
+        )
+        r = textstats.zipf_profile(df, top_n=2).collect()[0]
+        # ranks: a=1, b=2 (tie at freq 2 broken term-asc), c cut by top_n
+        assert r["n_terms"] == 2 and r["top_freq"] == 2
+
+
+class TestUrlFilter:
+    def _run(self, spark, urls, **kw):
+        df = spark.createDataFrame(
+            [(i, u) for i, u in enumerate(urls)], "doc_id long, url string"
+        )
+        return {r["doc_id"]: r for r in webpipe.url_filter(df, **kw).collect()}
+
+    def test_rules_and_precedence(self, spark):
+        rows = self._run(
+            spark,
+            [
+                "https://ok.site.com/a/b?x=1",
+                "https://spam.example.net/a",  # regdom blocked
+                "https://sub.deep.spam.example.net/a/b/c/d/e/f/g/h",  # blocked wins over depth
+                "https://ok.site.com/a/b/c/d/e/f/g",  # depth 7
+                "https://ok.site.com/p?a=1&b=2&c=3&d=4",  # 4 params
+                "https://ok.site.com/p?a=" + "x" * 300,  # long
+            ],
+            blocklist=["spam.example.net"],
+            max_depth=6,
+            max_params=3,
+            max_len=200,
+        )
+        assert rows[0]["blocked"] is False and rows[0]["reason"] is None
+        assert rows[1]["reason"] == "blocked_domain"
+        assert rows[2]["reason"] == "blocked_domain"  # subdomain + first-match
+        assert rows[3]["reason"] == "depth"
+        assert rows[4]["reason"] == "params"
+        assert rows[5]["reason"] == "length"
+
+    def test_exact_host_blocks_but_sibling_survives(self, spark):
+        rows = self._run(
+            spark,
+            ["https://ads.site.org/x", "https://www.site.org/x"],
+            blocklist=["ads.site.org"],
+        )
+        assert rows[0]["blocked"] is True
+        assert rows[1]["blocked"] is False
+
+    def test_empty_blocklist_structural_only(self, spark):
+        rows = self._run(
+            spark, ["https://a.com/" + "s/" * 10], blocklist=[], max_depth=6
+        )
+        assert rows[0]["reason"] == "depth"
+
+
+class TestLengthOutliers:
+    def test_discrete_thresholds_inclusive(self, spark):
+        # 20 docs with 1..20 tokens; p10/p90 -> k_lo=2, k_hi=18
+        docs = spark.createDataFrame(
+            [(i, " ".join(["w"] * i)) for i in range(1, 21)],
+            "doc_id long, text string",
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in webpipe.length_outliers(docs, lo_pct=10, hi_pct=90).collect()
+        }
+        assert rows[1]["t_lo"] == 2 and rows[1]["t_hi"] == 18
+        assert rows[1]["reason"] == "short"
+        assert rows[2]["outlier"] is False  # threshold inclusive
+        assert rows[18]["outlier"] is False
+        assert rows[19]["reason"] == "long"
+        assert rows[20]["reason"] == "long"
+
+    def test_duplicate_lengths_histogram(self, spark):
+        # histogram path: many docs share a length
+        docs = spark.createDataFrame(
+            [(i, "a b c") for i in range(10)] + [(100, "a"), (101, " ".join(["w"] * 50))],
+            "doc_id long, text string",
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in webpipe.length_outliers(docs, lo_pct=10, hi_pct=90).collect()
+        }
+        # n=12, k_lo=ceil(1.2)=2 -> t_lo=3 (2nd smallest), k_hi=ceil(10.8)=11 -> t_hi=3
+        assert rows[0]["t_lo"] == 3 and rows[0]["t_hi"] == 3
+        assert rows[100]["reason"] == "short"
+        assert rows[101]["reason"] == "long"
+        assert rows[5]["outlier"] is False
