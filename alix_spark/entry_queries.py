@@ -3035,8 +3035,9 @@ CROSS JOIN v
 GROUP BY b.doc_id ORDER BY b.doc_id
 """
 
-    # the Python-side chain step for step (NFC → format-char strip →
-    # CR normalization → control squash → run collapse → trim); RE2
+    # the Python-side chain step for step (format-char strip → NFC —
+    # strip FIRST so NFC can compose across removed joiners → CR
+    # normalization → control squash → run collapse → trim); RE2
     # \x{...} escapes stand in for Python's \uXXXX classes. No
     # f-string: the RE2 braces would need doubling.
     sqls["normalize_text"] = (
@@ -3048,8 +3049,8 @@ n AS (
   SELECT doc_id, t,
     regexp_replace(regexp_replace(regexp_replace(regexp_replace(
       replace(replace(
-        regexp_replace(nfc_normalize(t),
-          '[\\x{200B}\\x{200C}\\x{200D}\\x{2060}\\x{FEFF}\\x{00AD}]', '', 'g'),
+        nfc_normalize(regexp_replace(t,
+          '[\\x{200B}\\x{200C}\\x{200D}\\x{2060}\\x{FEFF}\\x{00AD}]', '', 'g')),
         chr(13) || chr(10), chr(10)), chr(13), chr(10)),
       '[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}\\x{7F}]', ' ', 'g'),
       '[ \\t]+', ' ', 'g'),
@@ -3121,12 +3122,15 @@ FROM r WHERE rank <= 500 GROUP BY source ORDER BY source
 WITH u AS (SELECT doc_id, {FILTER_URL_EXPR} AS url FROM documents),
 p AS (
   SELECT doc_id, url,
-    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)) AS host,
-    regexp_replace(substr(url,
-      length(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0)) + 1),
-      '[?#].*', '') AS rest,
-    regexp_extract(url, '\\?([^#]*)', 1) AS q
-  FROM u),
+    lower(regexp_extract(nofrag,
+      '^(?:[A-Za-z][A-Za-z0-9+.-]*:)?//([^/?#:]+)', 1)) AS host,
+    regexp_replace(substr(nofrag,
+      length(regexp_extract(nofrag,
+        '^(?:[A-Za-z][A-Za-z0-9+.-]*:)?//[^/?#]*', 0)) + 1),
+      '\\?.*', '') AS rest,
+    regexp_extract(nofrag, '\\?(.*)', 1) AS q
+  FROM (SELECT doc_id, url, regexp_replace(url, '#.*', '') AS nofrag
+        FROM u)),
 p2 AS (
   SELECT doc_id, host,
     list_transform(range(0, greatest(len(string_split(host, '.')) - 1, 1)),

@@ -298,11 +298,14 @@ def normalize_text(
     render-identical pages hash together).
 
     Chain (order is part of the contract):
-    1. NFC composition (``unicodedata.normalize`` — same tables as
+    1. zero-width / joiner / BOM / soft-hyphen removal
+       (U+200B..U+200D, U+2060, U+FEFF, U+00AD) — BEFORE composition,
+       because NFC cannot compose across an interposed format char
+       ('e' U+200C U+0301 must still end up as precomposed 'é', or
+       render-identical pages hash apart);
+    2. NFC composition (``unicodedata.normalize`` — same tables as
        DuckDB's ``nfc_normalize``, verified identical incl. the
        combining-mark reorder cases);
-    2. zero-width / joiner / BOM / soft-hyphen removal
-       (U+200B..U+200D, U+2060, U+FEFF, U+00AD);
     3. CRLF and lone CR → LF;
     4. remaining C0/C1 controls (except TAB and LF) → space;
     5. runs of spaces/tabs → one space; leading/trailing whitespace
@@ -339,8 +342,7 @@ def normalize_text(
                     chs.append(None)
                     md5s.append(None)
                     continue
-                s = unicodedata.normalize("NFC", t)
-                s = zw.sub("", s)
+                s = unicodedata.normalize("NFC", zw.sub("", t))
                 s = s.replace("\r\n", "\n").replace("\r", "\n")
                 s = ctl.sub(" ", s)
                 s = runs.sub(" ", s)
@@ -471,8 +473,6 @@ def zipf_profile(
     ranked = freqs.select(
         "source", "freq", F.row_number().over(rk).alias("rank")
     ).filter(F.col("rank") <= top_n)
-    lf = F.log(F.col("freq").cast("double"))
-    lr = F.log(F.col("rank").cast("double"))
     return (
         ranked.groupBy("source")
         .agg(

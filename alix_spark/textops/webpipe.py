@@ -35,6 +35,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from alix_spark import util
 from alix_spark.util import round6
 
 # RE2- and Java-compatible: no backreferences, no lookaround.
@@ -642,16 +643,22 @@ def url_filter(
     bl = bl.distinct()
 
     u = F.col(url_col)
-    prefix = F.regexp_extract(u, _PREFIX_RE, 0)
+    # fragment dropped FIRST (RFC 3986: a '?' after '#' is fragment
+    # data, not a query — same order canonical_url uses); scheme is
+    # OPTIONAL so scheme-relative '//host/…' frontier hrefs still hit
+    # the blocklist instead of silently bypassing it
+    nofrag = F.regexp_replace(u, "#.*", "")
+    auth_re = "^(?:[A-Za-z][A-Za-z0-9+.-]*:)?//[^/?#]*"
+    prefix = F.regexp_extract(nofrag, auth_re, 0)
     host = F.lower(
-        F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)", 1)
+        F.regexp_extract(nofrag, "^(?:[A-Za-z][A-Za-z0-9+.-]*:)?//([^/?#:]+)", 1)
     )
     rest = F.regexp_replace(
-        F.substr(u, F.length(prefix) + F.lit(1)), "[?#].*", ""
+        F.substr(nofrag, F.length(prefix) + F.lit(1)), "\\?.*", ""
     )
     # path segments: '/a/b/' -> ['a','b'] (empty splits dropped)
     depth = F.size(F.filter(F.split(rest, "/"), lambda x: x != F.lit("")))
-    query = F.regexp_extract(u, "\\?([^#]*)", 1)
+    query = F.regexp_extract(nofrag, "\\?(.*)", 1)
     n_params = F.when(query == "", F.lit(0)).otherwise(
         F.size(F.split(query, "&"))
     )
@@ -665,7 +672,12 @@ def url_filter(
         "                       size(split(host, '[.]')) - i), '.'))"
     )
 
+    # _rid keeps duplicate (doc_id, url) input rows distinct through
+    # the explode→regroup round-trip (the gate is per-ROW, not a
+    # dedup); it is computed once in the scan stage and carried as
+    # data, so the regroup is stable across shuffles
     base = df.select(
+        F.monotonically_increasing_id().alias("_rid"),
         F.col(id_col).alias("doc_id"),
         host.alias("host"),
         depth.cast("long").alias("_depth"),
@@ -674,11 +686,15 @@ def url_filter(
     )
     # equi-join on the exploded suffix keys — an OR/contains join
     # condition would compile to BroadcastNestedLoopJoin (per-row scan
-    # of the whole blocklist); this stays a BroadcastHashJoin
+    # of the whole blocklist); this stays a hash join, broadcast while
+    # the blocklist is verifiably small (maybe_broadcast count-guard —
+    # a multi-million-domain list falls back to a shuffle join)
     keyed = base.withColumn("_key", F.explode(F.array_distinct(suffixes)))
     hit = (
-        keyed.join(F.broadcast(bl), F.col("_key") == F.col("bdom"), "left")
-        .groupBy("doc_id", "host", "_depth", "_nparams", "_len")
+        keyed.join(
+            util.maybe_broadcast(bl), F.col("_key") == F.col("bdom"), "left"
+        )
+        .groupBy("_rid", "doc_id", "host", "_depth", "_nparams", "_len")
         .agg(F.max(F.col("bdom").isNotNull()).alias("_dom_hit"))
     )
     reason = (
@@ -734,16 +750,20 @@ def length_outliers(
     tok_expr = (
         F.col(toks_col) if toks_col is not None else tokens_array(docs, text_col)
     )
+    # the tokenization runs ONCE: the (doc_id, n_tokens) projection is
+    # pinned (lazy localCheckpoint, the training_shard trade) because
+    # both the histogram subtree and the final per-doc projection read
+    # it — without the pin Spark re-tokenizes the corpus per subtree
     counts = docs.select(
         F.col(id_col).alias("doc_id"),
         F.coalesce(F.size(tok_expr), F.lit(0)).cast("long").alias("n_tokens"),
-    )
+    ).localCheckpoint(eager=False)
     hist = counts.groupBy("n_tokens").agg(F.count("*").cast("long").alias("c"))
     w = Window.orderBy("n_tokens").rowsBetween(Window.unboundedPreceding, 0)
+    # n comes from the tiny histogram (sum of bucket counts), never a
+    # second corpus-wide aggregation
     cum = hist.select("n_tokens", F.sum("c").over(w).alias("cum")).crossJoin(
-        F.broadcast(
-            counts.agg(F.count("*").cast("long").alias("n"))
-        )
+        F.broadcast(hist.agg(F.sum("c").cast("long").alias("n")))
     )
     # k = ceil(n * pct / 100) in pure integer arithmetic
     k_lo = F.expr(f"(n * {int(lo_pct)} + 99) div 100")

@@ -695,3 +695,43 @@ class TestLengthOutliers:
         assert rows[100]["reason"] == "short"
         assert rows[101]["reason"] == "long"
         assert rows[5]["outlier"] is False
+
+
+class TestReviewBatch18:
+    def test_zwnj_between_base_and_mark_composes(self, spark):
+        # format-char strip runs BEFORE NFC: 'e' ZWNJ U+0301 and a
+        # plain precomposed 'é' must hash identically
+        df = spark.createDataFrame(
+            [(1, "caf e‌́ x"), (2, "caf é x")],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in textstats.normalize_text(df).collect()}
+        assert rows[1]["norm_md5"] == rows[2]["norm_md5"]
+
+    def test_fragment_question_mark_is_not_a_query(self, spark):
+        df = spark.createDataFrame(
+            [(1, "https://app.example.com/#/route?a=1&b=2&c=3&d=4")],
+            "doc_id long, url string",
+        )
+        r = webpipe.url_filter(df, max_params=3).collect()[0]
+        assert r["blocked"] is False  # RFC 3986: that '?' is fragment data
+
+    def test_scheme_relative_url_hits_blocklist(self, spark):
+        df = spark.createDataFrame(
+            [(1, "//spam.example.net/x"), (2, "//ok.example.org/x")],
+            "doc_id long, url string",
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in webpipe.url_filter(df, blocklist=["spam.example.net"]).collect()
+        }
+        assert rows[1]["reason"] == "blocked_domain"
+        assert rows[2]["blocked"] is False
+
+    def test_duplicate_rows_gate_per_row(self, spark):
+        df = spark.createDataFrame(
+            [(1, "https://a.com/x"), (1, "https://a.com/x")],
+            "doc_id long, url string",
+        )
+        out = webpipe.url_filter(df).collect()
+        assert len(out) == 2  # per-row gate, never a dedup
