@@ -1119,6 +1119,55 @@ def q_length_outliers(spark, sf_dir):
     return webpipe.length_outliers(_docs(spark, sf_dir))
 
 
+# Script-injection fixture for script_profile: "replace" residues make
+# whole docs non-Latin (so script_pred varies), "append" residues mix
+# scripts into Latin text. Spark concatenates the Python literals; the
+# oracle renders the SAME dict (all printable — plain quoted UTF-8).
+SCRIPT_FIXTURE: dict[int, tuple[str, str]] = {
+    0: ("replace", "привет мир как дела сегодня"),
+    1: ("append", " 漢字 かな 한글"),
+    2: ("replace", "مرحبا بكم في الموقع"),
+    3: ("append", " ελληνικά εδώ"),
+    4: ("append", ""),
+}
+
+
+def _script_fixture_col():
+    n = len(SCRIPT_FIXTURE)
+    expr = None
+    for k, (mode, s) in sorted(SCRIPT_FIXTURE.items()):
+        val = F.lit(s) if mode == "replace" else F.concat(F.col("text"), F.lit(s))
+        cond = F.col("doc_id") % n == k
+        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+    return expr
+
+
+def _script_fixture_sql() -> str:
+    n = len(SCRIPT_FIXTURE)
+    cases = " ".join(
+        f"WHEN {k} THEN "
+        + (_sql_str(s) if mode == "replace" else f"text || {_sql_str(s)}")
+        for k, (mode, s) in sorted(SCRIPT_FIXTURE.items())
+    )
+    return f"CASE doc_id % {n} {cases} END"
+
+
+def q_script_profile(spark, sf_dir):
+    """Unicode-script histogram + dominant script (the multilingual
+    triage step before language-specific stages) over script-injected
+    text."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", _script_fixture_col().alias("text")
+    )
+    return textstats.script_profile(docs).orderBy("doc_id")
+
+
+def q_data_split(spark, sf_dir):
+    """Deterministic 98/1/1 train/valid/test fold assignment (md5
+    bucket mod 100 vs cumulative integer thresholds)."""
+    return webpipe.data_split(_docs(spark, sf_dir), seed=SAMPLE_SEED)
+
+
 def q_multimodal_meta(spark, sf_dir):
     return multimodal.as_media_table(_docs(spark, sf_dir)).select(
         "media_id", "mime", "n_bytes"
@@ -1200,11 +1249,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # formula, and rotate to the tail for the third-session ops
         "part_residual": q_part_residual,
         "part_specificity": q_part_specificity,
-        # rows-only (sequential period-repair walk, non-SQL)
-        "part_chrono": q_part_chrono,
-        # --- webtext chain
-        "webtext_extract": q_webtext_extract,
+        # --- webtext chain (webtext_extract and part_chrono — both
+        # rows-only EVERY round, so their driver rows carry only
+        # "ran, N rows" — rotate to the tail for script_profile /
+        # data_split; webtext_wand_fr keeps the full chain+index+query
+        # path driver-visible, and both rotated queries stay
+        # byte-golden/invariant-pinned in the suite)
         "webtext_wand_fr": q_webtext_wand_fr,
+        # --- new this session: script triage + fold assignment
+        "script_profile": q_script_profile,
+        "data_split": q_data_split,
         # --- LLM-pipeline ops (dedup_exact and dedup_minhash rotated
         # to the tail this session for cooc_profile_scored/part_chrono:
         # both r03-green, and the r04 dedup.py diff is append-only —
@@ -1342,6 +1396,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_pearson": q_part_pearson,
         "part_rateratio": q_part_rateratio,
         "pack_shards_shuffled": q_pack_shards_shuffled,
+        "webtext_extract": q_webtext_extract,
+        "part_chrono": q_part_chrono,
     }
 
 
@@ -3174,6 +3230,49 @@ SELECT c.doc_id, c.n_tokens, th.t_lo, th.t_hi,
        CASE WHEN c.n_tokens < th.t_lo THEN 'short'
             WHEN c.n_tokens > th.t_hi THEN 'long' END AS reason
 FROM c CROSS JOIN th ORDER BY c.doc_id
+"""
+
+    # per-script code-point counts over the script-injected fixture;
+    # RE2 \x{...} ranges mirror textstats.SCRIPT_RANGES exactly. No
+    # f-string (RE2 braces).
+    sqls["script_profile"] = (
+        """
+WITH src AS (SELECT doc_id, """
+        + _script_fixture_sql()
+        + """ AS t FROM documents),
+c AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(t, '[\\x{0600}-\\x{06FF}]')) AS BIGINT) AS arabic,
+    CAST(len(regexp_extract_all(t,
+      '[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}\\x{AC00}-\\x{D7AF}]')) AS BIGINT) AS cjk,
+    CAST(len(regexp_extract_all(t, '[\\x{0400}-\\x{04FF}]')) AS BIGINT) AS cyrillic,
+    CAST(len(regexp_extract_all(t, '[\\x{0370}-\\x{03FF}]')) AS BIGINT) AS greek,
+    CAST(len(regexp_extract_all(t, '[A-Za-z\\x{00C0}-\\x{024F}]')) AS BIGINT) AS latin
+  FROM src)
+SELECT doc_id, arabic, cjk, cyrillic, greek, latin,
+       arabic + cjk + cyrillic + greek + latin AS n_letters,
+       CASE WHEN greatest(arabic, cjk, cyrillic, greek, latin) = 0 THEN NULL
+            WHEN arabic = greatest(arabic, cjk, cyrillic, greek, latin) THEN 'arabic'
+            WHEN cjk = greatest(arabic, cjk, cyrillic, greek, latin) THEN 'cjk'
+            WHEN cyrillic = greatest(arabic, cjk, cyrillic, greek, latin) THEN 'cyrillic'
+            WHEN greek = greatest(arabic, cjk, cyrillic, greek, latin) THEN 'greek'
+            ELSE 'latin' END AS script_pred
+FROM c ORDER BY doc_id
+"""
+    )
+
+    sqls["data_split"] = f"""
+WITH b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('{SAMPLE_SEED}:' || CAST(doc_id AS VARCHAR)),
+                              1, 15)) AS BIGINT) % 100 AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 98 THEN 'train'
+            WHEN bucket < 99 THEN 'valid'
+            WHEN bucket < 100 THEN 'test' END AS split
+FROM b ORDER BY doc_id
 """
 
     return sqls

@@ -485,6 +485,59 @@ def zipf_profile(
     )
 
 
+# Unicode script ranges (BMP core blocks — the triage signal, not a
+# full UCD Script= property): name -> Java/RE2-shared character class.
+# Sorted names double as output column order.
+SCRIPT_RANGES: dict[str, str] = {
+    "arabic": "\u0600-\u06FF",
+    "cjk": "\u4E00-\u9FFF\u3040-\u30FF\uAC00-\uD7AF",
+    "cyrillic": "\u0400-\u04FF",
+    "greek": "\u0370-\u03FF",
+    "latin": "A-Za-z\u00C0-\u024F",
+}
+
+
+def script_profile(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, arabic, cjk, cyrillic, greek, latin, n_letters,
+    script_pred): per-document Unicode-script histogram + dominant
+    script — the triage step a multilingual crawl runs before any
+    language-specific stage (the marker-word lang-ID in
+    :func:`lang_scores` only works INSIDE a script; this routes docs
+    to the right per-script pipeline first).
+
+    Counts are code points inside each script's core BMP blocks
+    (Latin incl. supplements/Extended-A/B, Cyrillic, Greek, Arabic,
+    CJK = Han + kana + Hangul syllables). ``script_pred`` is the
+    argmax (ties broken script-name asc), NULL when no letter of any
+    profiled script occurs — same zero-evidence contract as
+    ``lang_scores``. Pure column expressions (``regexp_count`` is
+    JVM-side and codegen'd): one scan, zero shuffles at any scale."""
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(f"[{cls}]"))
+        .cast("long")
+        .alias(name)
+        for name, cls in sorted(SCRIPT_RANGES.items())
+    ]
+    out = df.select(F.col(id_col).alias("doc_id"), *counts)
+    names = sorted(SCRIPT_RANGES)
+    best = F.greatest(*[F.col(n) for n in names])
+    pred = F.when(
+        best > 0,
+        F.coalesce(*[F.when(F.col(n) == best, F.lit(n)) for n in names]),
+    )
+    total = None
+    for n in names:
+        total = F.col(n) if total is None else total + F.col(n)
+    return out.select(
+        "doc_id",
+        *names,
+        total.cast("long").alias("n_letters"),
+        pred.alias("script_pred"),
+    )
+
+
 def repetition_scores(
     df: DataFrame,
     id_col: str = "doc_id",

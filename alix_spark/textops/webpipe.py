@@ -787,3 +787,56 @@ def length_outliers(
         )
         .orderBy("doc_id")
     )
+
+
+def data_split(
+    docs: DataFrame,
+    splits: list[tuple[str, int]] = (("train", 98), ("valid", 1), ("test", 1)),
+    seed: str = "alix",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, bucket, split): deterministic train/valid/test fold
+    assignment — md5(seed ':' doc_id) mod 100 against cumulative
+    integer percent thresholds, so membership is a pure function of
+    (seed, doc_id): replayable across runs, machines and engines, no
+    RNG state, and docs never migrate between folds when the corpus
+    grows (the property a random split lacks — adding documents to a
+    random 98/1/1 split reshuffles everything, leaking eval docs into
+    training).
+
+    ``splits`` is an ordered list of (name, integer percent) summing
+    to 100 — integer thresholds shared verbatim with the SQL oracle
+    (same contract as :func:`stratified_sample`). Pure column
+    expressions: one scan, zero shuffles at any scale; the same
+    md5→60-bit-int trick as pack_shards/stratified_sample."""
+    splits = list(splits)
+    pcts = [p for _, p in splits]
+    if any(p <= 0 or p != int(p) for p in pcts) or sum(pcts) != 100:
+        raise ValueError(f"splits must be positive integers summing to 100, got {splits}")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.encode(
+                        F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")),
+                        "utf-8",
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    out = docs.select(
+        F.col(id_col).alias("doc_id"), bucket.alias("bucket")
+    )
+    cum = 0
+    expr = None
+    for name, pct in splits:
+        cum += int(pct)
+        cond = F.col("bucket") < cum
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return out.select("doc_id", "bucket", expr.alias("split")).orderBy("doc_id")

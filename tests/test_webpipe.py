@@ -735,3 +735,70 @@ class TestReviewBatch18:
         )
         out = webpipe.url_filter(df).collect()
         assert len(out) == 2  # per-row gate, never a dedup
+
+
+class TestScriptProfile:
+    def test_counts_and_dominance(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "hello мир"),
+                (2, "привет мир как"),
+                (3, "漢字 かな"),
+                (4, "1234 !!"),
+                (5, "αβγ"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in textstats.script_profile(df).collect()}
+        assert rows[1]["latin"] == 5 and rows[1]["cyrillic"] == 3
+        assert rows[1]["script_pred"] == "latin"
+        assert rows[2]["script_pred"] == "cyrillic"
+        assert rows[3]["script_pred"] == "cjk" and rows[3]["cjk"] == 4
+        assert rows[4]["script_pred"] is None and rows[4]["n_letters"] == 0
+        assert rows[5]["script_pred"] == "greek"
+
+    def test_tie_breaks_name_asc(self, spark):
+        df = spark.createDataFrame([(1, "ab мы")], "doc_id long, text string")
+        r = textstats.script_profile(df).collect()[0]
+        # latin 2, cyrillic 2 -> tie broken by script name ascending
+        assert r["script_pred"] == "cyrillic"
+
+
+class TestDataSplit:
+    def test_assignment_matches_md5_buckets(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "x") for i in range(200)], "doc_id long, text string"
+        )
+        rows = webpipe.data_split(docs, seed="alix").collect()
+        for r in rows:
+            b = int(hashlib.md5(f"alix:{r['doc_id']}".encode()).hexdigest()[:15], 16) % 100
+            assert r["bucket"] == b
+            want = "train" if b < 98 else ("valid" if b < 99 else "test")
+            assert r["split"] == want
+
+    def test_custom_splits_and_validation(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "x") for i in range(50)], "doc_id long, text string"
+        )
+        rows = webpipe.data_split(
+            docs, splits=[("a", 50), ("b", 50)], seed="s"
+        ).collect()
+        assert {r["split"] for r in rows} <= {"a", "b"}
+        assert all(
+            (r["split"] == "a") == (r["bucket"] < 50) for r in rows
+        )
+        with pytest.raises(ValueError):
+            webpipe.data_split(docs, splits=[("a", 60), ("b", 50)])
+        with pytest.raises(ValueError):
+            webpipe.data_split(docs, splits=[("a", 100), ("b", 0)])
+
+    def test_membership_stable_under_corpus_growth(self, spark):
+        small = spark.createDataFrame(
+            [(i, "x") for i in range(30)], "doc_id long, text string"
+        )
+        big = spark.createDataFrame(
+            [(i, "x") for i in range(60)], "doc_id long, text string"
+        )
+        a = {r["doc_id"]: r["split"] for r in webpipe.data_split(small).collect()}
+        b = {r["doc_id"]: r["split"] for r in webpipe.data_split(big).collect()}
+        assert all(b[k] == v for k, v in a.items())
