@@ -3247,7 +3247,8 @@ c AS (
       '[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}\\x{AC00}-\\x{D7AF}]')) AS BIGINT) AS cjk,
     CAST(len(regexp_extract_all(t, '[\\x{0400}-\\x{04FF}]')) AS BIGINT) AS cyrillic,
     CAST(len(regexp_extract_all(t, '[\\x{0370}-\\x{03FF}]')) AS BIGINT) AS greek,
-    CAST(len(regexp_extract_all(t, '[A-Za-z\\x{00C0}-\\x{024F}]')) AS BIGINT) AS latin
+    CAST(len(regexp_extract_all(t,
+      '[A-Za-z\\x{00C0}-\\x{00D6}\\x{00D8}-\\x{00F6}\\x{00F8}-\\x{024F}]')) AS BIGINT) AS latin
   FROM src)
 SELECT doc_id, arabic, cjk, cyrillic, greek, latin,
        arabic + cjk + cyrillic + greek + latin AS n_letters,
@@ -3256,7 +3257,8 @@ SELECT doc_id, arabic, cjk, cyrillic, greek, latin,
             WHEN cjk = greatest(arabic, cjk, cyrillic, greek, latin) THEN 'cjk'
             WHEN cyrillic = greatest(arabic, cjk, cyrillic, greek, latin) THEN 'cyrillic'
             WHEN greek = greatest(arabic, cjk, cyrillic, greek, latin) THEN 'greek'
-            ELSE 'latin' END AS script_pred
+            WHEN latin = greatest(arabic, cjk, cyrillic, greek, latin) THEN 'latin'
+            END AS script_pred
 FROM c ORDER BY doc_id
 """
     )

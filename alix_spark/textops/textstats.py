@@ -493,7 +493,10 @@ SCRIPT_RANGES: dict[str, str] = {
     "cjk": "\u4E00-\u9FFF\u3040-\u30FF\uAC00-\uD7AF",
     "cyrillic": "\u0400-\u04FF",
     "greek": "\u0370-\u03FF",
-    "latin": "A-Za-z\u00C0-\u024F",
+    # U+00D7 (\u00D7) and U+00F7 (\u00F7) are math symbols inside Latin-1
+    # Supplement \u2014 excluded so symbol-only docs keep the
+    # zero-evidence NULL contract
+    "latin": "A-Za-z\u00C0-\u00D6\u00D8-\u00F6\u00F8-\u024F",
 }
 
 

@@ -56,6 +56,30 @@ IPV4_RE = f"\\b{_OCT}(\\.{_OCT}){{3}}\\b"
 _PREFIX_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
 
 
+def md5_key(seed: str, id_col: str, n_hex: int) -> Column:
+    """First ``n_hex`` hex chars of md5(seed ':' id) as a BIGINT — the
+    ONE deterministic sampling/ordering key shared by pack_shards,
+    stratified_sample and data_split (``n_hex`` ≤ 15 keeps the value
+    in 60 bits, exactly representable on both engines; the oracle
+    twin is ``CAST(('0x' || substr(md5(...), 1, n)) AS BIGINT)``)."""
+    if not 1 <= n_hex <= 15:
+        raise ValueError(f"n_hex must be in [1, 15], got {n_hex}")
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.encode(
+                    F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")),
+                    "utf-8",
+                )
+            ),
+            1,
+            n_hex,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
 def canonical_url(col: Column) -> Column:
     """Canonical form of an absolute URL column.
 
@@ -276,25 +300,9 @@ def pack_shards(
         F.coalesce(F.col("ws_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
     )
     if order == "hash":
-        # same md5→int trick as stratified_sample/dedup: 15 hex chars
-        # = 60 bits, exactly representable in BIGINT on both engines
-        sort_key = F.conv(
-            F.substring(
-                F.md5(
-                    F.encode(
-                        F.concat(
-                            F.lit(f"{seed}:"), F.col("doc_id").cast("string")
-                        ),
-                        "utf-8",
-                    )
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
-        sized = sized.withColumn("ord", sort_key)
+        # shared md5→60-bit-int key (md5_key): deterministic global
+        # shuffle order, replayable on both engines
+        sized = sized.withColumn("ord", md5_key(seed, "doc_id", 15))
     else:
         sized = sized.withColumn("ord", F.col("doc_id"))
     if num_parts is None:
@@ -364,20 +372,7 @@ def stratified_sample(
     cannot be replayed in SQL). Thresholds are integer literals
     computed ONCE here, so the DuckDB oracle embeds the identical
     integers and float rounding can never split the engines."""
-    key = F.conv(
-        F.substring(
-            F.md5(
-                F.encode(
-                    F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")),
-                    "utf-8",
-                )
-            ),
-            1,
-            6,
-        ),
-        16,
-        10,
-    ).cast("long")
+    key = md5_key(seed, id_col, 6)
     scale = 1 << 24
     thr: Column = F.lit(int(default_rate * scale))
     for stratum in sorted(rates):
@@ -813,23 +808,7 @@ def data_split(
     pcts = [p for _, p in splits]
     if any(p <= 0 or p != int(p) for p in pcts) or sum(pcts) != 100:
         raise ValueError(f"splits must be positive integers summing to 100, got {splits}")
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.encode(
-                        F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")),
-                        "utf-8",
-                    )
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 100
-    )
+    bucket = md5_key(seed, id_col, 15) % 100
     out = docs.select(
         F.col(id_col).alias("doc_id"), bucket.alias("bucket")
     )

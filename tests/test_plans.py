@@ -92,3 +92,49 @@ def test_bm25_inputs_share_one_tokenize_exchange(spark):
     plan = _plan(df)
     reused = [l for l in plan.splitlines() if "ReusedExchange" in l]
     assert any("doc_id" in l and "term" in l for l in reused), plan[:3000]
+
+
+def test_url_filter_blocklist_is_hash_join_not_nested_loop(spark):
+    """The blocklist dim must equi-join (Broadcast/ShuffledHashJoin),
+    never BroadcastNestedLoopJoin — a per-row scan of the blocklist is
+    O(corpus x blocklist) at 10^12 URLs."""
+    from alix_spark.textops import webpipe
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://"), "source", F.lit(".example.com/p")).alias("url"),
+    )
+    plan = _plan(webpipe.url_filter(urls, blocklist=["src3.example.com"]))
+    assert "NestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_classifier_and_split_have_no_python_stage(spark):
+    """The hashed-bigram classifier and fold assignment are pure
+    column-expression paths: md5/conv/arrays_zip stay JVM-side."""
+    from alix_spark.textops import textstats, webpipe
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for df in (
+        textstats.classifier_scores(docs),
+        webpipe.data_split(docs),
+        textstats.script_profile(docs),
+    ):
+        plan = _plan(df)
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in plan
+
+
+def test_length_outliers_windows_only_the_histogram(spark):
+    """The exact-quantile plan must window the AGGREGATED histogram,
+    not the corpus: every Window node's child subtree contains the
+    n_tokens hash aggregation (the single-partition step is bounded by
+    distinct lengths, never by docs)."""
+    from alix_spark.textops import webpipe
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(webpipe.length_outliers(docs))
+    assert "Window" in plan
+    window_tail = plan[plan.index("Window"):]
+    assert "HashAggregate" in window_tail

@@ -802,3 +802,23 @@ class TestDataSplit:
         a = {r["doc_id"]: r["split"] for r in webpipe.data_split(small).collect()}
         b = {r["doc_id"]: r["split"] for r in webpipe.data_split(big).collect()}
         assert all(b[k] == v for k, v in a.items())
+
+
+class TestReviewBatch19:
+    def test_symbol_only_doc_gets_null_pred(self, spark):
+        df = spark.createDataFrame(
+            [(1, "5 × 3 ÷ 2"), (2, None)], "doc_id long, text string"
+        )
+        rows = {r["doc_id"]: r for r in textstats.script_profile(df).collect()}
+        assert rows[1]["n_letters"] == 0 and rows[1]["script_pred"] is None
+        assert rows[2]["script_pred"] is None and rows[2]["n_letters"] is None
+
+    def test_md5_key_identical_across_ops(self, spark):
+        # pack_shards(order=hash), data_split and stratified_sample all
+        # derive from ONE helper; pin the key value itself
+        docs = spark.createDataFrame([(7, "x")], "doc_id long, text string")
+        r = webpipe.data_split(docs, seed="alix").collect()[0]
+        want = int(hashlib.md5(b"alix:7").hexdigest()[:15], 16) % 100
+        assert r["bucket"] == want
+        with pytest.raises(ValueError):
+            webpipe.md5_key("s", "doc_id", 16)
