@@ -1168,6 +1168,13 @@ def q_data_split(spark, sf_dir):
     return webpipe.data_split(_docs(spark, sf_dir), seed=SAMPLE_SEED)
 
 
+def q_mix_report(spark, sf_dir):
+    """Training-mix composition table: per (source, fold) doc/token
+    totals and hashed-classifier pass counts — the report a mix owner
+    reads before committing shards."""
+    return webpipe.mix_report(_docs(spark, sf_dir), seed=SAMPLE_SEED)
+
+
 def q_multimodal_meta(spark, sf_dir):
     return multimodal.as_media_table(_docs(spark, sf_dir)).select(
         "media_id", "mime", "n_bytes"
@@ -1201,15 +1208,22 @@ def q_multimodal_features(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered so that every operator family lands inside the driver's
     first-50 correctness window (the driver checks the first 50 entries
-    only). Rotation policy (VERDICT r3 ask #2): the tail holds ONLY
-    queries with a GREEN r03 driver row, and the r03 tail (green in
-    r01/r02) rotates back into the window this round — so the union of
-    consecutive rounds' driver rows covers every query with nothing
-    older than one round. The r04 tail is the structural always-greens
-    (index stats, textstats, facet/time histograms, lang_id), each
-    redundant with an in-window sibling that exercises the same code
-    path. The local mini-driver (tests/test_oracle_parity.py) still
-    checks ALL entries every suite run."""
+    only). Rotation policy (VERDICT r3 ask #2, refined late r04): the
+    tail holds ONLY (a) queries with a GREEN r03 driver row whose code
+    paths have no r04 diff (structural always-greens: index stats,
+    textstats, facet/time histograms, lang_id), (b) formula-branch
+    SIBLINGS of in-window representatives sharing the exact plan
+    machinery (theme_factor/weighted ↔ theme_bm25/rsj via _bm25_inputs;
+    part_pearson/rateratio ↔ part_residual via _score_corpus_family;
+    pack_shards_shuffled ↔ pack_shards; dedup_groups runs inside
+    training_shard's stage 1), or (c) rows-only entries whose driver
+    row carries only "ran, N rows" (webtext_extract, part_chrono —
+    webtext_wand_fr keeps the full chain driver-visible). The r03 tail
+    (green r01/r02) rotated back into the window this round, so the
+    union of consecutive rounds' driver rows covers every
+    oracle-checkable code path with nothing older than one round. The
+    local mini-driver (tests/test_oracle_parity.py) still checks ALL
+    entries every suite run."""
     return {
         # --- rotated back into the window (r03 tail, green r01/r02)
         "bm25_single": q_bm25_single,
@@ -1269,7 +1283,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canon": q_url_canon,
         "pii_scrub": q_pii_scrub,
         "domain_stats": q_domain_stats,
-        "dedup_groups": q_dedup_groups,
+        # dedup_groups rotates to the tail for mix_report: its
+        # connected-components code runs inside training_shard's
+        # in-window oracle-matched pipeline (dup_groups is stage 1
+        # there), so the CC path keeps a driver-visible row
+        "mix_report": q_mix_report,
         "training_shard": q_training_shard,
         # --- new this session: training-mix preparation ops.
         # Rotated out to make room (policy: every rotated query is
@@ -1398,6 +1416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_shards_shuffled": q_pack_shards_shuffled,
         "webtext_extract": q_webtext_extract,
         "part_chrono": q_part_chrono,
+        "dedup_groups": q_dedup_groups,
     }
 
 
@@ -3275,6 +3294,50 @@ SELECT doc_id, bucket,
             WHEN bucket < 99 THEN 'valid'
             WHEN bucket < 100 THEN 'test' END AS split
 FROM b ORDER BY doc_id
+"""
+
+    # composition of the verified classifier + fold CTEs: per
+    # (source, fold) doc/token totals and gate pass counts
+    sqls["mix_report"] = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents
+),
+d AS (SELECT doc_id, source,
+             CAST(coalesce(len(l), 0) AS BIGINT) AS n_tokens, l FROM t),
+g AS (
+  SELECT doc_id, l[u.i] || ' ' || l[u.i + 1] AS g
+  FROM (SELECT doc_id, l, len(l) AS n FROM t WHERE len(l) >= 2) d2,
+       unnest(generate_series(1, n - 1)) AS u(i)
+),
+w AS (
+  SELECT doc_id,
+         CAST(sum(CAST(('0x' || substr(md5(g), 1, 4)) AS BIGINT)
+                  % 2001 - 1000) AS BIGINT) AS w_sum
+  FROM g GROUP BY doc_id
+),
+b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('{SAMPLE_SEED}:' || CAST(doc_id AS VARCHAR)),
+                              1, 15)) AS BIGINT) % 100 AS bucket
+  FROM documents
+),
+j AS (
+  SELECT d.source,
+         CASE WHEN b.bucket < 98 THEN 'train'
+              WHEN b.bucket < 99 THEN 'valid'
+              WHEN b.bucket < 100 THEN 'test' END AS split,
+         d.n_tokens,
+         coalesce(w.w_sum > 0, false) AS kept
+  FROM d JOIN b USING (doc_id) LEFT JOIN w USING (doc_id)
+)
+SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(sum(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+FROM j GROUP BY source, split ORDER BY source, split
 """
 
     return sqls

@@ -812,10 +812,85 @@ def data_split(
     out = docs.select(
         F.col(id_col).alias("doc_id"), bucket.alias("bucket")
     )
+    return out.select(
+        "doc_id", "bucket", split_expr(splits, F.col("bucket")).alias("split")
+    ).orderBy("doc_id")
+
+
+def split_expr(splits, bucket: Column) -> Column:
+    """Fold name for a 0-99 bucket under cumulative integer percent
+    thresholds — the single expression data_split and mix_report
+    share (splits validated by the caller)."""
     cum = 0
     expr = None
     for name, pct in splits:
         cum += int(pct)
-        cond = F.col("bucket") < cum
+        cond = bucket < cum
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
-    return out.select("doc_id", "bucket", expr.alias("split")).orderBy("doc_id")
+    return expr
+
+
+def mix_report(
+    docs: DataFrame,
+    splits: list[tuple[str, int]] = (("train", 98), ("valid", 1), ("test", 1)),
+    seed: str = "alix",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """(source, split, n_docs, n_kept, sum_tokens, kept_tokens): the
+    training-mix composition table — per (domain, fold), how many
+    documents and tokens exist, and how many survive the
+    hashed-classifier quality gate (:func:`textstats.classifier_scores`,
+    kept ⇔ w_sum > 0; docs with <2 tokens have no classifier row and
+    count as not kept). This is the report a mix owner reads before
+    committing shards: fold sizes, per-domain token budgets, and gate
+    pass-rates in one table.
+
+    Scale shape: the corpus is scanned and tokenized ONCE (pinned
+    (doc_id, source, toks) base via lazy localCheckpoint — the
+    training_shard trade); the classifier's bigram aggregation is the
+    only corpus-sized shuffle, the verdict join is doc_id-keyed, and
+    the final aggregation is #sources × #folds rows. The fold column
+    is a pure expression (md5_key + split_expr), never a join."""
+    from alix_spark.index.simple import tokens_array
+    from alix_spark.textops.textstats import classifier_scores
+
+    splits = list(splits)
+    pcts = [p for _, p in splits]
+    if any(p <= 0 or p != int(p) for p in pcts) or sum(pcts) != 100:
+        raise ValueError(f"splits must be positive integers summing to 100, got {splits}")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("source"),
+        tokens_array(docs, text_col).alias("toks"),
+    ).localCheckpoint(eager=False)
+    clf = classifier_scores(base, toks_col="toks").select("doc_id", "w_sum")
+    bucket = md5_key(seed, "doc_id", 15) % 100
+    j = (
+        base.select(
+            "doc_id",
+            "source",
+            F.coalesce(F.size("toks"), F.lit(0)).cast("long").alias("n_tokens"),
+            split_expr(splits, bucket).alias("split"),
+        )
+        .join(clf, "doc_id", "left")
+        .select(
+            "source",
+            "split",
+            "n_tokens",
+            F.coalesce(F.col("w_sum") > 0, F.lit(False)).alias("kept"),
+        )
+    )
+    return (
+        j.groupBy("source", "split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col("kept").cast("long")).cast("long").alias("n_kept"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            F.sum(F.when(F.col("kept"), F.col("n_tokens")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+        .orderBy("source", "split")
+    )

@@ -822,3 +822,63 @@ class TestReviewBatch19:
         assert r["bucket"] == want
         with pytest.raises(ValueError):
             webpipe.md5_key("s", "doc_id", 16)
+
+
+class TestStringIdsNewOps:
+    """Round-3 hardening contract: every textops operator tolerates
+    string doc ids (and NULL text where defined) — the new gates too."""
+
+    def test_all_new_gates_accept_string_ids(self, spark):
+        docs = spark.createDataFrame(
+            [("a", "hello world one two three"), ("b", None)],
+            "doc_id string, text string",
+        )
+        got = {r["doc_id"] for r in textstats.normalize_text(docs).collect()}
+        assert got == {"a", "b"}
+        assert textstats.classifier_scores(docs).collect()[0]["doc_id"] == "a"
+        assert {r["doc_id"] for r in textstats.script_profile(docs).collect()} == {"a", "b"}
+        lo = {r["doc_id"]: r for r in webpipe.length_outliers(docs).collect()}
+        assert set(lo) == {"a", "b"} and lo["b"]["n_tokens"] == 0
+        ds = {r["doc_id"]: r for r in webpipe.data_split(docs).collect()}
+        assert ds["a"]["bucket"] == int(hashlib.md5(b"alix:a").hexdigest()[:15], 16) % 100
+        urls = spark.createDataFrame(
+            [("a", "https://x.com/p")], "doc_id string, url string"
+        )
+        assert webpipe.url_filter(urls).collect()[0]["doc_id"] == "a"
+
+
+class TestMixReport:
+    def test_totals_and_gate_counts(self, spark):
+        def kept(text):
+            toks = [t for t in __import__("re").split(r"[^a-z0-9]+", text.lower()) if t]
+            w = sum(
+                int(hashlib.md5(f"{a} {b}".encode()).hexdigest()[:4], 16) % 2001 - 1000
+                for a, b in zip(toks, toks[1:])
+            )
+            return w > 0 and len(toks) >= 2
+
+        rows_in = [
+            (1, "alpha beta gamma delta", "s1"),
+            (2, "epsilon zeta eta", "s1"),
+            (3, "solo", "s2"),  # <2 tokens: never kept
+            (4, "theta iota kappa", "s2"),
+        ]
+        docs = spark.createDataFrame(rows_in, "doc_id long, text string, source string")
+        got = {
+            (r["source"], r["split"]): r
+            for r in webpipe.mix_report(docs, seed="alix").collect()
+        }
+        # every doc lands in exactly one (source, split) cell
+        assert sum(r["n_docs"] for r in got.values()) == 4
+        assert sum(r["sum_tokens"] for r in got.values()) == 4 + 3 + 1 + 3
+        want_kept = sum(1 for _, t, _ in rows_in if kept(t))
+        assert sum(r["n_kept"] for r in got.values()) == want_kept
+        # kept_tokens only counts gate survivors
+        for r in got.values():
+            assert r["kept_tokens"] <= r["sum_tokens"]
+            assert r["n_kept"] <= r["n_docs"]
+
+    def test_split_validation(self, spark):
+        docs = spark.createDataFrame([(1, "x", "s")], "doc_id long, text string, source string")
+        with pytest.raises(ValueError):
+            webpipe.mix_report(docs, splits=[("a", 99)])
