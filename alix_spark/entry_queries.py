@@ -3306,7 +3306,10 @@ WITH t AS (
   FROM documents
 ),
 d AS (SELECT doc_id, source,
-             CAST(coalesce(len(l), 0) AS BIGINT) AS n_tokens, l FROM t),
+             CAST(coalesce(len(l), 0) AS BIGINT) AS n_tokens,
+             CAST(('0x' || substr(md5('{SAMPLE_SEED}:' || CAST(doc_id AS VARCHAR)),
+                                  1, 15)) AS BIGINT) % 100 AS bucket
+      FROM t),
 g AS (
   SELECT doc_id, l[u.i] || ' ' || l[u.i + 1] AS g
   FROM (SELECT doc_id, l, len(l) AS n FROM t WHERE len(l) >= 2) d2,
@@ -3318,20 +3321,16 @@ w AS (
                   % 2001 - 1000) AS BIGINT) AS w_sum
   FROM g GROUP BY doc_id
 ),
-b AS (
-  SELECT doc_id,
-         CAST(('0x' || substr(md5('{SAMPLE_SEED}:' || CAST(doc_id AS VARCHAR)),
-                              1, 15)) AS BIGINT) % 100 AS bucket
-  FROM documents
-),
 j AS (
+  -- the fold is an inline expression on d (never a join), mirroring
+  -- the Spark plan; only the classifier verdict joins
   SELECT d.source,
-         CASE WHEN b.bucket < 98 THEN 'train'
-              WHEN b.bucket < 99 THEN 'valid'
-              WHEN b.bucket < 100 THEN 'test' END AS split,
+         CASE WHEN d.bucket < 98 THEN 'train'
+              WHEN d.bucket < 99 THEN 'valid'
+              WHEN d.bucket < 100 THEN 'test' END AS split,
          d.n_tokens,
          coalesce(w.w_sum > 0, false) AS kept
-  FROM d JOIN b USING (doc_id) LEFT JOIN w USING (doc_id)
+  FROM d LEFT JOIN w USING (doc_id)
 )
 SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,

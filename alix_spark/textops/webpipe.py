@@ -865,7 +865,10 @@ def mix_report(
         F.col(group_col).alias("source"),
         tokens_array(docs, text_col).alias("toks"),
     ).localCheckpoint(eager=False)
-    clf = classifier_scores(base, toks_col="toks").select("doc_id", "w_sum")
+    # the gate decision is classifier_scores' own `keep` column, not a
+    # re-derived predicate — if the gate rule ever changes there, this
+    # report follows
+    clf = classifier_scores(base, toks_col="toks").select("doc_id", "keep")
     bucket = md5_key(seed, "doc_id", 15) % 100
     j = (
         base.select(
@@ -879,7 +882,7 @@ def mix_report(
             "source",
             "split",
             "n_tokens",
-            F.coalesce(F.col("w_sum") > 0, F.lit(False)).alias("kept"),
+            F.coalesce(F.col("keep"), F.lit(False)).alias("kept"),
         )
     )
     return (

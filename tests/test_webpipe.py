@@ -845,6 +845,15 @@ class TestStringIdsNewOps:
             [("a", "https://x.com/p")], "doc_id string, url string"
         )
         assert webpipe.url_filter(urls).collect()[0]["doc_id"] == "a"
+        mix_docs = spark.createDataFrame(
+            [("a", "hello world one two three", "s1"), ("b", None, "s1")],
+            "doc_id string, text string, source string",
+        )
+        mr = webpipe.mix_report(mix_docs).collect()
+        # the NULL-text doc lands in a cell with 0 tokens, not kept
+        assert sum(r["n_docs"] for r in mr) == 2
+        assert sum(r["sum_tokens"] for r in mr) == 5
+        assert sum(r["kept_tokens"] for r in mr) in (0, 5)
 
 
 class TestMixReport:
