@@ -1089,6 +1089,20 @@ def q_zipf_profile(spark, sf_dir):
     return textstats.zipf_profile(_docs(spark, sf_dir), top_n=500)
 
 
+def q_token_entropy(spark, sf_dir):
+    """Per-doc unigram Shannon entropy (nats) + type counts — the
+    lexical-diversity quality gate; n_types == 1 pinned to exact 0.0
+    (the one systematic floor-boundary half-case)."""
+    return textstats.token_entropy(_docs(spark, sf_dir))
+
+
+def q_heaps_profile(spark, sf_dir):
+    """Per-source Heaps'-law growth fit (OLS of ln cumulative vocab on
+    ln cumulative tokens in doc_id order) via the pack_shards-style
+    distributed prefix sum — never a per-source window sort."""
+    return textstats.heaps_profile(_docs(spark, sf_dir))
+
+
 # Structured-URL fixture for url_filter: variable path depth (repeat)
 # and a 0/1/3/5-parameter query ladder, in shared Spark/DuckDB syntax
 # (repeat, CASE, CAST, ||) so both engines run it verbatim.
@@ -1235,9 +1249,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_by_type": q_events_by_type,
         "webtext_term_stats": q_webtext_term_stats,
         "phrase_match": q_phrase_match,
-        # --- new this round
+        # --- new this round (sim_gsimple rotated to the tail fourth
+        # session: chi2inv and gsimple are both new-this-round weight
+        # expressions sharing the exact similarity-selection machinery
+        # — chi2inv stays as the in-window representative of the new
+        # branch; gsimple differs only in the weight formula)
         "sim_chi2inv": q_sim_chi2inv,
-        "sim_gsimple": q_sim_gsimple,
         "unknown_tokens": q_unknown_tokens,
         "expressions": q_expressions,
         "keywords_doc": q_keywords_doc,
@@ -1271,8 +1288,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # byte-golden/invariant-pinned in the suite)
         "webtext_wand_fr": q_webtext_wand_fr,
         # --- new this session: script triage + fold assignment
+        # (data_split rotated to the tail fourth session: its fold
+        # expression — the shared md5_key + split_expr helpers — runs
+        # VERBATIM inside mix_report's in-window oracle-matched plan,
+        # so the fold code path keeps a driver-visible row)
         "script_profile": q_script_profile,
-        "data_split": q_data_split,
+        # --- new fourth session: lexical-diversity entropy gate and
+        # the Heaps'-law vocabulary-growth profile (both genuinely new
+        # operator code paths — the freed slots come from the two
+        # formula-branch siblings above, per the rotation policy)
+        "token_entropy": q_token_entropy,
+        "heaps_profile": q_heaps_profile,
         # --- LLM-pipeline ops (dedup_exact and dedup_minhash rotated
         # to the tail this session for cooc_profile_scored/part_chrono:
         # both r03-green, and the r04 dedup.py diff is append-only —
@@ -1417,6 +1443,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webtext_extract": q_webtext_extract,
         "part_chrono": q_part_chrono,
         "dedup_groups": q_dedup_groups,
+        # rotated out fourth session for token_entropy/heaps_profile
+        # (see the window comments above): sim_gsimple's selection
+        # machinery stays in-window via sim_chi2inv; data_split's fold
+        # expression runs verbatim inside in-window mix_report
+        "sim_gsimple": q_sim_gsimple,
+        "data_split": q_data_split,
     }
 
 
@@ -3190,6 +3222,71 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
        {sql_round6('regr_slope(ln(CAST(freq AS DOUBLE)), ln(CAST(rank AS DOUBLE)))')} AS slope,
        {sql_round6('regr_r2(ln(CAST(freq AS DOUBLE)), ln(CAST(rank AS DOUBLE)))')} AS r2
 FROM r WHERE rank <= 500 GROUP BY source ORDER BY source
+"""
+
+    sqls["token_entropy"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents
+),
+c AS (
+  SELECT doc_id, w, count(*) AS c
+  FROM (SELECT doc_id, unnest(l) AS w FROM t)
+  GROUP BY doc_id, w
+),
+a AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_i,
+         CAST(count(*) AS BIGINT) AS k_i,
+         sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clnc
+  FROM c GROUP BY doc_id
+)
+SELECT doc_id,
+       coalesce(n_i, 0) AS n_tokens,
+       coalesce(k_i, 0) AS n_types,
+       {sql_round6("CASE WHEN k_i = 1 THEN 0.0 "
+                   "ELSE ln(CAST(n_i AS DOUBLE)) - clnc / n_i END")} AS entropy
+FROM t LEFT JOIN a USING (doc_id) ORDER BY doc_id
+"""
+
+    sqls["heaps_profile"] = f"""
+WITH t AS (
+  SELECT source, doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents
+),
+d AS (SELECT source, doc_id,
+             CAST(coalesce(len(l), 0) AS BIGINT) AS n_tok FROM t),
+f AS (
+  SELECT source, min(doc_id) AS doc_id, w
+  FROM (SELECT source, doc_id, unnest(l) AS w FROM t)
+  GROUP BY source, w
+),
+nt AS (SELECT source, doc_id, CAST(count(*) AS BIGINT) AS new_terms
+       FROM f GROUP BY source, doc_id),
+p AS (
+  -- the oracle states the semantics as the naive per-source window;
+  -- the Spark side distributes the same prefix sums (pack_shards
+  -- pattern), bit-identical because the sums are integers
+  SELECT source, doc_id,
+         CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id)
+              AS BIGINT) AS cum_toks,
+         CAST(sum(coalesce(new_terms, 0))
+              OVER (PARTITION BY source ORDER BY doc_id)
+              AS BIGINT) AS cum_vocab
+  FROM d LEFT JOIN nt USING (source, doc_id)
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_points,
+       CAST(max(cum_toks) AS BIGINT) AS total_tokens,
+       CAST(max(cum_vocab) AS BIGINT) AS vocab,
+       {sql_round6('regr_slope(ln(CAST(cum_vocab AS DOUBLE)), '
+                   'ln(CAST(cum_toks AS DOUBLE)))')} AS beta,
+       {sql_round6('regr_r2(ln(CAST(cum_vocab AS DOUBLE)), '
+                   'ln(CAST(cum_toks AS DOUBLE)))')} AS r2
+FROM p WHERE cum_toks > 0 AND cum_vocab > 0
+GROUP BY source ORDER BY source
 """
 
     _bl = ", ".join(f"'{d}'" for d in URL_BLOCKLIST)

@@ -613,3 +613,209 @@ def repetition_scores(
         round6(F.col("top3_frac")).alias("top3_frac"),
         round6(F.col("dup5_frac")).alias("dup5_frac"),
     )
+
+
+def token_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    toks_col: str | None = None,
+) -> DataFrame:
+    """(doc_id, n_tokens, n_types, entropy): per-doc unigram Shannon
+    entropy in nats — the classic lexical-diversity quality gate
+    (CCNet-family pipelines drop both tails: near-zero entropy is
+    keyword stuffing / repeated boilerplate, implausibly high entropy
+    at length is random-character noise). Complements
+    :func:`repetition_scores` (n-gram repetition) with a distributional
+    signal the n-gram channels miss (e.g. shuffled boilerplate).
+
+    ``entropy = ln(n) - Σ c·ln(c) / n`` over the doc's term counts
+    ``c`` (algebraically identical to ``-Σ p·ln p``, but the Σ has one
+    addend per TYPE, and ln runs on integers — both engines compute
+    bit-identical ln's on the same integer inputs, so the shared
+    floor-round6 contract holds). ``n_types == 1`` is pinned to exactly
+    0.0 on both sides: the math is exactly zero there but the float
+    expression lands within ±1 ulp of the 1e-6 floor boundary, the one
+    systematic half-case. Zero evidence (no tokens) → NULL entropy,
+    same contract as lang-ID.
+
+    Scale shape: explode → two map-side-combined hash aggregations
+    (the (doc_id, term) roll-up then the per-doc roll-up — partial
+    aggregation makes shuffle volume ~types-per-doc, not tokens) and a
+    left join back to the id spine for the zero-evidence rows; all
+    JVM-side column expressions, no Python stage, no window."""
+    tok_expr = (
+        F.col(toks_col) if toks_col is not None else tokens_array(df, text_col)
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), tok_expr.alias("toks"))
+    counts = (
+        base.select("doc_id", F.explode("toks").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    agg = counts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_i"),
+        F.count("*").cast("long").alias("k_i"),
+        F.sum(
+            F.col("c").cast("double") * F.log(F.col("c").cast("double"))
+        ).alias("clnc"),
+    )
+    ent = F.when(F.col("k_i") == 1, F.lit(0.0)).otherwise(
+        F.log(F.col("n_i").cast("double")) - F.col("clnc") / F.col("n_i")
+    )
+    return (
+        base.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_i", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("k_i", F.lit(0)).cast("long").alias("n_types"),
+            round6(ent).alias("entropy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def heaps_profile(
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_parts: int | None = None,
+) -> DataFrame:
+    """(source, n_points, total_tokens, vocab, beta, r2): per-source
+    Heaps'-law fit — OLS of ln(cumulative vocabulary) on ln(cumulative
+    tokens) over the source's docs in doc_id order. Natural language
+    grows vocabulary as V(n) ≈ K·n^β with β ≈ 0.4-0.6 and high r²;
+    template/boilerplate sources saturate early (β → 0) and
+    random-noise sources grow too fast (β → 1) — a source-level
+    health signal that complements :func:`zipf_profile` (the static
+    frequency curve) with the growth view, and tells a crawl-mix
+    curator when more data from a domain has stopped adding new
+    vocabulary.
+
+    The curve needs two running sums per doc (tokens so far, new terms
+    so far). A per-source window (``sum() over (partition by source
+    order by doc_id)``) funnels each source — possibly most of a crawl
+    — through ONE task, so the prefix sums are distributed exactly as
+    in webpipe.pack_shards: range-partition on (source, doc_id), pin
+    the assignment with an eager localCheckpoint (the totals pass and
+    the cumsum pass MUST see identical splits), collect one
+    (pid, source, Σ) row per partition×source (bounded by
+    partitions × sources, like the per-shard manifests), exclusive-sum
+    those on the driver, then one Arrow pass adds each group's carry
+    to its local running cumsum. "New terms per doc" is
+    first-occurrence attribution: min(doc_id) per (source, term), then
+    counts per introducing doc — explode → map-side-combined min, the
+    same shuffle class as the postings build. The regression then runs
+    on the per-doc point table (one row per doc, no window)."""
+    ensure_py_files(docs.sparkSession)
+    base = docs.select(
+        F.col(group_col).alias("source"),
+        F.col(id_col).alias("doc_id"),
+        tokens_array(docs, text_col).alias("toks"),
+    )
+    sized = base.select(
+        "source",
+        "doc_id",
+        F.coalesce(F.size("toks"), F.lit(0)).cast("long").alias("n_tok"),
+    )
+    firsts = (
+        base.select("source", "doc_id", F.explode("toks").alias("w"))
+        .groupBy("source", "w")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("source", "doc_id")
+        .agg(F.count("*").cast("long").alias("new_terms"))
+    )
+    per = (
+        sized.join(firsts, ["source", "doc_id"], "left")
+        .select(
+            "source",
+            "doc_id",
+            "n_tok",
+            F.coalesce("new_terms", F.lit(0)).cast("long").alias("new_terms"),
+        )
+    )
+    if num_parts is None:
+        num_parts = int(
+            docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    ranged = (
+        per.repartitionByRange(num_parts, "source", "doc_id")
+        .sortWithinPartitions("source", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = (
+        ranged.groupBy("pid", "source")
+        .agg(F.sum("n_tok").alias("t"), F.sum("new_terms").alias("v"))
+        .collect()
+    )
+    offsets: dict[tuple[int, str], tuple[int, int]] = {}
+    acc: dict[str, tuple[int, int]] = {}
+    for r in sorted(totals, key=lambda r: (r["pid"],)):
+        off_t, off_v = acc.get(r["source"], (0, 0))
+        offsets[(r["pid"], r["source"])] = (off_t, off_v)
+        acc[r["source"]] = (off_t + r["t"], off_v + r["v"])
+    id_type = ranged.schema["doc_id"].dataType.simpleString()
+
+    def gen(it):
+        run: dict[str, tuple[int, int]] = {}
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["pid"].iloc[0])
+            # batches arrive in partition order and sources are
+            # contiguous within the sorted partition, so the carry is
+            # constant per (batch, source)
+            carry_t = {}
+            carry_v = {}
+            for s in pdf["source"].unique():
+                off_t, off_v = offsets.get((pid, s), (0, 0))
+                run_t, run_v = run.get(s, (0, 0))
+                carry_t[s] = off_t + run_t
+                carry_v[s] = off_v + run_v
+            g = pdf.groupby("source", sort=False)
+            cum_t = pdf["source"].map(carry_t) + g["n_tok"].cumsum()
+            cum_v = pdf["source"].map(carry_v) + g["new_terms"].cumsum()
+            for s, st in g["n_tok"].sum().items():
+                run_t, run_v = run.get(s, (0, 0))
+                run[s] = (run_t + int(st), run_v)
+            for s, sv in g["new_terms"].sum().items():
+                run_t, run_v = run.get(s, (0, 0))
+                run[s] = (run_t, run_v + int(sv))
+            yield pd.DataFrame(
+                {
+                    "source": pdf["source"],
+                    "doc_id": pdf["doc_id"],
+                    "cum_toks": cum_t,
+                    "cum_vocab": cum_v,
+                }
+            )
+
+    points = ranged.mapInPandas(
+        gen,
+        f"source string, doc_id {id_type}, cum_toks long, cum_vocab long",
+    )
+    return (
+        points.filter((F.col("cum_toks") > 0) & (F.col("cum_vocab") > 0))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_points"),
+            F.max("cum_toks").cast("long").alias("total_tokens"),
+            F.max("cum_vocab").cast("long").alias("vocab"),
+            round6(
+                F.expr(
+                    "regr_slope(ln(cast(cum_vocab as double)),"
+                    " ln(cast(cum_toks as double)))"
+                )
+            ).alias("beta"),
+            round6(
+                F.expr(
+                    "regr_r2(ln(cast(cum_vocab as double)),"
+                    " ln(cast(cum_toks as double)))"
+                )
+            ).alias("r2"),
+        )
+        .orderBy("source")
+    )

@@ -891,3 +891,85 @@ class TestMixReport:
         docs = spark.createDataFrame([(1, "x", "s")], "doc_id long, text string, source string")
         with pytest.raises(ValueError):
             webpipe.mix_report(docs, splits=[("a", 99)])
+
+
+class TestTokenEntropy:
+    def test_known_values_and_null_contract(self, spark):
+        import math
+
+        df = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a a a"), (3, None), (4, "a b c d")],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in textstats.token_entropy(df).collect()}
+        assert (rows[1]["n_tokens"], rows[1]["n_types"]) == (4, 2)
+        assert rows[1]["entropy"] == pytest.approx(math.log(2), abs=1e-6)
+        # single-type doc pinned to EXACTLY 0.0 (the systematic
+        # floor-boundary half-case)
+        assert rows[2]["entropy"] == 0.0
+        # zero evidence -> zero counts, NULL entropy (lang-ID contract)
+        assert (rows[3]["n_tokens"], rows[3]["n_types"]) == (0, 0)
+        assert rows[3]["entropy"] is None
+        # uniform distribution -> ln(k)
+        assert rows[4]["entropy"] == pytest.approx(math.log(4), abs=1e-6)
+
+    def test_no_python_stage(self, spark):
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        plan = (
+            textstats.token_entropy(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in plan
+
+
+class TestHeapsProfile:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+
+    def test_cumulative_points_match_numpy_ols(self, spark):
+        import numpy as np
+
+        # s1 docs in id order: cum_toks 2,4,5 ; cum_vocab 2,3,4
+        df = self._df(
+            spark, [(1, "a b", "s1"), (2, "a c", "s1"), (3, "d", "s1")]
+        )
+        r = textstats.heaps_profile(df).collect()[0]
+        slope, _ = np.polyfit(
+            np.log([2.0, 4.0, 5.0]), np.log([2.0, 3.0, 4.0]), 1
+        )
+        assert (r["n_points"], r["total_tokens"], r["vocab"]) == (3, 5, 4)
+        assert r["beta"] == pytest.approx(slope, abs=2e-6)
+
+    def test_partitioning_invariance(self, spark):
+        # the distributed prefix sum must not depend on the range
+        # split: same rows, different input partitioning / num_parts
+        rows = [
+            (i, f"w{i % 7} w{i % 3} common", f"s{i % 2}") for i in range(40)
+        ]
+        a = [
+            tuple(r)
+            for r in textstats.heaps_profile(
+                self._df(spark, rows), num_parts=1
+            ).collect()
+        ]
+        b = [
+            tuple(r)
+            for r in textstats.heaps_profile(
+                self._df(spark, rows).repartition(13), num_parts=5
+            ).collect()
+        ]
+        assert a == b and len(a) == 2
+
+    def test_string_ids_and_null_text(self, spark):
+        df = spark.createDataFrame(
+            [("a", "x y", "s1"), ("b", None, "s1"), ("c", "x z", "s1")],
+            "doc_id string, text string, source string",
+        )
+        r = textstats.heaps_profile(df).collect()[0]
+        # the NULL-text doc contributes a zero-growth point
+        assert (r["n_points"], r["total_tokens"], r["vocab"]) == (3, 4, 3)
