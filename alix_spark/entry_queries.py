@@ -3252,10 +3252,11 @@ FROM t LEFT JOIN a USING (doc_id) ORDER BY doc_id
 
     sqls["heaps_profile"] = f"""
 WITH t AS (
+  -- NULL-source docs are excluded on BOTH sides: no curve to belong to
   SELECT source, doc_id,
          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
                      x -> x <> '') AS l
-  FROM documents
+  FROM documents WHERE source IS NOT NULL
 ),
 d AS (SELECT source, doc_id,
              CAST(coalesce(len(l), 0) AS BIGINT) AS n_tok FROM t),
@@ -3271,10 +3272,12 @@ p AS (
   -- the Spark side distributes the same prefix sums (pack_shards
   -- pattern), bit-identical because the sums are integers
   SELECT source, doc_id,
-         CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id)
+         CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
               AS BIGINT) AS cum_toks,
          CAST(sum(coalesce(new_terms, 0))
-              OVER (PARTITION BY source ORDER BY doc_id)
+              OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
               AS BIGINT) AS cum_vocab
   FROM d LEFT JOIN nt USING (source, doc_id)
 )

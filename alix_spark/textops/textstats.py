@@ -681,6 +681,7 @@ def heaps_profile(
     group_col: str = "source",
     id_col: str = "doc_id",
     text_col: str = "text",
+    toks_col: str | None = None,
     num_parts: int | None = None,
 ) -> DataFrame:
     """(source, n_points, total_tokens, vocab, beta, r2): per-source
@@ -697,23 +698,36 @@ def heaps_profile(
     The curve needs two running sums per doc (tokens so far, new terms
     so far). A per-source window (``sum() over (partition by source
     order by doc_id)``) funnels each source — possibly most of a crawl
-    — through ONE task, so the prefix sums are distributed exactly as
-    in webpipe.pack_shards: range-partition on (source, doc_id), pin
-    the assignment with an eager localCheckpoint (the totals pass and
-    the cumsum pass MUST see identical splits), collect one
-    (pid, source, Σ) row per partition×source (bounded by
-    partitions × sources, like the per-shard manifests), exclusive-sum
-    those on the driver, then one Arrow pass adds each group's carry
-    to its local running cumsum. "New terms per doc" is
-    first-occurrence attribution: min(doc_id) per (source, term), then
-    counts per introducing doc — explode → map-side-combined min, the
-    same shuffle class as the postings build. The regression then runs
-    on the per-doc point table (one row per doc, no window)."""
-    ensure_py_files(docs.sparkSession)
-    base = docs.select(
-        F.col(group_col).alias("source"),
-        F.col(id_col).alias("doc_id"),
-        tokens_array(docs, text_col).alias("toks"),
+    — through ONE task, so both running totals go through the shared
+    ``util.grouped_prefix_sums`` engine (the same machinery as
+    webpipe.pack_shards; see its docstring for the pin-the-split
+    protocol). "New terms per doc" is first-occurrence attribution:
+    min(doc_id) per (source, term), then counts per introducing doc —
+    explode → map-side-combined min, the same shuffle class as the
+    postings build. The regression then runs on the per-doc point
+    table (one row per doc, no window).
+
+    Preconditions: ``id_col`` is the corpus primary key (duplicate ids
+    make the cumulative curve ill-defined), and docs with a NULL group
+    key are EXCLUDED — a record without a source attribution has no
+    curve to belong to (the oracle filters identically). The token
+    arrays are computed ONCE and pinned (lazy localCheckpoint) so the
+    size branch and the first-occurrence branch don't re-tokenize;
+    ``toks_col`` reuses a pre-tokenized array<string> column
+    instead."""
+    from alix_spark.util import grouped_prefix_sums
+
+    tok_expr = (
+        F.col(toks_col) if toks_col is not None else tokens_array(docs, text_col)
+    )
+    base = (
+        docs.filter(F.col(group_col).isNotNull())
+        .select(
+            F.col(group_col).alias("source"),
+            F.col(id_col).alias("doc_id"),
+            tok_expr.alias("toks"),
+        )
+        .localCheckpoint(eager=False)
     )
     sized = base.select(
         "source",
@@ -727,75 +741,23 @@ def heaps_profile(
         .groupBy("source", "doc_id")
         .agg(F.count("*").cast("long").alias("new_terms"))
     )
-    per = (
-        sized.join(firsts, ["source", "doc_id"], "left")
-        .select(
-            "source",
-            "doc_id",
-            "n_tok",
-            F.coalesce("new_terms", F.lit(0)).cast("long").alias("new_terms"),
-        )
+    per = sized.join(firsts, ["source", "doc_id"], "left").select(
+        "source",
+        "doc_id",
+        "n_tok",
+        F.coalesce("new_terms", F.lit(0)).cast("long").alias("new_terms"),
     )
-    if num_parts is None:
-        num_parts = int(
-            docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-        )
-    ranged = (
-        per.repartitionByRange(num_parts, "source", "doc_id")
-        .sortWithinPartitions("source", "doc_id")
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    pre = grouped_prefix_sums(
+        per,
+        ["doc_id"],
+        ["n_tok", "new_terms"],
+        group_cols=["source"],
+        num_parts=num_parts,
     )
-    totals = (
-        ranged.groupBy("pid", "source")
-        .agg(F.sum("n_tok").alias("t"), F.sum("new_terms").alias("v"))
-        .collect()
-    )
-    offsets: dict[tuple[int, str], tuple[int, int]] = {}
-    acc: dict[str, tuple[int, int]] = {}
-    for r in sorted(totals, key=lambda r: (r["pid"],)):
-        off_t, off_v = acc.get(r["source"], (0, 0))
-        offsets[(r["pid"], r["source"])] = (off_t, off_v)
-        acc[r["source"]] = (off_t + r["t"], off_v + r["v"])
-    id_type = ranged.schema["doc_id"].dataType.simpleString()
-
-    def gen(it):
-        run: dict[str, tuple[int, int]] = {}
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            pid = int(pdf["pid"].iloc[0])
-            # batches arrive in partition order and sources are
-            # contiguous within the sorted partition, so the carry is
-            # constant per (batch, source)
-            carry_t = {}
-            carry_v = {}
-            for s in pdf["source"].unique():
-                off_t, off_v = offsets.get((pid, s), (0, 0))
-                run_t, run_v = run.get(s, (0, 0))
-                carry_t[s] = off_t + run_t
-                carry_v[s] = off_v + run_v
-            g = pdf.groupby("source", sort=False)
-            cum_t = pdf["source"].map(carry_t) + g["n_tok"].cumsum()
-            cum_v = pdf["source"].map(carry_v) + g["new_terms"].cumsum()
-            for s, st in g["n_tok"].sum().items():
-                run_t, run_v = run.get(s, (0, 0))
-                run[s] = (run_t + int(st), run_v)
-            for s, sv in g["new_terms"].sum().items():
-                run_t, run_v = run.get(s, (0, 0))
-                run[s] = (run_t, run_v + int(sv))
-            yield pd.DataFrame(
-                {
-                    "source": pdf["source"],
-                    "doc_id": pdf["doc_id"],
-                    "cum_toks": cum_t,
-                    "cum_vocab": cum_v,
-                }
-            )
-
-    points = ranged.mapInPandas(
-        gen,
-        f"source string, doc_id {id_type}, cum_toks long, cum_vocab long",
+    points = pre.select(
+        "source",
+        (F.col("before_n_tok") + F.col("n_tok")).alias("cum_toks"),
+        (F.col("before_new_terms") + F.col("new_terms")).alias("cum_vocab"),
     )
     return (
         points.filter((F.col("cum_toks") > 0) & (F.col("cum_vocab") > 0))

@@ -31,7 +31,6 @@ partial aggregations (JVM-side, codegen'd):
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -277,24 +276,16 @@ def pack_shards(
     replayable without any RNG state).
 
     A naive global window (``sum() over (order by …)``) funnels the
-    whole corpus through ONE task. Here the prefix sum is distributed:
-    range-partition on the order key (ascending ranges land on
-    ascending partition ids), pin the split with an eager
-    localCheckpoint (the totals pass and the scan pass MUST see the
-    same assignment — RangePartitioner's sampling is not re-run
-    identically across jobs), aggregate one (pid, Σtokens) row per
-    partition (≤ #partitions rows collected, like the per-shard
-    manifests), prefix-sum those on the driver, then a single
-    Arrow-batched pass adds each partition's offset to its local
-    running cumsum — batches arrive in order within a partition, so
-    the carry is a scalar. ONE corpus shuffle total; no global sort,
-    no second window shuffle."""
+    whole corpus through ONE task; the prefix sum runs through the
+    shared ``util.grouped_prefix_sums`` engine instead (range-partition
+    → pinned split → per-partition totals → driver exclusive-sum →
+    one Arrow carry pass; ONE corpus shuffle total, no global sort —
+    see its docstring for the pin-the-split protocol)."""
     from alix_spark.textops.textstats import token_counts
-    from alix_spark.util import ensure_py_files
+    from alix_spark.util import grouped_prefix_sums
 
     if order not in ("id", "hash"):
         raise ValueError(f"order must be 'id' or 'hash', got {order!r}")
-    ensure_py_files(docs.sparkSession)
     sized = token_counts(docs, id_col, text_col).select(
         "doc_id",
         F.coalesce(F.col("ws_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
@@ -305,49 +296,14 @@ def pack_shards(
         sized = sized.withColumn("ord", md5_key(seed, "doc_id", 15))
     else:
         sized = sized.withColumn("ord", F.col("doc_id"))
-    if num_parts is None:
-        num_parts = int(
-            docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-        )
-    ranged = (
-        sized.repartitionByRange(num_parts, "ord", "doc_id")
-        .sortWithinPartitions("ord", "doc_id")
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    pre = grouped_prefix_sums(
+        sized, ["ord", "doc_id"], ["n_tokens"], num_parts=num_parts
     )
-    totals = {
-        r["pid"]: r["t"]
-        for r in ranged.groupBy("pid").agg(F.sum("n_tokens").alias("t")).collect()
-    }
-    offsets, off = {}, 0
-    for pid in sorted(totals):
-        offsets[pid] = off
-        off += totals[pid]
-    id_type = ranged.schema["doc_id"].dataType.simpleString()
-
-    def gen(it):
-        part_off = None
-        run = 0
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            if part_off is None:
-                part_off = offsets.get(int(pdf["pid"].iloc[0]), 0)
-            before = pdf["n_tokens"].cumsum() - pdf["n_tokens"]
-            tok_off = part_off + run + before
-            run += int(pdf["n_tokens"].sum())
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_tokens": pdf["n_tokens"],
-                    "tok_offset": tok_off,
-                    "shard_id": tok_off // budget,
-                }
-            )
-
-    return ranged.mapInPandas(
-        gen,
-        f"doc_id {id_type}, n_tokens long, tok_offset long, shard_id long",
+    return pre.select(
+        "doc_id",
+        "n_tokens",
+        F.col("before_n_tokens").alias("tok_offset"),
+        F.expr(f"before_n_tokens DIV {int(budget)}").alias("shard_id"),
     ).orderBy("doc_id")
 
 

@@ -165,3 +165,121 @@ def round6(c: Column) -> Column:
 
 def sql_round6(expr: str) -> str:
     return f"floor(({expr}) * 1000000.0 + 0.5) / 1000000.0"
+
+
+def grouped_prefix_sums(
+    df,
+    order_cols: list[str],
+    sum_cols: list[str],
+    group_cols: list[str] | None = None,
+    num_parts: int | None = None,
+    prefix: str = "before_",
+):
+    """Distributed EXCLUSIVE prefix sums over a global
+    (group, order) sort — the shared engine under
+    webpipe.pack_shards (global, one sum) and
+    textstats.heaps_profile (per-source, two sums).
+
+    A naive ``sum() over (order by …)`` window funnels the whole
+    corpus through ONE task. Here: range-partition on
+    (group_cols + order_cols) so ascending key ranges land on
+    ascending partition ids, pin the assignment with an eager
+    localCheckpoint (the totals pass and the cumsum pass MUST see the
+    same split — RangePartitioner's sampling is not re-run identically
+    across jobs), collect one totals row per partition×group (bounded
+    by partitions × groups, the per-shard-manifest class),
+    exclusive-sum those on the driver, then one Arrow pass adds each
+    group's carry to its local running cumsum — batches arrive in
+    order within a partition and groups are contiguous under the
+    partition sort, so the carry is a scalar per (batch, group).
+
+    Returns ``df``'s columns plus one long ``{prefix}{c}`` column per
+    ``sum_cols`` entry: the sum of all EARLIER rows in (group, order)
+    order (group-scoped when ``group_cols`` is non-empty, global
+    otherwise); rows ordered by the partition sort. NULL group keys
+    are rejected (pandas groupby NULL semantics diverge from SQL's) —
+    callers filter or sentinel them first. Output column types derive
+    from the input schema, so any key types work."""
+    import pandas as pd  # worker-side; driver import is free
+
+    group_cols = list(group_cols or [])
+    order_cols = list(order_cols)
+    sum_cols = list(sum_cols)
+    spark = df.sparkSession
+    ensure_py_files(spark)
+    if num_parts is None:
+        num_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    keys = group_cols + order_cols
+    ranged = (
+        df.repartitionByRange(num_parts, *keys)
+        .sortWithinPartitions(*keys)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = ranged.groupBy("_pid", *group_cols).agg(
+        *[F.sum(c).alias(c) for c in sum_cols]
+    ).collect()
+    zero = tuple(0 for _ in sum_cols)
+    offsets: dict[tuple, tuple] = {}
+    acc: dict[tuple, tuple] = {}
+    for r in sorted(totals, key=lambda r: r["_pid"]):
+        g = tuple(r[c] for c in group_cols)
+        if any(v is None for v in g):
+            raise ValueError(
+                f"grouped_prefix_sums: NULL group key in {group_cols}; "
+                "filter NULL-keyed rows before calling"
+            )
+        off = acc.get(g, zero)
+        offsets[(r["_pid"],) + g] = off
+        acc[g] = tuple(
+            o + (r[c] or 0) for o, c in zip(off, sum_cols)
+        )
+    out_schema = ", ".join(
+        [
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in ranged.schema.fields
+            if f.name != "_pid"
+        ]
+        + [f"`{prefix}{c}` long" for c in sum_cols]
+    )
+
+    def gen(it):
+        run: dict[tuple, tuple] = {}
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            body = pdf.drop(columns=["_pid"])
+            if not group_cols:
+                off = offsets.get((pid,), zero)
+                r0 = run.get((), zero)
+                out = body.copy()
+                for i, c in enumerate(sum_cols):
+                    out[prefix + c] = (
+                        off[i] + r0[i] + (pdf[c].cumsum() - pdf[c])
+                    )
+                run[()] = tuple(
+                    r0[i] + int(pdf[c].sum()) for i, c in enumerate(sum_cols)
+                )
+                yield out
+                continue
+            # groups are contiguous under the partition sort; the
+            # per-group loop is bounded by groups-per-batch (few),
+            # everything inside is vectorized
+            pieces = []
+            for gt, sub in body.groupby(group_cols, sort=False):
+                gt = gt if isinstance(gt, tuple) else (gt,)
+                off = offsets.get((pid,) + gt, zero)
+                r0 = run.get(gt, zero)
+                out = sub.copy()
+                for i, c in enumerate(sum_cols):
+                    out[prefix + c] = (
+                        off[i] + r0[i] + (sub[c].cumsum() - sub[c])
+                    )
+                run[gt] = tuple(
+                    r0[i] + int(sub[c].sum()) for i, c in enumerate(sum_cols)
+                )
+                pieces.append(out)
+            yield pd.concat(pieces)
+
+    return ranged.mapInPandas(gen, out_schema)

@@ -973,3 +973,67 @@ class TestHeapsProfile:
         r = textstats.heaps_profile(df).collect()[0]
         # the NULL-text doc contributes a zero-growth point
         assert (r["n_points"], r["total_tokens"], r["vocab"]) == (3, 4, 3)
+
+    def test_null_source_excluded(self, spark):
+        # a record without a source attribution has no curve to belong
+        # to — excluded, matching the oracle's WHERE source IS NOT NULL
+        df = spark.createDataFrame(
+            [(1, "a b", "s1"), (2, "a c", None), (3, "d", "s1")],
+            "doc_id long, text string, source string",
+        )
+        rows = textstats.heaps_profile(df).collect()
+        assert [r["source"] for r in rows] == ["s1"]
+        assert (rows[0]["n_points"], rows[0]["total_tokens"]) == (2, 3)
+
+    def test_integer_group_key(self, spark):
+        # the prefix-sum engine derives output types from the input
+        # schema, so non-string group keys work
+        df = spark.createDataFrame(
+            [(1, "a b", 7), (2, "a c", 7), (3, "q", 9)],
+            "doc_id long, text string, source long",
+        )
+        rows = {r["source"]: r for r in textstats.heaps_profile(df).collect()}
+        assert rows[7]["vocab"] == 3 and rows[9]["vocab"] == 1
+
+    def test_pretokenized_column_reused(self, spark):
+        df = spark.createDataFrame(
+            [(1, "ignored", "s1")], "doc_id long, text string, source string"
+        ).withColumn("toks", F.split(F.lit("a b a"), " "))
+        r = textstats.heaps_profile(df, toks_col="toks").collect()[0]
+        assert (r["total_tokens"], r["vocab"]) == (3, 2)
+
+
+class TestGroupedPrefixSums:
+    def test_null_group_key_rejected(self, spark):
+        from alix_spark.util import grouped_prefix_sums
+
+        df = spark.createDataFrame(
+            [("s1", 1, 2), (None, 2, 3)], "g string, o long, v long"
+        )
+        with pytest.raises(ValueError, match="NULL group key"):
+            grouped_prefix_sums(df, ["o"], ["v"], group_cols=["g"]).collect()
+
+    def test_global_and_grouped_exclusive_sums(self, spark):
+        from alix_spark.util import grouped_prefix_sums
+
+        df = spark.createDataFrame(
+            [("s1", 1, 10), ("s1", 2, 20), ("s2", 1, 5), ("s2", 3, 7)],
+            "g string, o long, v long",
+        )
+        got = {
+            (r["g"], r["o"]): r["before_v"]
+            for r in grouped_prefix_sums(
+                df, ["o"], ["v"], group_cols=["g"], num_parts=3
+            ).collect()
+        }
+        assert got == {("s1", 1): 0, ("s1", 2): 10, ("s2", 1): 0, ("s2", 3): 5}
+        glob = {
+            r["o"]: r["before_v"]
+            for r in grouped_prefix_sums(
+                df.groupBy("o").agg(F.sum("v").cast("long").alias("v")),
+                ["o"],
+                ["v"],
+                num_parts=2,
+            ).collect()
+        }
+        assert glob == {1: 0, 2: 15, 3: 35}
