@@ -1103,6 +1103,28 @@ def q_heaps_profile(spark, sf_dir):
     return textstats.heaps_profile(_docs(spark, sf_dir))
 
 
+# Shared-syntax duplicate-injection fixture for source_overlap: every
+# 7th doc's text becomes one of 5 shared boilerplate strings, so
+# sources genuinely share contents (the synthetic corpus has no
+# natural cross-source exact duplicates — an all-empty matrix would be
+# a vacuous contract row). CASE/||/CAST(.. AS STRING) run verbatim on
+# both engines.
+OVERLAP_TEXT_EXPR = (
+    "CASE WHEN doc_id % 7 = 0 THEN "
+    "'shared boilerplate page ' || CAST(doc_id % 5 AS STRING) "
+    "ELSE text END"
+)
+
+
+def q_source_overlap(spark, sf_dir):
+    """Cross-source exact-duplicate overlap matrix (mirror/syndication
+    detection) over the duplicate-injected fixture corpus."""
+    docs = _docs(spark, sf_dir).select(
+        "source", F.expr(OVERLAP_TEXT_EXPR).alias("text")
+    )
+    return dedup.source_overlap(docs)
+
+
 # Structured-URL fixture for url_filter: variable path depth (repeat)
 # and a 0/1/3/5-parameter query ladder, in shared Spark/DuckDB syntax
 # (repeat, CASE, CAST, ||) so both engines run it verbatim.
@@ -1260,9 +1282,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keywords_doc": q_keywords_doc,
         "spell_suggest": q_spell_suggest,
         "theme_rsj": q_theme_rsj,
-        # --- ranking
+        # --- ranking (bm25_wand_or rotated to the tail fourth
+        # session: r03 green, and the shared wand_topk cursor walk —
+        # the only machinery the OR mode adds to bm25_wand_and — has
+        # no substantive r04 diff (annotation only); the r04 wand.py
+        # diffs are the span kernels and the mixed path, exercised
+        # in-window by phrase_wand / near_match / mixed_term_or)
         "bm25_wand_and": q_bm25_wand_and,
-        "bm25_wand_or": q_bm25_wand_or,
         "mixed_term_or": q_mixed_term_or,
         "phrase_wand": q_phrase_wand,
         "near_match": q_near_match,
@@ -1304,6 +1330,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # both r03-green, and the r04 dedup.py diff is append-only —
         # the embedding tier — so their code paths are unchanged)
         "dedup_embedding": q_dedup_embedding,
+        # --- new fourth session: cross-source exact-duplicate overlap
+        # matrix (mirror/syndication detection; bm25_wand_or freed the
+        # slot, see the ranking comment above)
+        "source_overlap": q_source_overlap,
         # --- new this round: web-pipeline hygiene ops
         "repetition": q_repetition,
         "url_canon": q_url_canon,
@@ -1449,6 +1479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # expression runs verbatim inside in-window mix_report
         "sim_gsimple": q_sim_gsimple,
         "data_split": q_data_split,
+        "bm25_wand_or": q_bm25_wand_or,
     }
 
 
@@ -3222,6 +3253,27 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
        {sql_round6('regr_slope(ln(CAST(freq AS DOUBLE)), ln(CAST(rank AS DOUBLE)))')} AS slope,
        {sql_round6('regr_r2(ln(CAST(freq AS DOUBLE)), ln(CAST(rank AS DOUBLE)))')} AS r2
 FROM r WHERE rank <= 500 GROUP BY source ORDER BY source
+"""
+
+    sqls["source_overlap"] = f"""
+WITH t AS (SELECT source, {OVERLAP_TEXT_EXPR} AS text FROM documents),
+d AS (SELECT DISTINCT source, md5(text) AS h
+      FROM t WHERE text IS NOT NULL),
+c AS (SELECT h FROM d GROUP BY h HAVING count(*) <= 64),
+dd AS (SELECT d.source, d.h FROM d JOIN c USING (h)),
+s AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY source),
+p AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM dd a JOIN dd b USING (h)
+  WHERE a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT source_a, source_b, n_shared,
+       {sql_round6('CAST(n_shared AS DOUBLE) / least(sa.n, sb.n)')} AS overlap
+FROM p JOIN s sa ON sa.source = p.source_a
+       JOIN s sb ON sb.source = p.source_b
+ORDER BY source_a, source_b
 """
 
     sqls["token_entropy"] = f"""

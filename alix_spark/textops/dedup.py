@@ -656,3 +656,71 @@ def dup_spans(
         )
         .orderBy("doc_id")
     )
+
+
+def source_overlap(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    max_sources_per_text: int = 64,
+) -> DataFrame:
+    """(source_a, source_b, n_shared, overlap): cross-source
+    exact-duplicate overlap matrix — for each unordered source pair,
+    the number of distinct text contents (md5, the exact-dedup key)
+    present in BOTH, and the overlap coefficient
+    ``n_shared / min(|A|, |B|)`` over each source's distinct contents.
+    The crawl-curation signal behind mirror/syndication detection: a
+    pair near 1.0 is the same feed crawled twice — deduplicate before
+    mixing, or the mix double-counts that content's weight.
+
+    Scale shape: contents collapse to distinct (source, md5) pairs
+    first (one map-side-combined aggregation — the payload never
+    enters the join), the matrix is an equi-JOIN on the hash (never an
+    all-pairs source scan), and a df-cap drops hashes present in more
+    than ``max_sources_per_text`` sources before the join: pairs grow
+    as k² per shared hash, and at web scale a blank page lives in
+    every domain (the same hot-key guard as the n-gram tier's
+    shingle df-cap). Denominators use the UNCAPPED per-source distinct
+    counts. NULL texts carry no content and are excluded."""
+    d = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(group_col).alias("source"),
+            F.md5(F.col(text_col)).alias("h"),
+        )
+        .distinct()
+    )
+    capped = (
+        d.groupBy("h")
+        .agg(F.count("*").alias("k"))
+        .filter(F.col("k") <= max_sources_per_text)
+        .select("h")
+    )
+    dd = d.join(capped, "h")
+    pairs = (
+        dd.select("h", F.col("source").alias("source_a"))
+        .join(dd.select("h", F.col("source").alias("source_b")), "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    sizes = d.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    sa = maybe_broadcast(
+        sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    )
+    sb = maybe_broadcast(
+        sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    )
+    return (
+        pairs.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            round6(
+                F.col("n_shared").cast("double") / F.least("n_a", "n_b")
+            ).alias("overlap"),
+        )
+        .orderBy("source_a", "source_b")
+    )

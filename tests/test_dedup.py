@@ -225,3 +225,47 @@ class TestDupSpans:
             dedup.dup_spans(docs, k=0)
         with pytest.raises(ValueError):
             dedup.dup_spans(docs, min_df=1)
+
+
+class TestSourceOverlap:
+    def _run(self, spark, rows, **kw):
+        df = spark.createDataFrame(rows, "source string, text string")
+        return {
+            (r["source_a"], r["source_b"]): r
+            for r in dedup.source_overlap(df, **kw).collect()
+        }
+
+    def test_known_matrix_and_overlap_coefficient(self, spark):
+        got = self._run(
+            spark,
+            [
+                ("s1", "A"), ("s1", "B"),
+                ("s2", "B"), ("s2", "C"),
+                ("s3", "B"),
+            ],
+        )
+        assert got[("s1", "s2")]["n_shared"] == 1
+        assert got[("s1", "s2")]["overlap"] == 0.5  # 1 / min(2, 2)
+        assert got[("s1", "s3")]["overlap"] == 1.0  # 1 / min(2, 1)
+        assert got[("s2", "s3")]["overlap"] == 1.0
+
+    def test_df_cap_drops_universal_boilerplate(self, spark):
+        # B is in 3 sources > cap 2 -> excluded from the matrix
+        got = self._run(
+            spark,
+            [("s1", "A"), ("s1", "B"), ("s2", "B"), ("s2", "C"), ("s3", "B")],
+            max_sources_per_text=2,
+        )
+        assert got == {}
+
+    def test_within_source_dups_collapse_and_null_excluded(self, spark):
+        got = self._run(
+            spark,
+            [
+                ("s1", "A"), ("s1", "A"), ("s1", None),
+                ("s2", "A"), ("s2", None),
+            ],
+        )
+        # A counts once per source; NULL texts carry no content
+        assert got[("s1", "s2")]["n_shared"] == 1
+        assert got[("s1", "s2")]["overlap"] == 1.0  # 1 / min(1, 1)

@@ -138,3 +138,16 @@ def test_length_outliers_windows_only_the_histogram(spark):
     assert "Window" in plan
     window_tail = plan[plan.index("Window"):]
     assert "HashAggregate" in window_tail
+
+
+def test_source_overlap_is_equi_join_no_python(spark):
+    """The overlap matrix joins on the content hash (hash join or
+    sort-merge, never a nested-loop/cartesian pair scan) and stays
+    fully JVM-side."""
+    from alix_spark.textops import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(dedup.source_overlap(docs))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
