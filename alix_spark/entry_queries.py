@@ -1125,6 +1125,40 @@ def q_source_overlap(spark, sf_dir):
     return dedup.source_overlap(docs)
 
 
+# Shared-syntax fixture for gopher_rules: the raw corpus is
+# single-line synthetic prose that trips exactly one gate (it carries
+# at most one of the 8 stop words), so every other rule would be
+# vacuously green. doc_id % 11 classes exercise each gate in BOTH
+# directions: all-bullet doc (bullet gate), every-line-ellipsis doc
+# (ellipsis + symbol gates), '#'-spam (symbol gate), stop-word-
+# enriched prose (the keep=true class for docs long enough to pass
+# the length gate), a tiny doc (length gate), digit-only words
+# (alpha gate), 34-char words (mean-word-length gate). CASE/repeat/
+# chr(10)/|| run verbatim on both engines.
+GOPHER_TEXT_EXPR = (
+    "CASE doc_id % 11 "
+    "WHEN 0 THEN '- item' || repeat(chr(10) || '- list entry', 19) "
+    "WHEN 1 THEN 'so it goes on...' || "
+    "repeat(chr(10) || 'and then more...', 9) "
+    "WHEN 2 THEN text || repeat(' #', 30) "
+    "WHEN 3 THEN 'the cat and the hat have to be of use with that ' "
+    "|| text "
+    "WHEN 4 THEN 'tiny doc' "
+    "WHEN 5 THEN repeat('12345 ', 60) "
+    "WHEN 6 THEN repeat('supercalifragilisticexpialidocious ', 60) "
+    "ELSE text END"
+)
+
+
+def q_gopher_rules(spark, sf_dir):
+    """Gopher quality-rule gate (Rae et al. 2021 A1.1) over the
+    gate-exercising fixture corpus."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(GOPHER_TEXT_EXPR).alias("text")
+    )
+    return textstats.gopher_rules(docs)
+
+
 # Structured-URL fixture for url_filter: variable path depth (repeat)
 # and a 0/1/3/5-parameter query ladder, in shared Spark/DuckDB syntax
 # (repeat, CASE, CAST, ||) so both engines run it verbatim.
@@ -1261,8 +1295,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     local mini-driver (tests/test_oracle_parity.py) still checks ALL
     entries every suite run."""
     return {
-        # --- rotated back into the window (r03 tail, green r01/r02)
-        "bm25_single": q_bm25_single,
+        # --- rotated back into the window (r03 tail, green r01/r02;
+        # bm25_single rotated out fourth session — it is the brute
+        # scorer's single-term case and bm25_or, the same brute path
+        # with the harder term set, stays in-window)
         "bm25_or": q_bm25_or,
         "sim_g": q_sim_g,
         "sim_freq": q_sim_freq,
@@ -1332,8 +1368,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         # --- new fourth session: cross-source exact-duplicate overlap
         # matrix (mirror/syndication detection; bm25_wand_or freed the
-        # slot, see the ranking comment above)
+        # slot, see the ranking comment above) and the Gopher
+        # quality-rule admission gate (bm25_single freed the slot, see
+        # the rotation comment at the top)
         "source_overlap": q_source_overlap,
+        "gopher_rules": q_gopher_rules,
         # --- new this round: web-pipeline hygiene ops
         "repetition": q_repetition,
         "url_canon": q_url_canon,
@@ -1480,6 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_gsimple": q_sim_gsimple,
         "data_split": q_data_split,
         "bm25_wand_or": q_bm25_wand_or,
+        "bm25_single": q_bm25_single,
     }
 
 
@@ -3274,6 +3314,48 @@ SELECT source_a, source_b, n_shared,
 FROM p JOIN s sa ON sa.source = p.source_a
        JOIN s sb ON sb.source = p.source_b
 ORDER BY source_a, source_b
+"""
+
+    # ellipsis/bullet rendered as runtime chars from Python-side
+    # \\u escapes (DuckDB plain '' strings take backslashes literally,
+    # so the regexes themselves transfer verbatim; raw non-ASCII
+    # literals in source are forbidden — editor round-trips corrupt
+    # them).
+    _ell, _bul = "\u2026", "\u2022"
+    _stop_sum = " + ".join(
+        f"CAST(regexp_matches(t, '(?i)\\b{w}\\b') AS INT)"
+        for w in textstats.GOPHER_STOPWORDS
+    )
+    sqls["gopher_rules"] = f"""
+WITH src AS (SELECT doc_id, {GOPHER_TEXT_EXPR} AS text FROM documents),
+c AS (SELECT doc_id, coalesce(text, '') AS t FROM src),
+m AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(t, '\\S+')) AS BIGINT) AS n_words,
+    CAST(length(regexp_replace(t, '\\s', '', 'g')) AS BIGINT) AS word_chars,
+    CAST(len(regexp_extract_all(t, '[^\\s]*[A-Za-z][^\\s]*')) AS BIGINT) AS alpha_words,
+    CAST(len(regexp_extract_all(t, '#|\\.\\.\\.|{_ell}')) AS BIGINT) AS symbols,
+    CAST(len(regexp_extract_all(t, chr(10))) + 1 AS BIGINT) AS n_lines,
+    CAST(len(regexp_extract_all(t, '(?m)^[ \t]*[-*{_bul}]')) AS BIGINT) AS bullet_lines,
+    CAST(len(regexp_extract_all(t, '(?m)(\\.\\.\\.|{_ell})[ \t]*$')) AS BIGINT) AS ellipsis_lines,
+    CAST({_stop_sum} AS BIGINT) AS n_stop_kinds
+  FROM c
+)
+SELECT doc_id, n_words, n_lines,
+  CASE WHEN n_words > 0 THEN {sql_round6('word_chars / CAST(n_words AS DOUBLE)')} END AS mean_word_len,
+  CASE WHEN n_words > 0 THEN {sql_round6('symbols / CAST(n_words AS DOUBLE)')} END AS symbol_ratio,
+  CASE WHEN n_lines > 0 THEN {sql_round6('bullet_lines / CAST(n_lines AS DOUBLE)')} END AS bullet_ratio,
+  CASE WHEN n_lines > 0 THEN {sql_round6('ellipsis_lines / CAST(n_lines AS DOUBLE)')} END AS ellipsis_ratio,
+  CASE WHEN n_words > 0 THEN {sql_round6('alpha_words / CAST(n_words AS DOUBLE)')} END AS alpha_ratio,
+  n_stop_kinds,
+  (n_words >= 50 AND n_words <= 100000
+   AND 3 * n_words <= word_chars AND word_chars <= 10 * n_words
+   AND 10 * symbols <= n_words
+   AND 10 * bullet_lines <= 9 * n_lines
+   AND 10 * ellipsis_lines <= 3 * n_lines
+   AND 5 * alpha_words >= 4 * n_words
+   AND n_stop_kinds >= 2) AS keep
+FROM m ORDER BY doc_id
 """
 
     sqls["token_entropy"] = f"""

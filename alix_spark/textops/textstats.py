@@ -781,3 +781,94 @@ def heaps_profile(
         )
         .orderBy("source")
     )
+
+
+# The eight indicator words of the Gopher "stop word" rule (Rae et
+# al. 2021, "Scaling Language Models: ... Gopher", appendix A1.1 —
+# public rule set; a doc must contain at least 2 of them). ASCII-only
+# so the \b word boundary behaves identically in Java (Spark) and RE2
+# (DuckDB) regex engines.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_words, n_lines, mean_word_len, symbol_ratio,
+    bullet_ratio, ellipsis_ratio, alpha_ratio, n_stop_kinds, keep):
+    the Gopher repetition-free quality rule set (Rae et al. 2021,
+    appendix A1.1 — the most widely reused public web-filtering
+    recipe, e.g. RefinedWeb/FineWeb re-implementations):
+
+    - 50 <= word count <= 100,000 (whitespace words)
+    - 3 <= mean word length <= 10
+    - symbol-to-word ratio (#, ellipsis) <= 0.1
+    - <= 90% of lines start with a bullet (-, *, \\u2022)
+    - <= 30% of lines end with an ellipsis
+    - >= 80% of words contain at least one alphabetic character
+    - at least 2 distinct words from the 8-word stop list
+
+    ``keep`` is the conjunction. Every gate compares in INTEGER
+    cross-multiplied form (e.g. ``10*symbols <= n_words`` instead of
+    ``symbols/n_words <= 0.1``) so the verdict is bit-exact across
+    engines and aggregation orders — the ratio columns are 6-dp
+    display channels only, never the gate inputs. NULL text is
+    treated as empty (keep=false via the word-count gate; per-row
+    verdict semantics — every input doc gets a row). Ratio channels
+    with a zero denominator are NULL.
+
+    Scale shape: pure column expressions over one scan (regexp_count
+    is JVM-side and codegen'd) — zero shuffles at any corpus size.
+    Reference has no counterpart (its chain is curated-TEI French);
+    this is the crawl-side admission gate in front of it. Lines are
+    ``\\n``-separated on both engines (Java's (?m) also accepts \\r —
+    normalize CRLF upstream, e.g. webpipe.normalize_text)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+
+    def rc(pat: str) -> F.Column:
+        return F.regexp_count(t, F.lit(pat)).cast("long")
+
+    stop_hits = None
+    for w in GOPHER_STOPWORDS:
+        hit = F.when(t.rlike(rf"(?i)\b{w}\b"), F.lit(1)).otherwise(F.lit(0))
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    m = df.select(
+        F.col(id_col).alias("doc_id"),
+        rc(r"\S+").alias("n_words"),
+        F.length(F.regexp_replace(t, r"\s", "")).cast("long").alias("word_chars"),
+        rc(r"[^\s]*[A-Za-z][^\s]*").alias("alpha_words"),
+        rc("#|\\.\\.\\.|\u2026").alias("symbols"),
+        (rc("\n") + F.lit(1)).alias("n_lines"),
+        rc("(?m)^[ \t]*[-*\u2022]").alias("bullet_lines"),
+        rc("(?m)(\\.\\.\\.|\u2026)[ \t]*$").alias("ellipsis_lines"),
+        stop_hits.cast("long").alias("n_stop_kinds"),
+    )
+    w = F.col("n_words")
+    keep = (
+        (w >= 50)
+        & (w <= 100000)
+        & (F.lit(3) * w <= F.col("word_chars"))
+        & (F.col("word_chars") <= F.lit(10) * w)
+        & (F.lit(10) * F.col("symbols") <= w)
+        & (F.lit(10) * F.col("bullet_lines") <= F.lit(9) * F.col("n_lines"))
+        & (F.lit(10) * F.col("ellipsis_lines") <= F.lit(3) * F.col("n_lines"))
+        & (F.lit(5) * F.col("alpha_words") >= F.lit(4) * w)
+        & (F.col("n_stop_kinds") >= 2)
+    )
+
+    def ratio(num: F.Column, den: F.Column) -> F.Column:
+        return F.when(den > 0, round6(num.cast("double") / den.cast("double")))
+
+    return m.select(
+        "doc_id",
+        "n_words",
+        "n_lines",
+        ratio(F.col("word_chars"), w).alias("mean_word_len"),
+        ratio(F.col("symbols"), w).alias("symbol_ratio"),
+        ratio(F.col("bullet_lines"), F.col("n_lines")).alias("bullet_ratio"),
+        ratio(F.col("ellipsis_lines"), F.col("n_lines")).alias("ellipsis_ratio"),
+        ratio(F.col("alpha_words"), w).alias("alpha_ratio"),
+        "n_stop_kinds",
+        keep.alias("keep"),
+    ).orderBy("doc_id")
+

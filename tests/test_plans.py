@@ -120,6 +120,7 @@ def test_classifier_and_split_have_no_python_stage(spark):
         textstats.classifier_scores(docs),
         webpipe.data_split(docs),
         textstats.script_profile(docs),
+        textstats.gopher_rules(docs),
     ):
         plan = _plan(df)
         for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):

@@ -1037,3 +1037,50 @@ class TestGroupedPrefixSums:
             ).collect()
         }
         assert glob == {1: 0, 2: 15, 3: 35}
+
+
+class TestGopherRules:
+    def _run(self, spark, rows):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r["doc_id"]: r for r in textstats.gopher_rules(df).collect()}
+
+    def test_keep_and_each_gate_direction(self, spark):
+        good = "the cat and dog run fast " * 10  # 60 words, 2 stop kinds
+        got = self._run(
+            spark,
+            [
+                (1, good),
+                (2, "\n".join("- item" for _ in range(20))),  # all bullets
+                (3, "a...\nb...\nc"),  # 2/3 lines end ...
+                (4, good + " " + " ".join("#" * 1 for _ in range(30))),
+                (5, "the cat and dog"),  # too short
+                (6, "123 456 " * 30),  # no alpha words
+                (7, "supercalifragilisticexpialidocious " * 60),
+                (8, None),
+            ],
+        )
+        assert got[1]["keep"] is True
+        assert got[1]["n_words"] == 60 and got[1]["n_stop_kinds"] == 2
+        assert got[2]["keep"] is False and got[2]["bullet_ratio"] == 1.0
+        assert got[3]["keep"] is False and got[3]["ellipsis_ratio"] == 0.666667
+        assert got[4]["keep"] is False  # 30 symbols vs 90 words
+        assert got[5]["keep"] is False and got[5]["n_words"] == 4
+        assert got[6]["keep"] is False and got[6]["alpha_ratio"] == 0.0
+        assert got[7]["keep"] is False and got[7]["mean_word_len"] == 34.0
+        assert got[8]["keep"] is False and got[8]["n_words"] == 0
+        assert got[8]["mean_word_len"] is None
+
+    def test_stop_kinds_are_distinct_words_not_occurrences(self, spark):
+        got = self._run(spark, [(1, "the the the the cat")])
+        assert got[1]["n_stop_kinds"] == 1
+
+    def test_boundary_exactness_at_symbol_gate(self, spark):
+        # exactly 10% symbols passes (integer gate: 10*s <= w), one
+        # more symbol fails — no float half-case can flip this
+        base = "the cats and dogs run " * 10  # 50 words, 3.4 chars avg
+        got = self._run(
+            spark,
+            [(1, base + "# # # # #"), (2, base + "# # # # # #")],
+        )
+        assert got[1]["n_words"] == 55 and got[1]["keep"] is True
+        assert got[2]["keep"] is False
