@@ -1159,6 +1159,13 @@ def q_gopher_rules(spark, sf_dir):
     return textstats.gopher_rules(docs)
 
 
+def q_winnowing(spark, sf_dir):
+    """Winnowing fingerprint selection (Schleimer et al. 2003) — the
+    MOSS partial-overlap sketch over word 3-gram md5s, window 4."""
+    return textstats.winnowing(_docs(spark, sf_dir))
+
+
+
 # Structured-URL fixture for url_filter: variable path depth (repeat)
 # and a 0/1/3/5-parameter query ladder, in shared Spark/DuckDB syntax
 # (repeat, CASE, CAST, ||) so both engines run it verbatim.
@@ -1300,8 +1307,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scorer's single-term case and bm25_or, the same brute path
         # with the harder term set, stays in-window)
         "bm25_or": q_bm25_or,
+        # (sim_freq rotated out fourth session: same similarity-
+        # selection machinery as in-window sim_g/sim_chi2inv, differing
+        # only in the weight formula)
         "sim_g": q_sim_g,
-        "sim_freq": q_sim_freq,
         "keyness_chi2": q_keyness_chi2,
         "keyness_logratio": q_keyness_logratio,
         "events_by_type": q_events_by_type,
@@ -1373,6 +1382,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the rotation comment at the top)
         "source_overlap": q_source_overlap,
         "gopher_rules": q_gopher_rules,
+        # winnowing (slot freed by sim_freq, see the rotation comment
+        # at the top): the MOSS robust-winnowing sketch — a NEW code
+        # path (rank-based rightmost-min window selection), not a
+        # formula sibling of fingerprints' single global min
+        "winnowing": q_winnowing,
         # --- new this round: web-pipeline hygiene ops
         "repetition": q_repetition,
         "url_canon": q_url_canon,
@@ -1520,6 +1534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_split": q_data_split,
         "bm25_wand_or": q_bm25_wand_or,
         "bm25_single": q_bm25_single,
+        "sim_freq": q_sim_freq,
     }
 
 
@@ -3356,6 +3371,45 @@ SELECT doc_id, n_words, n_lines,
    AND 5 * alpha_words >= 4 * n_words
    AND n_stop_kinds >= 2) AS keep
 FROM m ORDER BY doc_id
+"""
+
+    # Winnowing oracle: the O(n*w) window expansion (fine at oracle
+    # scale; the engine is O(n log n) per doc). Rightmost-min
+    # tie-break = max(pos) among rows equal to the window's min fp —
+    # min over md5 HEX equals min over the 128-bit digest, the same
+    # total order the engine's per-doc lexicographic ranks encode.
+    sqls["winnowing"] = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents
+),
+h AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]) AS fp
+  FROM t, unnest(generate_series(1, greatest(len(l) - 2, 0))) AS u(i)
+),
+m AS (SELECT doc_id, count(*) AS nh FROM h GROUP BY doc_id),
+s AS (
+  SELECT doc_id, least(4, nh) AS we,
+         unnest(generate_series(0, nh - least(4, nh))) AS wstart
+  FROM m
+),
+win AS (
+  SELECT s.doc_id, s.wstart, h.pos, h.fp
+  FROM s JOIN h ON h.doc_id = s.doc_id
+               AND h.pos BETWEEN s.wstart AND s.wstart + s.we - 1
+),
+sel AS (SELECT doc_id, wstart, min(fp) AS mf FROM win GROUP BY doc_id, wstart),
+pick AS (
+  SELECT w.doc_id, max(w.pos) AS pos, w.fp
+  FROM win w JOIN sel ON sel.doc_id = w.doc_id
+                     AND sel.wstart = w.wstart AND w.fp = sel.mf
+  GROUP BY w.doc_id, w.wstart, w.fp
+)
+SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, fp
+FROM pick ORDER BY doc_id, pos
 """
 
     sqls["token_entropy"] = f"""

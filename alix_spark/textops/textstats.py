@@ -872,3 +872,77 @@ def gopher_rules(
         keep.alias("keep"),
     ).orderBy("doc_id")
 
+
+def winnowing(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """(doc_id, pos, fp): winnowing fingerprint selection (Schleimer,
+    Wilkerson & Aiken 2003 — the MOSS local-similarity sketch). Over
+    the word ``n``-gram md5 stream, every window of ``w`` consecutive
+    hashes selects its minimum (RIGHTMOST position on ties, the
+    paper's robust-winnowing rule); the distinct selected (position,
+    hash) pairs are the document's fingerprint set.
+
+    Guarantee (paper §2): any token run of length >= w + n - 1 shared
+    by two documents yields at least one shared fingerprint, at an
+    expected density of 2/(w+1) fingerprints per shingle — the sketch
+    that makes partial-overlap detection (quotes, mirrored passages)
+    affordable where :func:`fingerprints`' single fp_min can only see
+    whole-document similarity.
+
+    Scale shape: one Arrow-batched pass with full text locality —
+    selection is per-document, so there is NO shuffle at any corpus
+    size (downstream overlap joins group by fp). Hashing is hashlib
+    md5 (bit-identical hex to Spark/DuckDB ``md5()``, the oracle
+    contract); window minima compare per-doc lexicographic RANKS of
+    the hex digests (np.unique codes), vectorized sliding windows —
+    no per-window Python loop. Docs with fewer than ``w`` shingles
+    use one window over all of them; docs with no shingle (NULL/short
+    text) emit no rows."""
+    if n < 1 or w < 1:
+        raise ValueError("winnowing: n and w must be >= 1")
+    ensure_py_files(df.sparkSession)
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokens_array(df, text_col).alias("toks")
+    )
+    id_type = toks.schema["doc_id"].dataType.simpleString()
+
+    def gen(it):
+        import hashlib
+
+        import numpy as np
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        md5 = lambda s: hashlib.md5(s.encode("utf-8")).hexdigest()
+        for pdf in it:
+            ids, poss, fps = [], [], []
+            for doc_id, tl in zip(pdf["doc_id"], pdf["toks"]):
+                tl = list(tl) if tl is not None else []
+                hs = [
+                    md5(" ".join(tl[i : i + n]))
+                    for i in range(len(tl) - n + 1)
+                ]
+                m = len(hs)
+                if m == 0:
+                    continue
+                we = min(w, m)
+                # per-doc lexicographic ranks stand in for the digests
+                # (numpy cannot reduce over flexible string dtypes);
+                # reversed-window argmin = rightmost minimum
+                ranks = np.unique(np.array(hs), return_inverse=True)[1]
+                rev = sliding_window_view(ranks, we)[:, ::-1]
+                sel = np.arange(rev.shape[0]) + (we - 1) - np.argmin(rev, axis=1)
+                for p in np.unique(sel):
+                    ids.append(doc_id)
+                    poss.append(int(p))
+                    fps.append(hs[p])
+            if ids:  # empty frames default to float64, breaking Arrow
+                yield pd.DataFrame({"doc_id": ids, "pos": poss, "fp": fps})
+
+    return toks.mapInPandas(
+        gen, f"doc_id {id_type}, pos long, fp string"
+    ).orderBy("doc_id", "pos")

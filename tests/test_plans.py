@@ -152,3 +152,15 @@ def test_source_overlap_is_equi_join_no_python(spark):
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_winnowing_has_no_shuffle_below_the_python_stage(spark):
+    """Winnowing selection is per-document: the Arrow stage must sit
+    directly on the scan (full text locality — zero shuffles at any
+    corpus size; only the final presentation sort exchanges)."""
+    from alix_spark.textops import textstats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(textstats.winnowing(docs))
+    below = plan[plan.index("MapInPandas"):]
+    assert "Exchange" not in below

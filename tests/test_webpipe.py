@@ -1084,3 +1084,54 @@ class TestGopherRules:
         )
         assert got[1]["n_words"] == 55 and got[1]["keep"] is True
         assert got[2]["keep"] is False
+
+
+class TestWinnowing:
+    def _run(self, spark, rows, **kw):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return textstats.winnowing(df, **kw).collect()
+
+    def test_identical_token_stream_selects_rightmost_per_window(self, spark):
+        # 10 identical tokens -> 8 identical shingles; every window's
+        # min ties everywhere and the RIGHTMOST wins (robust
+        # winnowing): window i selects i+3, so positions are 3..7
+        rows = self._run(spark, [(1, "a a a a a a a a a a")])
+        assert [r["pos"] for r in rows] == list(range(3, 8))
+        assert len({r["fp"] for r in rows}) == 1
+
+    def test_coverage_every_window_has_a_fingerprint(self, spark):
+        # paper guarantee: the selected set hits every w-window
+        text = " ".join(f"w{(i * 7) % 13}" for i in range(40))
+        rows = self._run(spark, [(1, text)])
+        sel = sorted(r["pos"] for r in rows)
+        m, we = 38, 4
+        for i in range(m - we + 1):
+            assert any(i <= p <= i + we - 1 for p in sel)
+
+    def test_shared_run_guarantee(self, spark):
+        # two docs sharing >= w + n - 1 = 6 consecutive tokens must
+        # share at least one fingerprint VALUE
+        shared = "one two three four five six"
+        rows = self._run(
+            spark, [(1, "xx yy " + shared), (2, shared + " zz qq")]
+        )
+        fp1 = {r["fp"] for r in rows if r["doc_id"] == 1}
+        fp2 = {r["fp"] for r in rows if r["doc_id"] == 2}
+        assert fp1 & fp2
+
+    def test_short_and_null_docs(self, spark):
+        rows = self._run(spark, [(1, "a b c d"), (2, "a b"), (3, None)])
+        by = {}
+        for r in rows:
+            by.setdefault(r["doc_id"], []).append(r)
+        # doc1: 2 shingles < w -> ONE window over both -> exactly 1 fp
+        assert len(by[1]) == 1
+        # doc2/doc3: no shingle at all -> no rows
+        assert 2 not in by and 3 not in by
+
+    def test_param_validation(self, spark):
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            textstats.winnowing(df, w=0)
+        with pytest.raises(ValueError):
+            textstats.winnowing(df, n=0)
