@@ -1165,6 +1165,12 @@ def q_winnowing(spark, sf_dir):
     return textstats.winnowing(_docs(spark, sf_dir))
 
 
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet perplexity-tercile head/middle/tail partitioning per
+    source (Wenzek et al. 2020) over the bigram-LM score."""
+    return webpipe.ccnet_buckets(_docs(spark, sf_dir))
+
+
 
 # Structured-URL fixture for url_filter: variable path depth (repeat)
 # and a 0/1/3/5-parameter query ladder, in shared Spark/DuckDB syntax
@@ -1311,8 +1317,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # selection machinery as in-window sim_g/sim_chi2inv, differing
         # only in the weight formula)
         "sim_g": q_sim_g,
+        # (keyness_logratio rotated out fourth session: the keyness
+        # family shares the TopTerms scorer machinery — keyness_chi2
+        # stays as the in-window representative; logratio/g2/logdice/
+        # simplemaths differ only in the score formula)
         "keyness_chi2": q_keyness_chi2,
-        "keyness_logratio": q_keyness_logratio,
         "events_by_type": q_events_by_type,
         "webtext_term_stats": q_webtext_term_stats,
         "phrase_match": q_phrase_match,
@@ -1387,6 +1396,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # path (rank-based rightmost-min window selection), not a
         # formula sibling of fingerprints' single global min
         "winnowing": q_winnowing,
+        # ccnet_buckets (slot freed by keyness_logratio, see the
+        # rotation comment at the top): per-source perplexity terciles
+        # — a NEW code path (grouped bin-histogram quantile + bucket
+        # assignment), composing lm_scores with the length_outliers
+        # histogram-rank idea per group
+        "ccnet_buckets": q_ccnet_buckets,
         # --- new this round: web-pipeline hygiene ops
         "repetition": q_repetition,
         "url_canon": q_url_canon,
@@ -1535,6 +1550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_wand_or": q_bm25_wand_or,
         "bm25_single": q_bm25_single,
         "sim_freq": q_sim_freq,
+        "keyness_logratio": q_keyness_logratio,
     }
 
 
@@ -3410,6 +3426,64 @@ pick AS (
 )
 SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, fp
 FROM pick ORDER BY doc_id, pos
+"""
+
+    # CCNet terciles: restates lm_score's verified LM CTEs, then the
+    # bin-granular integer tercile walk. avg_nll is round6'd before
+    # binning on BOTH sides, so floor(avg_nll*100) runs the same IEEE
+    # ops on the same doubles. Window has an explicit ROWS frame.
+    sqls["ccnet_buckets"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, l[u.i] AS w1, l[u.i + 1] AS w2
+  FROM t, unnest(generate_series(1, greatest(len(l) - 1, 0))) AS u(i)
+),
+c12 AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c12 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, CAST(count(*) AS DOUBLE) AS c1 FROM bg GROUP BY 1),
+v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v
+      FROM (SELECT unnest(l) AS w FROM t)),
+s AS (
+  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         {sql_round6(
+             'avg(-ln((coalesce(c12.c12, 0) + 0.5)'
+             ' / (coalesce(c1.c1, 0) + 0.5 * v.v)))'
+         )} AS avg_nll
+  FROM bg b
+  LEFT JOIN c12 USING (w1, w2)
+  LEFT JOIN c1 USING (w1)
+  CROSS JOIN v
+  GROUP BY b.doc_id
+),
+d AS (
+  SELECT s.doc_id, doc.source, s.n_bigrams, s.avg_nll,
+         CAST(floor(s.avg_nll * 100.0) AS BIGINT) AS bin
+  FROM s JOIN documents doc ON doc.doc_id = s.doc_id
+  WHERE doc.source IS NOT NULL
+),
+h AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1, 2),
+cum AS (
+  SELECT source, bin,
+         sum(c) OVER (PARTITION BY source ORDER BY bin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER (PARTITION BY source) AS n
+  FROM h
+),
+th AS (
+  SELECT source,
+         min(CASE WHEN 3 * cum >= n THEN bin END) AS t1,
+         min(CASE WHEN 3 * cum >= 2 * n THEN bin END) AS t2
+  FROM cum GROUP BY source
+)
+SELECT d.doc_id, d.source, d.n_bigrams, d.avg_nll,
+       CASE WHEN d.bin <= th.t1 THEN 'head'
+            WHEN d.bin <= th.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM d JOIN th USING (source) ORDER BY d.doc_id
 """
 
     sqls["token_entropy"] = f"""

@@ -853,3 +853,91 @@ def mix_report(
         )
         .orderBy("source", "split")
     )
+
+def ccnet_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    bins_per_nat: int = 100,
+) -> DataFrame:
+    """(doc_id, source, n_bigrams, avg_nll, bucket): CCNet-style
+    perplexity-tercile partitioning (Wenzek et al. 2020) — within each
+    source, split documents into ``head`` / ``middle`` / ``tail`` by
+    ascending LM score (:func:`textstats.lm_scores` avg_nll, the
+    add-alpha bigram stand-in for the paper's KenLM): head reads like
+    the model's training domain, tail is the noise candidate pool.
+    The standard curation move is keep-head, sample-middle, drop-tail.
+
+    Thresholds are BIN-GRANULAR exact terciles: docs land in fixed
+    nll bins (``floor(avg_nll * bins_per_nat)`` — avg_nll is already
+    6-dp floor-rounded, so the product and floor are the same IEEE
+    ops on the same doubles in any engine), the per-source cumulative
+    walk runs over the aggregated (source, bin) histogram, and the
+    tercile cut is pure integer arithmetic (``3*cum >= n``, never a
+    float rank). Docs sharing a bin always share a bucket, so the
+    assignment is deterministic under any row order and stable under
+    corpus repartitioning.
+
+    Scale shape: the per-source quantile never sorts the corpus — the
+    histogram is bounded by (sources x occupied bins), the window
+    walk runs on that tiny table (the :func:`length_outliers` shape,
+    per group), and thresholds ride back on a count-guarded broadcast
+    join. Docs with fewer than 2 tokens carry no LM evidence and are
+    excluded (lm_scores contract); NULL-``group_col`` docs have no
+    stratum and are excluded."""
+    from pyspark.sql import Window
+
+    from alix_spark.textops import textstats
+    from alix_spark.util import maybe_broadcast
+
+    scores = textstats.lm_scores(docs, id_col=id_col, text_col=text_col)
+    src = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(group_col).alias("source")
+    ).filter(F.col(group_col).isNotNull())
+    # pinned: the scored projection feeds both the histogram subtree
+    # and the final per-doc assignment (the length_outliers trade)
+    d = (
+        scores.join(src, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "n_bigrams",
+            "avg_nll",
+            F.floor(F.col("avg_nll") * F.lit(float(bins_per_nat)))
+            .cast("long")
+            .alias("bin"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    hist = d.groupBy("source", "bin").agg(F.count("*").cast("long").alias("c"))
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("source")
+    cum = hist.select(
+        "source",
+        "bin",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    th = cum.groupBy("source").agg(
+        F.min(
+            F.when(F.lit(3) * F.col("cum") >= F.col("n"), F.col("bin"))
+        ).alias("t1"),
+        F.min(
+            F.when(F.lit(3) * F.col("cum") >= F.lit(2) * F.col("n"), F.col("bin"))
+        ).alias("t2"),
+    )
+    bucket = (
+        F.when(F.col("bin") <= F.col("t1"), F.lit("head"))
+        .when(F.col("bin") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        d.join(maybe_broadcast(th), "source")
+        .select("doc_id", "source", "n_bigrams", "avg_nll", bucket.alias("bucket"))
+        .orderBy("doc_id")
+    )

@@ -164,3 +164,17 @@ def test_winnowing_has_no_shuffle_below_the_python_stage(spark):
     plan = _plan(textstats.winnowing(docs))
     below = plan[plan.index("MapInPandas"):]
     assert "Exchange" not in below
+
+
+def test_ccnet_windows_only_the_bin_histogram(spark):
+    """The per-source tercile walk must window the aggregated
+    (source, bin) histogram, never the corpus, and the whole path
+    stays JVM-side (the LM join plan is lm_scores', already audited)."""
+    from alix_spark.textops import webpipe
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(webpipe.ccnet_buckets(docs))
+    assert "Window" in plan
+    assert "HashAggregate" in plan[plan.index("Window"):]
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan

@@ -1135,3 +1135,60 @@ class TestWinnowing:
             textstats.winnowing(df, w=0)
         with pytest.raises(ValueError):
             textstats.winnowing(df, n=0)
+
+
+class TestCcnetBuckets:
+    def _run(self, spark, rows):
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        return {r["doc_id"]: r for r in webpipe.ccnet_buckets(df).collect()}
+
+    def test_tercile_membership_tracks_lm_score(self, spark):
+        # 9 docs, one source, 3 sharply separated nll levels: the
+        # corpus-dominant bigram stream scores lowest (head), a rarer
+        # repeated stream mid, per-doc singleton bigrams highest (tail)
+        low = "a b " * 20
+        mid = "c d e " * 13
+        rows = [(i, low, "s1") for i in range(3)]
+        rows += [(10 + i, mid, "s1") for i in range(3)]
+        rows += [
+            (20 + i, " ".join(f"u{i}x{j}" for j in range(20)), "s1")
+            for i in range(3)
+        ]
+        got = self._run(spark, rows)
+        assert {got[i]["bucket"] for i in range(3)} == {"head"}
+        assert {got[10 + i]["bucket"] for i in range(3)} == {"middle"}
+        assert {got[20 + i]["bucket"] for i in range(3)} == {"tail"}
+        assert got[0]["avg_nll"] < got[10]["avg_nll"] < got[20]["avg_nll"]
+
+    def test_single_bin_source_is_all_head(self, spark):
+        # every doc identical -> one bin -> t1 = t2 = bin -> all head
+        got = self._run(spark, [(i, "p q r p q r", "s1") for i in range(5)])
+        assert {r["bucket"] for r in got.values()} == {"head"}
+
+    def test_null_source_and_bigramless_docs_excluded(self, spark):
+        got = self._run(
+            spark,
+            [
+                (1, "a b c d e f", "s1"),
+                (2, "a", "s1"),  # no bigram: no LM evidence
+                (3, "a b c d e f", None),  # no stratum
+            ],
+        )
+        assert set(got) == {1}
+
+    def test_buckets_partition_each_source_in_thirds(self, spark):
+        # doc i mixes 2i+1 corpus-common bigrams with exactly one
+        # per-doc singleton bigram: avg_nll is strictly decreasing in
+        # i (common weight grows), giving 6 distinct bins -> 2/2/2
+        rows = [
+            (i, "x y " * (i + 1) + f"u{i}", "s1") for i in range(6)
+        ]
+        got = self._run(spark, rows)
+        from collections import Counter
+
+        nlls = [got[i]["avg_nll"] for i in range(6)]
+        assert nlls == sorted(nlls, reverse=True)
+        c = Counter(r["bucket"] for r in got.values())
+        assert c == {"head": 2, "middle": 2, "tail": 2}
+        # ascending nll maps head -> tail: the LOW-nll docs are head
+        assert got[5]["bucket"] == "head" and got[0]["bucket"] == "tail"
