@@ -1392,7 +1392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "gopher_rules": q_gopher_rules,
         # winnowing (slot freed by sim_freq, see the rotation comment
-        # at the top): the MOSS robust-winnowing sketch — a NEW code
+        # at the top): the MOSS winnowing sketch — a NEW code
         # path (rank-based rightmost-min window selection), not a
         # formula sibling of fingerprints' single global min
         "winnowing": q_winnowing,
@@ -3365,7 +3365,8 @@ m AS (
     CAST(len(regexp_extract_all(t, '\\S+')) AS BIGINT) AS n_words,
     CAST(length(regexp_replace(t, '\\s', '', 'g')) AS BIGINT) AS word_chars,
     CAST(len(regexp_extract_all(t, '[^\\s]*[A-Za-z][^\\s]*')) AS BIGINT) AS alpha_words,
-    CAST(len(regexp_extract_all(t, '#|\\.\\.\\.|{_ell}')) AS BIGINT) AS symbols,
+    CAST(len(regexp_extract_all(t, '#')) AS BIGINT) AS hashes,
+    CAST(len(regexp_extract_all(t, '\\.\\.\\.|{_ell}')) AS BIGINT) AS ellipses,
     CAST(len(regexp_extract_all(t, chr(10))) + 1 AS BIGINT) AS n_lines,
     CAST(len(regexp_extract_all(t, '(?m)^[ \t]*[-*{_bul}]')) AS BIGINT) AS bullet_lines,
     CAST(len(regexp_extract_all(t, '(?m)(\\.\\.\\.|{_ell})[ \t]*$')) AS BIGINT) AS ellipsis_lines,
@@ -3374,14 +3375,16 @@ m AS (
 )
 SELECT doc_id, n_words, n_lines,
   CASE WHEN n_words > 0 THEN {sql_round6('word_chars / CAST(n_words AS DOUBLE)')} END AS mean_word_len,
-  CASE WHEN n_words > 0 THEN {sql_round6('symbols / CAST(n_words AS DOUBLE)')} END AS symbol_ratio,
-  CASE WHEN n_lines > 0 THEN {sql_round6('bullet_lines / CAST(n_lines AS DOUBLE)')} END AS bullet_ratio,
-  CASE WHEN n_lines > 0 THEN {sql_round6('ellipsis_lines / CAST(n_lines AS DOUBLE)')} END AS ellipsis_ratio,
+  CASE WHEN n_words > 0 THEN {sql_round6('hashes / CAST(n_words AS DOUBLE)')} END AS hash_ratio,
+  CASE WHEN n_words > 0 THEN {sql_round6('ellipses / CAST(n_words AS DOUBLE)')} END AS ellipsis_ratio,
+  CASE WHEN n_lines > 0 THEN {sql_round6('bullet_lines / CAST(n_lines AS DOUBLE)')} END AS bullet_line_ratio,
+  CASE WHEN n_lines > 0 THEN {sql_round6('ellipsis_lines / CAST(n_lines AS DOUBLE)')} END AS ellipsis_line_ratio,
   CASE WHEN n_words > 0 THEN {sql_round6('alpha_words / CAST(n_words AS DOUBLE)')} END AS alpha_ratio,
   n_stop_kinds,
   (n_words >= 50 AND n_words <= 100000
    AND 3 * n_words <= word_chars AND word_chars <= 10 * n_words
-   AND 10 * symbols <= n_words
+   AND 10 * hashes <= n_words
+   AND 10 * ellipses <= n_words
    AND 10 * bullet_lines <= 9 * n_lines
    AND 10 * ellipsis_lines <= 3 * n_lines
    AND 5 * alpha_words >= 4 * n_words

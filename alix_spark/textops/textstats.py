@@ -794,23 +794,25 @@ GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 def gopher_rules(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(doc_id, n_words, n_lines, mean_word_len, symbol_ratio,
-    bullet_ratio, ellipsis_ratio, alpha_ratio, n_stop_kinds, keep):
-    the Gopher repetition-free quality rule set (Rae et al. 2021,
-    appendix A1.1 — the most widely reused public web-filtering
-    recipe, e.g. RefinedWeb/FineWeb re-implementations):
+    """(doc_id, n_words, n_lines, mean_word_len, hash_ratio,
+    ellipsis_ratio, bullet_line_ratio, ellipsis_line_ratio,
+    alpha_ratio, n_stop_kinds, keep): the Gopher repetition-free
+    quality rule set (Rae et al. 2021, appendix A1.1 — the most
+    widely reused public web-filtering recipe, e.g.
+    RefinedWeb/FineWeb re-implementations):
 
     - 50 <= word count <= 100,000 (whitespace words)
     - 3 <= mean word length <= 10
-    - symbol-to-word ratio (#, ellipsis) <= 0.1
+    - symbol-to-word ratio <= 0.1 for EACH of '#' and ellipsis
+      (the paper gates the two symbols separately, not their sum)
     - <= 90% of lines start with a bullet (-, *, \\u2022)
     - <= 30% of lines end with an ellipsis
     - >= 80% of words contain at least one alphabetic character
     - at least 2 distinct words from the 8-word stop list
 
     ``keep`` is the conjunction. Every gate compares in INTEGER
-    cross-multiplied form (e.g. ``10*symbols <= n_words`` instead of
-    ``symbols/n_words <= 0.1``) so the verdict is bit-exact across
+    cross-multiplied form (e.g. ``10*hashes <= n_words`` instead of
+    ``hashes/n_words <= 0.1``) so the verdict is bit-exact across
     engines and aggregation orders — the ratio columns are 6-dp
     display channels only, never the gate inputs. NULL text is
     treated as empty (keep=false via the word-count gate; per-row
@@ -837,7 +839,8 @@ def gopher_rules(
         rc(r"\S+").alias("n_words"),
         F.length(F.regexp_replace(t, r"\s", "")).cast("long").alias("word_chars"),
         rc(r"[^\s]*[A-Za-z][^\s]*").alias("alpha_words"),
-        rc("#|\\.\\.\\.|\u2026").alias("symbols"),
+        rc("#").alias("hashes"),
+        rc("\\.\\.\\.|\u2026").alias("ellipses"),
         (rc("\n") + F.lit(1)).alias("n_lines"),
         rc("(?m)^[ \t]*[-*\u2022]").alias("bullet_lines"),
         rc("(?m)(\\.\\.\\.|\u2026)[ \t]*$").alias("ellipsis_lines"),
@@ -849,7 +852,8 @@ def gopher_rules(
         & (w <= 100000)
         & (F.lit(3) * w <= F.col("word_chars"))
         & (F.col("word_chars") <= F.lit(10) * w)
-        & (F.lit(10) * F.col("symbols") <= w)
+        & (F.lit(10) * F.col("hashes") <= w)
+        & (F.lit(10) * F.col("ellipses") <= w)
         & (F.lit(10) * F.col("bullet_lines") <= F.lit(9) * F.col("n_lines"))
         & (F.lit(10) * F.col("ellipsis_lines") <= F.lit(3) * F.col("n_lines"))
         & (F.lit(5) * F.col("alpha_words") >= F.lit(4) * w)
@@ -864,9 +868,10 @@ def gopher_rules(
         "n_words",
         "n_lines",
         ratio(F.col("word_chars"), w).alias("mean_word_len"),
-        ratio(F.col("symbols"), w).alias("symbol_ratio"),
-        ratio(F.col("bullet_lines"), F.col("n_lines")).alias("bullet_ratio"),
-        ratio(F.col("ellipsis_lines"), F.col("n_lines")).alias("ellipsis_ratio"),
+        ratio(F.col("hashes"), w).alias("hash_ratio"),
+        ratio(F.col("ellipses"), w).alias("ellipsis_ratio"),
+        ratio(F.col("bullet_lines"), F.col("n_lines")).alias("bullet_line_ratio"),
+        ratio(F.col("ellipsis_lines"), F.col("n_lines")).alias("ellipsis_line_ratio"),
         ratio(F.col("alpha_words"), w).alias("alpha_ratio"),
         "n_stop_kinds",
         keep.alias("keep"),
@@ -883,9 +888,13 @@ def winnowing(
     """(doc_id, pos, fp): winnowing fingerprint selection (Schleimer,
     Wilkerson & Aiken 2003 — the MOSS local-similarity sketch). Over
     the word ``n``-gram md5 stream, every window of ``w`` consecutive
-    hashes selects its minimum (RIGHTMOST position on ties, the
-    paper's robust-winnowing rule); the distinct selected (position,
-    hash) pairs are the document's fingerprint set.
+    hashes selects its minimum, RIGHTMOST position on ties — the
+    paper's STANDARD winnowing rule (its "robust winnowing" variant
+    additionally prefers re-selecting the previous window's pick on
+    ties to thin fingerprints in low-entropy runs; not implemented —
+    selection here is stateless per window, which is what the oracle
+    replicates); the distinct selected (position, hash) pairs are the
+    document's fingerprint set.
 
     Guarantee (paper §2): any token run of length >= w + n - 1 shared
     by two documents yields at least one shared fingerprint, at an
@@ -902,7 +911,13 @@ def winnowing(
     the hex digests (np.unique codes), vectorized sliding windows —
     no per-window Python loop. Docs with fewer than ``w`` shingles
     use one window over all of them; docs with no shingle (NULL/short
-    text) emit no rows."""
+    text) emit no rows.
+
+    Precondition: ``id_col`` values are unique (one row per document
+    — the documents-table contract, same precondition as
+    heaps_profile). Duplicate ids would be processed independently
+    per row here but pooled into one phantom-windowed stream by the
+    SQL oracle's per-doc shingle count."""
     if n < 1 or w < 1:
         raise ValueError("winnowing: n and w must be >= 1")
     ensure_py_files(df.sparkSession)

@@ -854,6 +854,7 @@ def mix_report(
         .orderBy("source", "split")
     )
 
+
 def ccnet_buckets(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -886,6 +887,8 @@ def ccnet_buckets(
     join. Docs with fewer than 2 tokens carry no LM evidence and are
     excluded (lm_scores contract); NULL-``group_col`` docs have no
     stratum and are excluded."""
+    if bins_per_nat < 1:
+        raise ValueError("ccnet_buckets: bins_per_nat must be >= 1")
     from pyspark.sql import Window
 
     from alix_spark.textops import textstats

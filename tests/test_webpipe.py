@@ -1061,8 +1061,8 @@ class TestGopherRules:
         )
         assert got[1]["keep"] is True
         assert got[1]["n_words"] == 60 and got[1]["n_stop_kinds"] == 2
-        assert got[2]["keep"] is False and got[2]["bullet_ratio"] == 1.0
-        assert got[3]["keep"] is False and got[3]["ellipsis_ratio"] == 0.666667
+        assert got[2]["keep"] is False and got[2]["bullet_line_ratio"] == 1.0
+        assert got[3]["keep"] is False and got[3]["ellipsis_line_ratio"] == 0.666667
         assert got[4]["keep"] is False  # 30 symbols vs 90 words
         assert got[5]["keep"] is False and got[5]["n_words"] == 4
         assert got[6]["keep"] is False and got[6]["alpha_ratio"] == 0.0
@@ -1085,6 +1085,20 @@ class TestGopherRules:
         assert got[1]["n_words"] == 55 and got[1]["keep"] is True
         assert got[2]["keep"] is False
 
+    def test_symbol_gate_is_per_symbol_not_combined(self, spark):
+        # Gopher A1.1 applies the 0.1 threshold to '#' and ellipsis
+        # SEPARATELY: 6% hash + 6% ellipsis passes (a combined-sum
+        # gate would see 12% and wrongly reject)
+        base = "the cats and dogs run " * 20  # 100 words
+        # symbols mid-text so the LINE-end ellipsis rule stays out of
+        # the picture (the line must not end with '...')
+        text = base + "# # # # # # ... ... ... ... ... ... and so the story ends"
+        got = self._run(spark, [(1, text)])
+        assert got[1]["n_words"] == 117
+        assert got[1]["hash_ratio"] == got[1]["ellipsis_ratio"]
+        assert got[1]["ellipsis_line_ratio"] == 0.0
+        assert got[1]["keep"] is True
+
 
 class TestWinnowing:
     def _run(self, spark, rows, **kw):
@@ -1093,8 +1107,8 @@ class TestWinnowing:
 
     def test_identical_token_stream_selects_rightmost_per_window(self, spark):
         # 10 identical tokens -> 8 identical shingles; every window's
-        # min ties everywhere and the RIGHTMOST wins (robust
-        # winnowing): window i selects i+3, so positions are 3..7
+        # min ties everywhere and the RIGHTMOST wins (standard
+        # winnowing tie rule): window i selects i+3 -> positions 3..7
         rows = self._run(spark, [(1, "a a a a a a a a a a")])
         assert [r["pos"] for r in rows] == list(range(3, 8))
         assert len({r["fp"] for r in rows}) == 1
@@ -1192,3 +1206,10 @@ class TestCcnetBuckets:
         assert c == {"head": 2, "middle": 2, "tail": 2}
         # ascending nll maps head -> tail: the LOW-nll docs are head
         assert got[5]["bucket"] == "head" and got[0]["bucket"] == "tail"
+
+    def test_bins_per_nat_validated(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c", "s1")], "doc_id long, text string, source string"
+        )
+        with pytest.raises(ValueError):
+            webpipe.ccnet_buckets(df, bins_per_nat=0)
