@@ -1171,6 +1171,49 @@ def q_ccnet_buckets(spark, sf_dir):
     return webpipe.ccnet_buckets(_docs(spark, sf_dir))
 
 
+def q_sampling_weights(spark, sf_dir):
+    """Temperature-scaled source sampling weights (the mT5/XLM-R
+    alpha-mixing rule, alpha=0.3)."""
+    return webpipe.sampling_weights(_docs(spark, sf_dir))
+
+
+# Shared-syntax fixture for c4_clean: the raw corpus is single-line
+# unpunctuated prose (every line fails the terminal-punctuation rule,
+# so the bare corpus would be a vacuous all-drop). doc_id % 6 classes
+# exercise every rule in both directions: a clean 3-sentence page
+# (keep), a page whose javascript line is dropped line-level while
+# the page survives, a lorem-ipsum page, a curly-brace code page, a
+# too-short-lines page, and the raw zero-kept-lines page.
+# CASE/chr(10)/|| run verbatim on both engines.
+C4_TEXT_EXPR = (
+    "CASE doc_id % 6 "
+    "WHEN 1 THEN 'This is a good long sentence here.' || chr(10) || "
+    "'Another quite fine long sentence.' || chr(10) || "
+    "'And one more to pass the gate.' "
+    "WHEN 2 THEN 'This is a good long sentence here.' || chr(10) || "
+    "'Enable javascript to view this page.' || chr(10) || "
+    "'And one more to pass the gate.' || chr(10) || "
+    "'Fourth proper sentence is right here.' "
+    "WHEN 3 THEN 'Lorem ipsum dolor sit amet friend.' || chr(10) || "
+    "'Another quite fine long sentence.' || chr(10) || "
+    "'And one more to pass the gate.' "
+    "WHEN 4 THEN 'A config block example with style.' || chr(10) || "
+    "'Then code follows { right here } now.' || chr(10) || "
+    "'And one more to pass the gate.' "
+    "WHEN 5 THEN 'Too short.' || chr(10) || 'No.' "
+    "ELSE text END"
+)
+
+
+def q_c4_clean(spark, sf_dir):
+    """C4 line/page cleaning rules (Raffel et al. 2020) over the
+    rule-exercising fixture corpus."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(C4_TEXT_EXPR).alias("text")
+    )
+    return webpipe.c4_clean(docs)
+
+
 
 # Structured-URL fixture for url_filter: variable path depth (repeat)
 # and a 0/1/3/5-parameter query ladder, in shared Spark/DuckDB syntax
@@ -1323,7 +1366,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # simplemaths differ only in the score formula)
         "keyness_chi2": q_keyness_chi2,
         "events_by_type": q_events_by_type,
-        "webtext_term_stats": q_webtext_term_stats,
+        # (webtext_term_stats rotated out fourth session: the full
+        # webtext chain stays driver-visible through in-window
+        # webtext_wand_fr; term_stats is a roll-up of that same
+        # chain's token output)
         "phrase_match": q_phrase_match,
         # --- new this round (sim_gsimple rotated to the tail fourth
         # session: chi2inv and gsimple are both new-this-round weight
@@ -1351,7 +1397,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- lexicometry
         "cooc_profile_scored": q_cooc_profile_scored,
         "theme_bm25": q_theme_bm25,
-        "part_keyness_min": q_part_keyness_min,
+        # (part_keyness_min rotated out fourth session: identical
+        # signature and machinery as in-window part_keyness_tail —
+        # only the scorer tail policy parameter differs)
         "part_keyness_tail": q_part_keyness_tail,
         # --- PartScorer variants: residual (the column-expression
         # branch) and specificity (the Arrow hypergeometric kernel)
@@ -1402,6 +1450,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # assignment), composing lm_scores with the length_outliers
         # histogram-rank idea per group
         "ccnet_buckets": q_ccnet_buckets,
+        # c4_clean + sampling_weights (slots freed by
+        # webtext_term_stats and part_keyness_min, see the rotation
+        # comments above): the C4 line/page recipe and the
+        # temperature-mixing weights — both NEW code paths (array
+        # higher-order line predicates; pow-scaled share table)
+        "c4_clean": q_c4_clean,
+        "sampling_weights": q_sampling_weights,
         # --- new this round: web-pipeline hygiene ops
         "repetition": q_repetition,
         "url_canon": q_url_canon,
@@ -1551,6 +1606,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_single": q_bm25_single,
         "sim_freq": q_sim_freq,
         "keyness_logratio": q_keyness_logratio,
+        "webtext_term_stats": q_webtext_term_stats,
+        "part_keyness_min": q_part_keyness_min,
     }
 
 
@@ -3487,6 +3544,64 @@ SELECT d.doc_id, d.source, d.n_bigrams, d.avg_nll,
             WHEN d.bin <= th.t2 THEN 'middle'
             ELSE 'tail' END AS bucket
 FROM d JOIN th USING (source) ORDER BY d.doc_id
+"""
+
+    # Integer token totals sum exactly in doubles (< 2^53) so tot is
+    # order-independent; wtot's ~20-addend pow sum and the pow libm
+    # last-ulp differences are absorbed by round6 (zipf precedent).
+    sqls["sampling_weights"] = f"""
+WITH s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(coalesce(sum(len(regexp_extract_all(text, '\\S+'))), 0)
+              AS BIGINT) AS n_tokens
+  FROM documents WHERE source IS NOT NULL GROUP BY source
+),
+t AS (
+  SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot,
+         sum(pow(CAST(n_tokens AS DOUBLE), 0.3)) AS wtot
+  FROM s
+)
+SELECT source, n_docs, n_tokens,
+       {sql_round6('n_tokens / tot')} AS p_raw,
+       {sql_round6('pow(CAST(n_tokens AS DOUBLE), 0.3) / wtot')} AS weight
+FROM s, t ORDER BY source
+"""
+
+    sqls["c4_clean"] = f"""
+WITH src AS (SELECT doc_id, {C4_TEXT_EXPR} AS text FROM documents),
+c AS (SELECT doc_id, coalesce(text, '') AS t FROM src),
+m AS (
+  SELECT doc_id, t,
+         list_filter(list_transform(regexp_split_to_array(t, chr(10)),
+                                    l -> trim(l)),
+                     l -> l <> '') AS lines
+  FROM c
+),
+k AS (
+  SELECT doc_id, t, lines,
+         list_filter(lines, l -> regexp_matches(l, '[.!?"]$')
+           AND len(list_filter(regexp_split_to_array(l, '\\s+'),
+                               w -> w <> '')) >= 5
+           AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM m
+),
+f AS (
+  -- DuckDB array_to_string([]) is NULL (Spark array_join([]) is ''):
+  -- coalesce so the empty page hashes md5('') on both engines
+  SELECT doc_id, lines, kept,
+         coalesce(array_to_string(kept, chr(10)), '') AS kept_text,
+         contains(lower(t), 'lorem ipsum') AS has_lorem,
+         contains(t, '{{') AS has_brace
+  FROM k
+)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS kept_lines,
+       CAST(len(regexp_extract_all(kept_text, '\\S+')) AS BIGINT) AS kept_words,
+       has_lorem, has_brace,
+       (len(kept) >= 3 AND NOT has_lorem AND NOT has_brace) AS keep,
+       md5(kept_text) AS clean_md5
+FROM f ORDER BY doc_id
 """
 
     sqls["token_entropy"] = f"""

@@ -944,3 +944,139 @@ def ccnet_buckets(
         .select("doc_id", "source", "n_bigrams", "avg_nll", bucket.alias("bucket"))
         .orderBy("doc_id")
     )
+
+
+def sampling_weights(
+    docs: DataFrame,
+    alpha: float = 0.3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """(source, n_docs, n_tokens, p_raw, weight): temperature-scaled
+    source sampling weights — the multilingual/multi-domain mixing
+    rule from the mBERT/XLM-R/mT5 line of work: sample source i with
+    probability proportional to ``n_tokens_i ** alpha`` instead of raw
+    token share, boosting small sources and damping the head
+    (``alpha`` = 1 reproduces p_raw, ``alpha`` -> 0 approaches
+    uniform). ``p_raw`` and ``weight`` each sum to 1 across sources.
+
+    Scale shape: one map-side-combined aggregation to (source,
+    n_docs, n_tokens) — token counts are ``regexp_count('\\\\S+')``
+    column expressions, never an array materialization — then the
+    grand totals ride back over the tiny per-source table in a
+    broadcast 1-row crossJoin. ``pow`` is evaluated on the same
+    doubles in either engine; last-ulp libm differences are absorbed
+    by round6 (the zipf_profile precedent). NULL-``group_col`` docs
+    have no stratum and are excluded; NULL text counts 0 tokens."""
+    if not alpha > 0:
+        raise ValueError("sampling_weights: alpha must be > 0")
+    s = (
+        docs.filter(F.col(group_col).isNotNull())
+        .select(
+            F.col(group_col).alias("source"),
+            F.coalesce(
+                F.regexp_count(F.col(text_col), F.lit(r"\S+")), F.lit(0)
+            )
+            .cast("long")
+            .alias("toks"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("toks").cast("long").alias("n_tokens"),
+        )
+    )
+    a = F.lit(float(alpha))
+    pw = F.pow(F.col("n_tokens").cast("double"), a)
+    totals = s.agg(
+        F.sum(F.col("n_tokens").cast("double")).alias("tot"),
+        F.sum(F.pow(F.col("n_tokens").cast("double"), a)).alias("wtot"),
+    )
+    return (
+        s.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            round6(F.col("n_tokens").cast("double") / F.col("tot")).alias("p_raw"),
+            round6(pw / F.col("wtot")).alias("weight"),
+        )
+        .orderBy("source")
+    )
+
+
+def c4_clean(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """(doc_id, n_lines, kept_lines, kept_words, has_lorem, has_brace,
+    keep, clean_md5): the C4 line/page cleaning rules (Raffel et al.
+    2020 §2.2, the public recipe behind the Colossal Clean Crawled
+    Corpus):
+
+    - keep only lines that end in terminal punctuation (. ! ? \"),
+      have >= ``min_words_per_line`` words, and do not contain the
+      word "javascript" (case-insensitive);
+    - drop any page mentioning "lorem ipsum" (case-insensitive) or
+      containing a curly brace '{' (code);
+    - drop pages with fewer than ``min_kept_lines`` surviving lines.
+
+    (C4's badwords-list page filter is a separate list-driven gate —
+    see url_filter / quality_classifier for the list-driven pattern;
+    no badwords list ships here.) ``clean_md5`` hashes the kept lines
+    (trimmed, re-joined with newlines) — the text a downstream shard
+    writer would emit. Blank lines are formatting, not content: never
+    counted in ``n_lines``.
+
+    Scale shape: per-document column expressions only — line
+    predicates run in array higher-order functions (interpreted, but
+    a few lines per doc; the alternative posexplode + reassembly is a
+    full-corpus shuffle), page flags are substring tests, and there
+    is NO shuffle at any corpus size. Per-row verdict semantics:
+    every input doc gets a row (NULL text = empty page)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda l: F.trim(l)),
+        lambda l: l != F.lit(""),
+    )
+    word_ok = lambda l: (
+        F.size(F.filter(F.split(l, r"\s+"), lambda w: w != F.lit("")))
+        >= F.lit(int(min_words_per_line))
+    )
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike('[.!?"]$')
+        & word_ok(l)
+        & ~F.lower(l).contains("javascript"),
+    )
+    m = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("kept_lines"),
+        F.array_join(kept, "\n").alias("kept_text"),
+        F.lower(t).contains("lorem ipsum").alias("has_lorem"),
+        t.contains("{").alias("has_brace"),
+    )
+    keep = (
+        (F.col("kept_lines") >= F.lit(int(min_kept_lines)))
+        & ~F.col("has_lorem")
+        & ~F.col("has_brace")
+    )
+    return m.select(
+        "doc_id",
+        "n_lines",
+        "kept_lines",
+        F.coalesce(
+            F.regexp_count(F.col("kept_text"), F.lit(r"\S+")), F.lit(0)
+        )
+        .cast("long")
+        .alias("kept_words"),
+        "has_lorem",
+        "has_brace",
+        keep.alias("keep"),
+        F.md5(F.col("kept_text")).alias("clean_md5"),
+    ).orderBy("doc_id")

@@ -178,3 +178,16 @@ def test_ccnet_windows_only_the_bin_histogram(spark):
     assert "HashAggregate" in plan[plan.index("Window"):]
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_c4_and_sampling_weights_stay_jvm_side(spark):
+    """c4_clean is per-row column expressions (no shuffle at all);
+    sampling_weights is one hash aggregation + broadcast totals —
+    neither may contain a Python stage."""
+    from alix_spark.textops import webpipe
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for df in (webpipe.c4_clean(docs), webpipe.sampling_weights(docs)):
+        plan = _plan(df)
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in plan

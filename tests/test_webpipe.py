@@ -1213,3 +1213,98 @@ class TestCcnetBuckets:
         )
         with pytest.raises(ValueError):
             webpipe.ccnet_buckets(df, bins_per_nat=0)
+
+
+class TestSamplingWeights:
+    def test_alpha_scaling_boosts_small_sources(self, spark):
+        # s1: 8 one-word docs x 8 tokens? no: 2 docs of 8 tokens = 16;
+        # s2: 2 docs of 2 tokens = 4 -> p_raw 0.8/0.2; alpha=0.5 over
+        # token counts 16 and 4: weights 4/(4+2)=0.666667, 2/6=0.333333
+        df = spark.createDataFrame(
+            [
+                (1, "a b c d e f g h", "s1"),
+                (2, "a b c d e f g h", "s1"),
+                (3, "a b", "s2"),
+                (4, "a b", "s2"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        got = {
+            r["source"]: r
+            for r in webpipe.sampling_weights(df, alpha=0.5).collect()
+        }
+        assert got["s1"]["n_tokens"] == 16 and got["s2"]["n_tokens"] == 4
+        assert got["s1"]["p_raw"] == 0.8 and got["s2"]["p_raw"] == 0.2
+        assert got["s1"]["weight"] == 0.666667
+        assert got["s2"]["weight"] == 0.333333
+
+    def test_alpha_one_is_raw_share_and_null_handling(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "a b c", "s1"),
+                (2, None, "s1"),  # NULL text: 0 tokens, still counted
+                (3, "a", "s2"),
+                (4, "x y", None),  # no stratum: excluded
+            ],
+            "doc_id long, text string, source string",
+        )
+        got = {
+            r["source"]: r for r in webpipe.sampling_weights(df, alpha=1.0).collect()
+        }
+        assert set(got) == {"s1", "s2"}
+        assert got["s1"]["n_docs"] == 2 and got["s1"]["n_tokens"] == 3
+        assert got["s1"]["p_raw"] == got["s1"]["weight"] == 0.75
+
+    def test_alpha_validated(self, spark):
+        df = spark.createDataFrame([(1, "a", "s")], "doc_id long, text string, source string")
+        with pytest.raises(ValueError):
+            webpipe.sampling_weights(df, alpha=0.0)
+
+
+class TestC4Clean:
+    def _run(self, spark, rows, **kw):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r["doc_id"]: r for r in webpipe.c4_clean(df, **kw).collect()}
+
+    GOOD = (
+        "This is a good long sentence here.\n"
+        "Another quite fine long sentence.\n"
+        "And one more to pass the gate."
+    )
+
+    def test_line_rules_and_page_gates(self, spark):
+        got = self._run(
+            spark,
+            [
+                (1, self.GOOD),
+                (2, "Enable javascript to view this page.\n" + self.GOOD),
+                (3, "Lorem ipsum dolor sit amet friend.\n" + self.GOOD),
+                (4, "Then code follows { right here } now.\n" + self.GOOD),
+                (5, "no terminal punctuation on this line\n" + self.GOOD),
+                (6, "Too short.\nNo.\nStill no.\n" + self.GOOD),
+                (7, None),
+            ],
+        )
+        assert got[1]["keep"] is True and got[1]["kept_lines"] == 3
+        assert got[1]["kept_words"] == 19
+        # javascript line dropped LINE-level; the page itself survives
+        assert got[2]["keep"] is True and got[2]["kept_lines"] == 3
+        assert got[2]["n_lines"] == 4
+        # lorem/brace are PAGE-level gates even when their line is kept
+        assert got[3]["keep"] is False and got[3]["has_lorem"] is True
+        assert got[3]["kept_lines"] == 4
+        assert got[4]["keep"] is False and got[4]["has_brace"] is True
+        # unpunctuated / short lines silently dropped, page survives
+        assert got[5]["keep"] is True and got[5]["kept_lines"] == 3
+        assert got[6]["keep"] is True and got[6]["kept_lines"] == 3
+        # NULL text = empty page: row present, everything zero/false
+        assert got[7]["keep"] is False and got[7]["n_lines"] == 0
+        assert got[7]["kept_words"] == 0
+
+    def test_clean_md5_is_trimmed_kept_lines_rejoined(self, spark):
+        got = self._run(spark, [(1, "  " + self.GOOD.replace("\n", "  \n  "))])
+        assert got[1]["clean_md5"] == hashlib.md5(self.GOOD.encode()).hexdigest()
+
+    def test_min_kept_lines_threshold(self, spark):
+        got = self._run(spark, [(1, self.GOOD)], min_kept_lines=4)
+        assert got[1]["keep"] is False
