@@ -23,7 +23,7 @@ from alix_spark.lexicometry import keyness as keyness_mod
 from alix_spark.lexicometry import suggest as suggest_mod
 from alix_spark.query import bm25
 from alix_spark import util
-from alix_spark.util import round6, sql_round6
+from alix_spark.util import NONSPACE_RE, WS_CLASS, round6, sql_round6
 from alix_spark.textops import dedup, multimodal, similarity, textstats, webpipe
 
 # ---------------------------------------------------------------- helpers
@@ -3414,14 +3414,18 @@ ORDER BY source_a, source_b
         f"CAST(regexp_matches(t, '(?i)\\b{w}\\b') AS INT)"
         for w in textstats.GOPHER_STOPWORDS
     )
+    _terms_g = "\u0085\u2028\u2029"
     sqls["gopher_rules"] = f"""
 WITH src AS (SELECT doc_id, {GOPHER_TEXT_EXPR} AS text FROM documents),
-c AS (SELECT doc_id, coalesce(text, '') AS t FROM src),
+c AS (SELECT doc_id,
+             regexp_replace(coalesce(text, ''),
+                            '\\r\\n|[\\r{_terms_g}]', chr(10), 'g') AS t
+      FROM src),
 m AS (
   SELECT doc_id,
-    CAST(len(regexp_extract_all(t, '\\S+')) AS BIGINT) AS n_words,
-    CAST(length(regexp_replace(t, '\\s', '', 'g')) AS BIGINT) AS word_chars,
-    CAST(len(regexp_extract_all(t, '[^\\s]*[A-Za-z][^\\s]*')) AS BIGINT) AS alpha_words,
+    CAST(len(regexp_extract_all(t, '{NONSPACE_RE}')) AS BIGINT) AS n_words,
+    CAST(length(regexp_replace(t, '[{WS_CLASS}]', '', 'g')) AS BIGINT) AS word_chars,
+    CAST(len(regexp_extract_all(t, '[^{WS_CLASS}]*[A-Za-z][^{WS_CLASS}]*')) AS BIGINT) AS alpha_words,
     CAST(len(regexp_extract_all(t, '#')) AS BIGINT) AS hashes,
     CAST(len(regexp_extract_all(t, '\\.\\.\\.|{_ell}')) AS BIGINT) AS ellipses,
     CAST(len(regexp_extract_all(t, chr(10))) + 1 AS BIGINT) AS n_lines,
@@ -3552,7 +3556,7 @@ FROM d JOIN th USING (source) ORDER BY d.doc_id
     sqls["sampling_weights"] = f"""
 WITH s AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-         CAST(coalesce(sum(len(regexp_extract_all(text, '\\S+'))), 0)
+         CAST(coalesce(sum(len(regexp_extract_all(text, '{NONSPACE_RE}'))), 0)
               AS BIGINT) AS n_tokens
   FROM documents WHERE source IS NOT NULL GROUP BY source
 ),
@@ -3567,9 +3571,17 @@ SELECT source, n_docs, n_tokens,
 FROM s, t ORDER BY source
 """
 
+    # line-terminator normalization mirrors the engine (CRLF, lone
+    # CR, NEL/LS/PS -> \n) — Java's $ tolerates a trailing \r, RE2's
+    # does not; word counts use the explicit cross-engine whitespace
+    # class (util.NONSPACE_RE — Java \s includes \x0B, RE2's not).
+    _terms = "\u0085\u2028\u2029"
     sqls["c4_clean"] = f"""
 WITH src AS (SELECT doc_id, {C4_TEXT_EXPR} AS text FROM documents),
-c AS (SELECT doc_id, coalesce(text, '') AS t FROM src),
+c AS (SELECT doc_id,
+             regexp_replace(coalesce(text, ''),
+                            '\\r\\n|[\\r{_terms}]', chr(10), 'g') AS t
+      FROM src),
 m AS (
   SELECT doc_id, t,
          list_filter(list_transform(regexp_split_to_array(t, chr(10)),
@@ -3580,8 +3592,7 @@ m AS (
 k AS (
   SELECT doc_id, t, lines,
          list_filter(lines, l -> regexp_matches(l, '[.!?"]$')
-           AND len(list_filter(regexp_split_to_array(l, '\\s+'),
-                               w -> w <> '')) >= 5
+           AND len(regexp_extract_all(l, '{NONSPACE_RE}')) >= 5
            AND NOT contains(lower(l), 'javascript')) AS kept
   FROM m
 ),
@@ -3597,7 +3608,7 @@ f AS (
 SELECT doc_id,
        CAST(len(lines) AS BIGINT) AS n_lines,
        CAST(len(kept) AS BIGINT) AS kept_lines,
-       CAST(len(regexp_extract_all(kept_text, '\\S+')) AS BIGINT) AS kept_words,
+       CAST(len(regexp_extract_all(kept_text, '{NONSPACE_RE}')) AS BIGINT) AS kept_words,
        has_lorem, has_brace,
        (len(kept) >= 3 AND NOT has_lorem AND NOT has_brace) AS keep,
        md5(kept_text) AS clean_md5

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from alix_spark.index.simple import tokens_array
-from alix_spark.util import ensure_py_files, round6
+from alix_spark.util import NONSPACE_RE, WS_CLASS, ensure_py_files, round6
 
 
 def _member(words: list[str]):
@@ -822,10 +822,17 @@ def gopher_rules(
     Scale shape: pure column expressions over one scan (regexp_count
     is JVM-side and codegen'd) — zero shuffles at any corpus size.
     Reference has no counterpart (its chain is curated-TEI French);
-    this is the crawl-side admission gate in front of it. Lines are
-    ``\\n``-separated on both engines (Java's (?m) also accepts \\r —
-    normalize CRLF upstream, e.g. webpipe.normalize_text)."""
-    t = F.coalesce(F.col(text_col), F.lit(""))
+    this is the crawl-side admission gate in front of it. Line
+    terminators are normalized first (CRLF, lone CR, NEL, LS, PS ->
+    \\n) so Java's terminator-tolerant (?m) anchors and the oracle's
+    RE2 anchors see identical lines; whitespace is the explicit
+    cross-engine class (util.WS_CLASS — Java \\s includes \\x0B,
+    RE2's does not)."""
+    t = F.regexp_replace(
+        F.coalesce(F.col(text_col), F.lit("")),
+        "\r\n|[\r\u0085\u2028\u2029]",
+        "\n",
+    )
 
     def rc(pat: str) -> F.Column:
         return F.regexp_count(t, F.lit(pat)).cast("long")
@@ -836,9 +843,11 @@ def gopher_rules(
         stop_hits = hit if stop_hits is None else stop_hits + hit
     m = df.select(
         F.col(id_col).alias("doc_id"),
-        rc(r"\S+").alias("n_words"),
-        F.length(F.regexp_replace(t, r"\s", "")).cast("long").alias("word_chars"),
-        rc(r"[^\s]*[A-Za-z][^\s]*").alias("alpha_words"),
+        rc(NONSPACE_RE).alias("n_words"),
+        F.length(F.regexp_replace(t, f"[{WS_CLASS}]", ""))
+        .cast("long")
+        .alias("word_chars"),
+        rc(f"[^{WS_CLASS}]*[A-Za-z][^{WS_CLASS}]*").alias("alpha_words"),
         rc("#").alias("hashes"),
         rc("\\.\\.\\.|\u2026").alias("ellipses"),
         (rc("\n") + F.lit(1)).alias("n_lines"),

@@ -962,8 +962,10 @@ def sampling_weights(
     uniform). ``p_raw`` and ``weight`` each sum to 1 across sources.
 
     Scale shape: one map-side-combined aggregation to (source,
-    n_docs, n_tokens) — token counts are ``regexp_count('\\\\S+')``
-    column expressions, never an array materialization — then the
+    n_docs, n_tokens) — token counts are ``regexp_count`` column
+    expressions over the explicit cross-engine whitespace class
+    (``util.NONSPACE_RE``; Java and RE2 disagree on whether \\x0B
+    is whitespace), never an array materialization — then the
     grand totals ride back over the tiny per-source table in a
     broadcast 1-row crossJoin. ``pow`` is evaluated on the same
     doubles in either engine; last-ulp libm differences are absorbed
@@ -976,7 +978,8 @@ def sampling_weights(
         .select(
             F.col(group_col).alias("source"),
             F.coalesce(
-                F.regexp_count(F.col(text_col), F.lit(r"\S+")), F.lit(0)
+                F.regexp_count(F.col(text_col), F.lit(util.NONSPACE_RE)),
+                F.lit(0),
             )
             .cast("long")
             .alias("toks"),
@@ -1015,10 +1018,10 @@ def c4_clean(
 ) -> DataFrame:
     """(doc_id, n_lines, kept_lines, kept_words, has_lorem, has_brace,
     keep, clean_md5): the C4 line/page cleaning rules (Raffel et al.
-    2020 §2.2, the public recipe behind the Colossal Clean Crawled
+    2020 \u00a72.2, the public recipe behind the Colossal Clean Crawled
     Corpus):
 
-    - keep only lines that end in terminal punctuation (. ! ? \"),
+    - keep only lines that end in terminal punctuation (. ! ? "),
       have >= ``min_words_per_line`` words, and do not contain the
       word "javascript" (case-insensitive);
     - drop any page mentioning "lorem ipsum" (case-insensitive) or
@@ -1030,36 +1033,54 @@ def c4_clean(
     no badwords list ships here.) ``clean_md5`` hashes the kept lines
     (trimmed, re-joined with newlines) — the text a downstream shard
     writer would emit. Blank lines are formatting, not content: never
-    counted in ``n_lines``.
+    counted in ``n_lines``. Line terminators are normalized FIRST
+    (CRLF, lone CR, NEL, LS, PS -> \\n) so the end-of-line anchor and
+    the oracle's RE2 anchor see identical line strings (Java's $
+    tolerates a trailing \\r; RE2's does not). Word counts use the
+    explicit cross-engine whitespace class (util.NONSPACE_RE).
 
     Scale shape: per-document column expressions only — line
     predicates run in array higher-order functions (interpreted, but
     a few lines per doc; the alternative posexplode + reassembly is a
     full-corpus shuffle), page flags are substring tests, and there
-    is NO shuffle at any corpus size. Per-row verdict semantics:
-    every input doc gets a row (NULL text = empty page)."""
-    t = F.coalesce(F.col(text_col), F.lit(""))
+    is NO shuffle at any corpus size. ``lines``/``kept`` are
+    materialized as named columns across staged selects — Spark's
+    subexpression elimination skips lambda-bearing expressions, so a
+    single select would evaluate the interpreted filter chain once
+    per consumer. Per-row verdict semantics: every input doc gets a
+    row (NULL text = empty page)."""
+    t = F.regexp_replace(
+        F.coalesce(F.col(text_col), F.lit("")),
+        "\r\n|[\r\u0085\u2028\u2029]",
+        "\n",
+    )
     lines = F.filter(
         F.transform(F.split(t, "\n"), lambda l: F.trim(l)),
         lambda l: l != F.lit(""),
     )
-    word_ok = lambda l: (
-        F.size(F.filter(F.split(l, r"\s+"), lambda w: w != F.lit("")))
-        >= F.lit(int(min_words_per_line))
-    )
     kept = F.filter(
         lines,
         lambda l: l.rlike('[.!?"]$')
-        & word_ok(l)
+        & (
+            F.regexp_count(l, F.lit(util.NONSPACE_RE))
+            >= F.lit(int(min_words_per_line))
+        )
         & ~F.lower(l).contains("javascript"),
     )
-    m = docs.select(
+    staged = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(lines).cast("long").alias("n_lines"),
-        F.size(kept).cast("long").alias("kept_lines"),
-        F.array_join(kept, "\n").alias("kept_text"),
+        lines.alias("lines"),
+        kept.alias("kept"),
         F.lower(t).contains("lorem ipsum").alias("has_lorem"),
         t.contains("{").alias("has_brace"),
+    )
+    m = staged.select(
+        "doc_id",
+        F.size("lines").cast("long").alias("n_lines"),
+        F.size("kept").cast("long").alias("kept_lines"),
+        F.array_join("kept", "\n").alias("kept_text"),
+        "has_lorem",
+        "has_brace",
     )
     keep = (
         (F.col("kept_lines") >= F.lit(int(min_kept_lines)))
@@ -1071,7 +1092,8 @@ def c4_clean(
         "n_lines",
         "kept_lines",
         F.coalesce(
-            F.regexp_count(F.col("kept_text"), F.lit(r"\S+")), F.lit(0)
+            F.regexp_count(F.col("kept_text"), F.lit(util.NONSPACE_RE)),
+            F.lit(0),
         )
         .cast("long")
         .alias("kept_words"),

@@ -159,6 +159,15 @@ def balance_partitions(df, min_parts: int | None = None):
     return df
 
 
+# Java regex \s includes \x0B (vertical tab); RE2's does not — a bare
+# \S+ counts 'a\x0Bb' as 2 tokens in Spark but 1 in DuckDB. These
+# explicit classes (backslash escape forms both engines parse
+# identically) are the ONE whitespace definition any cross-engine
+# word/token counting must use.
+WS_CLASS = " \\t\\n\\x0B\\f\\r"
+NONSPACE_RE = f"[^{WS_CLASS}]+"
+
+
 def round6(c: Column) -> Column:
     return F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
 

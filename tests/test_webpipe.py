@@ -1260,6 +1260,24 @@ class TestSamplingWeights:
         with pytest.raises(ValueError):
             webpipe.sampling_weights(df, alpha=0.0)
 
+    def test_vertical_tab_is_whitespace_on_both_engines(self, spark):
+        # Java \s includes \x0B, RE2's does not: the explicit class
+        # must make BOTH engines count 'a<VT>b' as 2 tokens
+        import duckdb
+
+        from alix_spark.util import NONSPACE_RE
+
+        df = spark.createDataFrame(
+            [(1, "a\x0bb", "s1")], "doc_id long, text string, source string"
+        )
+        got = webpipe.sampling_weights(df).collect()[0]
+        assert got["n_tokens"] == 2
+        duck = duckdb.sql(
+            "select len(regexp_extract_all('a' || chr(11) || 'b', "
+            f"'{NONSPACE_RE}'))"
+        ).fetchone()[0]
+        assert duck == 2
+
 
 class TestC4Clean:
     def _run(self, spark, rows, **kw):
@@ -1308,3 +1326,15 @@ class TestC4Clean:
     def test_min_kept_lines_threshold(self, spark):
         got = self._run(spark, [(1, self.GOOD)], min_kept_lines=4)
         assert got[1]["keep"] is False
+
+    def test_crlf_and_exotic_terminators_normalized(self, spark):
+        # CRLF pages must clean to the SAME bytes as LF pages (Java's
+        # $ tolerates a trailing \r; normalization makes the anchor
+        # moot and the md5 line-ending-independent)
+        crlf = self.GOOD.replace("\n", "\r\n") + "\r"
+        ls = self.GOOD.replace("\n", "\u2028")
+        got = self._run(spark, [(1, crlf), (2, ls)])
+        want = hashlib.md5(self.GOOD.encode()).hexdigest()
+        assert got[1]["keep"] is True and got[1]["kept_lines"] == 3
+        assert got[1]["clean_md5"] == want
+        assert got[2]["clean_md5"] == want
