@@ -1177,6 +1177,12 @@ def q_sampling_weights(spark, sf_dir):
     return webpipe.sampling_weights(_docs(spark, sf_dir))
 
 
+def q_centroid_similarity(spark, sf_dir):
+    """Domain-similarity map: per-label embedding centroids + pairwise
+    cosine over the label pairs."""
+    return similarity.centroid_similarity(_emb(spark, sf_dir))
+
+
 # Shared-syntax fixture for c4_clean: the raw corpus is single-line
 # unpunctuated prose (every line fails the terminal-punctuation rule,
 # so the bare corpus would be a vacuous all-drop). doc_id % 6 classes
@@ -1370,7 +1376,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # webtext chain stays driver-visible through in-window
         # webtext_wand_fr; term_stats is a roll-up of that same
         # chain's token output)
-        "phrase_match": q_phrase_match,
+        # (phrase_match rotated out fourth session: it is the brute
+        # DataFrame phrase matcher — the same oracle-style-path
+        # precedent as tail bm25_and/bm25_single; the production
+        # positional path stays in-window via phrase_wand/near_match)
         # --- new this round (sim_gsimple rotated to the tail fourth
         # session: chi2inv and gsimple are both new-this-round weight
         # expressions sharing the exact similarity-selection machinery
@@ -1457,6 +1466,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # higher-order line predicates; pow-scaled share table)
         "c4_clean": q_c4_clean,
         "sampling_weights": q_sampling_weights,
+        # centroid_similarity (slot freed by phrase_match, see the
+        # rotation comment above): the domain-similarity map — a NEW
+        # code path (dimension-wise centroid aggregation + pairwise
+        # cosine on the centroid table)
+        "centroid_similarity": q_centroid_similarity,
         # --- new this round: web-pipeline hygiene ops
         "repetition": q_repetition,
         "url_canon": q_url_canon,
@@ -1608,6 +1622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyness_logratio": q_keyness_logratio,
         "webtext_term_stats": q_webtext_term_stats,
         "part_keyness_min": q_part_keyness_min,
+        "phrase_match": q_phrase_match,
     }
 
 
@@ -3569,6 +3584,37 @@ SELECT source, n_docs, n_tokens,
        {sql_round6('n_tokens / tot')} AS p_raw,
        {sql_round6('pow(CAST(n_tokens AS DOUBLE), 0.3) / wtot')} AS weight
 FROM s, t ORDER BY source
+"""
+
+    # Centroid means are round6'd BEFORE the pair products (both
+    # engines dot identical doubles); the 64-addend pair sums'
+    # ordering noise is absorbed by the final round6. Dim indexes are
+    # engine-local join keys only (0-based Spark, 1-based DuckDB —
+    # never output).
+    sqls["centroid_similarity"] = f"""
+WITH e AS (
+  SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE label IS NOT NULL AND embedding IS NOT NULL
+),
+d AS (
+  SELECT label, u.i AS dim, v[u.i] AS x
+  FROM e, unnest(generate_series(1, len(v))) AS u(i)
+),
+c AS (SELECT label, dim, {sql_round6('avg(x)')} AS m FROM d GROUP BY 1, 2),
+s AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY label),
+p AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         sum(a.m * b.m) AS dot,
+         sum(a.m * a.m) AS na2, sum(b.m * b.m) AS nb2
+  FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+  GROUP BY 1, 2
+)
+SELECT label_a, label_b, sa.n AS n_a, sb.n AS n_b,
+       CASE WHEN na2 > 0 AND nb2 > 0
+            THEN {sql_round6('dot / (sqrt(na2) * sqrt(nb2))')} END AS cos
+FROM p JOIN s sa ON sa.label = p.label_a
+       JOIN s sb ON sb.label = p.label_b
+ORDER BY label_a, label_b
 """
 
     # line-terminator normalization mirrors the engine (CRLF, lone

@@ -283,3 +283,75 @@ def ann_ivf_topk(
     )
     w = F.expr("cast(row_number() over (partition by q_id order by cos desc, vec_id asc) as bigint)")
     return scored.withColumn("rank", w).filter(F.col("rank") <= k).orderBy("q_id", "rank")
+
+
+def centroid_similarity(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(label_a, label_b, n_a, n_b, cos): the domain-similarity map —
+    per-label embedding centroids (dimension-wise means) and the
+    cosine between every unordered label pair. The mix-design tool
+    behind domain clustering and redundancy detection: two domains
+    whose centroids read near 1.0 carry overlapping content, so
+    upweighting both double-counts it (the SemDeDup/mix-report view
+    at DOMAIN granularity, where dedup_embedding works per document).
+
+    Centroid means are 6-dp floor-rounded BEFORE the pair products,
+    so both engines dot the exact same doubles; the 64-addend pair
+    sums' ordering noise is absorbed by the final round6 (lm_score
+    precedent). Labels with a zero-norm centroid have no direction
+    and get a NULL cosine.
+
+    Scale shape: vectors explode to (label, dim, value) — a map-side-
+    combined aggregation bounded by labels x dims, NOT by corpus
+    rows — then the pairwise join runs on the tiny centroid table
+    keyed by dim (never an all-pairs scan of the vectors themselves).
+    One corpus-scale shuffle of pre-combined partial sums; everything
+    after is centroid-table-sized. NULL labels/vectors carry no
+    evidence and are excluded."""
+    d = (
+        df.filter(F.col(label_col).isNotNull() & F.col(vec_col).isNotNull())
+        .select(
+            F.col(label_col).alias("label"),
+            F.posexplode(F.col(vec_col)).alias("dim", "x"),
+        )
+        .select("label", "dim", F.col("x").cast("double").alias("x"))
+    )
+    cent = d.groupBy("label", "dim").agg(round6(F.avg("x")).alias("m"))
+    sizes = (
+        df.filter(F.col(label_col).isNotNull() & F.col(vec_col).isNotNull())
+        .groupBy(F.col(label_col).alias("label"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "dim", F.col("m").alias("ma")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "dim", F.col("m").alias("mb")
+    )
+    pairs = (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("ma") * F.col("mb")).alias("dot"),
+            F.sum(F.col("ma") * F.col("ma")).alias("na2"),
+            F.sum(F.col("mb") * F.col("mb")).alias("nb2"),
+        )
+    )
+    cos = F.when(
+        (F.col("na2") > 0) & (F.col("nb2") > 0),
+        round6(F.col("dot") / (F.sqrt("na2") * F.sqrt("nb2"))),
+    )
+    na = sizes.select(F.col("label").alias("label_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("label").alias("label_b"), F.col("n").alias("n_b"))
+    from alix_spark.util import maybe_broadcast
+
+    return (
+        pairs.join(maybe_broadcast(na), "label_a")
+        .join(maybe_broadcast(nb), "label_b")
+        .select("label_a", "label_b", "n_a", "n_b", cos.alias("cos"))
+        .orderBy("label_a", "label_b")
+    )

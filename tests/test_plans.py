@@ -191,3 +191,17 @@ def test_c4_and_sampling_weights_stay_jvm_side(spark):
         plan = _plan(df)
         for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
             assert marker not in plan
+
+
+def test_centroid_similarity_aggregates_before_pairing(spark):
+    """The pairwise cosine join must consume the aggregated centroid
+    table (HashAggregate below the join), never pair raw vectors, and
+    the whole path stays JVM-side."""
+    from alix_spark.textops import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(similarity.centroid_similarity(emb))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "partial_avg" in plan or "partial_" in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan

@@ -97,3 +97,60 @@ def test_string_query_ids_not_silently_empty(spark):
         emb, q, k=2, n_lists=1, nprobe=1, dim=2
     ).collect()
     assert len(rows) == 2 and rows[0]["vec_id"] == 0
+
+
+class TestCentroidSimilarity:
+    def _run(self, spark, rows):
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int"
+        )
+        return {
+            (r["label_a"], r["label_b"]): r
+            for r in similarity.centroid_similarity(df).collect()
+        }
+
+    def test_known_centroid_geometry(self, spark):
+        # label 1 centroid (1, 0): mean of (2,0) and (0,0)... no —
+        # mean of (1,0),(1,0); label 2 (0,1); label 3 (2,0):
+        # cos(1,2)=0, cos(1,3)=1, cos(2,3)=0
+        got = self._run(
+            spark,
+            [
+                (1, [1.0, 0.0], 1),
+                (2, [1.0, 0.0], 1),
+                (3, [0.0, 1.0], 2),
+                (4, [2.0, 0.0], 3),
+            ],
+        )
+        assert got[(1, 2)]["cos"] == 0.0
+        assert got[(1, 3)]["cos"] == 1.0
+        assert got[(2, 3)]["cos"] == 0.0
+        assert got[(1, 2)]["n_a"] == 2 and got[(1, 2)]["n_b"] == 1
+
+    def test_opposite_centroids_and_mean_cancellation(self, spark):
+        # label 1's two vectors cancel to the zero centroid -> no
+        # direction -> NULL cos; labels 2 vs 3 are antipodal -> -1
+        got = self._run(
+            spark,
+            [
+                (1, [1.0, 0.0], 1),
+                (2, [-1.0, 0.0], 1),
+                (3, [0.0, 3.0], 2),
+                (4, [0.0, -5.0], 3),
+            ],
+        )
+        assert got[(1, 2)]["cos"] is None
+        assert got[(2, 3)]["cos"] == -1.0
+
+    def test_null_labels_and_vectors_excluded(self, spark):
+        got = self._run(
+            spark,
+            [
+                (1, [1.0, 0.0], 1),
+                (2, None, 1),
+                (3, [0.0, 1.0], None),
+                (4, [0.0, 1.0], 2),
+            ],
+        )
+        assert set(got) == {(1, 2)}
+        assert got[(1, 2)]["n_a"] == 1  # the NULL vector never counted
