@@ -107,3 +107,60 @@ def first_seen(pages: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def quality_rate(
+    pages: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """(window_start, window_end, lang, pages, kept, keep_rate):
+    watermarked windowed QUALITY keep-rate per language — the crawl-
+    health dashboard behind admission gating: a window whose keep_rate
+    collapses flags a bad crawl seed/domain batch the moment its
+    window finalizes, instead of after the next batch recompaction.
+
+    The verdict is the EXACT batch Gopher gate (textstats
+    gopher_metrics + gopher_keep — one shared expression set, so the
+    monitor can never drift from the offline gate); pages gate on
+    their decoded payload (production pipelines would run the webtext
+    extraction first — the gate is text-level either way). Same
+    watermark/append-mode semantics as :func:`crawl_rate`: late pages
+    drop, windows finalize exactly once, the sink stays insert-only.
+
+    Scale: metrics are JVM column expressions per row; the agg is a
+    standard watermarked hash aggregation (partial per executor) —
+    state is one row per (window, lang), never per page."""
+    from alix_spark.textops.textstats import gopher_keep, gopher_metrics
+    from alix_spark.util import round6
+
+    m = pages.select(
+        ts_col,
+        "lang",
+        *(
+            c.alias(k)
+            for k, c in gopher_metrics(
+                F.decode(F.col("html"), "UTF-8")
+            ).items()
+        ),
+    )
+    kept = F.when(gopher_keep(), F.lit(1)).otherwise(F.lit(0))
+    return (
+        m.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), "lang")
+        .agg(
+            F.count("*").cast("long").alias("pages"),
+            F.sum(kept).cast("long").alias("kept"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "lang",
+            "pages",
+            "kept",
+            round6(
+                F.col("kept").cast("double") / F.col("pages").cast("double")
+            ).alias("keep_rate"),
+        )
+    )

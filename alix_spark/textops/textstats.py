@@ -791,6 +791,61 @@ def heaps_profile(
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
+def gopher_metrics(text: F.Column) -> dict[str, F.Column]:
+    """The Gopher gate's named count Columns over one text Column —
+    shared by the batch gate (:func:`gopher_rules`) and the streaming
+    keep-rate monitor (streaming.monitor.quality_rate), so both paths
+    gate with IDENTICAL semantics. Line terminators are normalized
+    first (CRLF, lone CR, NEL, LS, PS -> \\n); whitespace is the
+    explicit cross-engine class (util.WS_CLASS). Select these with
+    their dict keys as aliases, then apply :func:`gopher_keep`."""
+    t = F.regexp_replace(
+        F.coalesce(text, F.lit("")),
+        "\r\n|[\r\u0085\u2028\u2029]",
+        "\n",
+    )
+
+    def rc(pat: str) -> F.Column:
+        return F.regexp_count(t, F.lit(pat)).cast("long")
+
+    stop_hits = None
+    for w in GOPHER_STOPWORDS:
+        hit = F.when(t.rlike(rf"(?i)\b{w}\b"), F.lit(1)).otherwise(F.lit(0))
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    return {
+        "n_words": rc(NONSPACE_RE),
+        "word_chars": F.length(
+            F.regexp_replace(t, f"[{WS_CLASS}]", "")
+        ).cast("long"),
+        "alpha_words": rc(f"[^{WS_CLASS}]*[A-Za-z][^{WS_CLASS}]*"),
+        "hashes": rc("#"),
+        "ellipses": rc("\\.\\.\\.|\u2026"),
+        "n_lines": rc("\n") + F.lit(1),
+        "bullet_lines": rc("(?m)^[ \t]*[-*\u2022]"),
+        "ellipsis_lines": rc("(?m)(\\.\\.\\.|\u2026)[ \t]*$"),
+        "n_stop_kinds": stop_hits.cast("long"),
+    }
+
+
+def gopher_keep() -> F.Column:
+    """The Gopher A1.1 keep verdict over :func:`gopher_metrics`
+    columns (by name) — every gate in integer cross-multiplied form,
+    so the verdict has no float half-case on any engine."""
+    w = F.col("n_words")
+    return (
+        (w >= 50)
+        & (w <= 100000)
+        & (F.lit(3) * w <= F.col("word_chars"))
+        & (F.col("word_chars") <= F.lit(10) * w)
+        & (F.lit(10) * F.col("hashes") <= w)
+        & (F.lit(10) * F.col("ellipses") <= w)
+        & (F.lit(10) * F.col("bullet_lines") <= F.lit(9) * F.col("n_lines"))
+        & (F.lit(10) * F.col("ellipsis_lines") <= F.lit(3) * F.col("n_lines"))
+        & (F.lit(5) * F.col("alpha_words") >= F.lit(4) * w)
+        & (F.col("n_stop_kinds") >= 2)
+    )
+
+
 def gopher_rules(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -828,46 +883,12 @@ def gopher_rules(
     RE2 anchors see identical lines; whitespace is the explicit
     cross-engine class (util.WS_CLASS — Java \\s includes \\x0B,
     RE2's does not)."""
-    t = F.regexp_replace(
-        F.coalesce(F.col(text_col), F.lit("")),
-        "\r\n|[\r\u0085\u2028\u2029]",
-        "\n",
-    )
-
-    def rc(pat: str) -> F.Column:
-        return F.regexp_count(t, F.lit(pat)).cast("long")
-
-    stop_hits = None
-    for w in GOPHER_STOPWORDS:
-        hit = F.when(t.rlike(rf"(?i)\b{w}\b"), F.lit(1)).otherwise(F.lit(0))
-        stop_hits = hit if stop_hits is None else stop_hits + hit
     m = df.select(
         F.col(id_col).alias("doc_id"),
-        rc(NONSPACE_RE).alias("n_words"),
-        F.length(F.regexp_replace(t, f"[{WS_CLASS}]", ""))
-        .cast("long")
-        .alias("word_chars"),
-        rc(f"[^{WS_CLASS}]*[A-Za-z][^{WS_CLASS}]*").alias("alpha_words"),
-        rc("#").alias("hashes"),
-        rc("\\.\\.\\.|\u2026").alias("ellipses"),
-        (rc("\n") + F.lit(1)).alias("n_lines"),
-        rc("(?m)^[ \t]*[-*\u2022]").alias("bullet_lines"),
-        rc("(?m)(\\.\\.\\.|\u2026)[ \t]*$").alias("ellipsis_lines"),
-        stop_hits.cast("long").alias("n_stop_kinds"),
+        *(c.alias(k) for k, c in gopher_metrics(F.col(text_col)).items()),
     )
+    keep = gopher_keep()
     w = F.col("n_words")
-    keep = (
-        (w >= 50)
-        & (w <= 100000)
-        & (F.lit(3) * w <= F.col("word_chars"))
-        & (F.col("word_chars") <= F.lit(10) * w)
-        & (F.lit(10) * F.col("hashes") <= w)
-        & (F.lit(10) * F.col("ellipses") <= w)
-        & (F.lit(10) * F.col("bullet_lines") <= F.lit(9) * F.col("n_lines"))
-        & (F.lit(10) * F.col("ellipsis_lines") <= F.lit(3) * F.col("n_lines"))
-        & (F.lit(5) * F.col("alpha_words") >= F.lit(4) * w)
-        & (F.col("n_stop_kinds") >= 2)
-    )
 
     def ratio(num: F.Column, den: F.Column) -> F.Column:
         return F.when(den > 0, round6(num.cast("double") / den.cast("double")))

@@ -101,3 +101,45 @@ def test_first_seen_suppresses_recrawls_across_batches(spark, tmp_path):
     # earliest (warc_ts, url) per distinct payload, recrawls suppressed
     assert urls == ["https://b/1", "https://b/3", "https://b/5"]
     assert len({r["content_md5"] for r in out}) == 3
+
+
+def test_quality_rate_gates_with_the_batch_gopher_verdict(spark, tmp_path):
+    """The windowed keep-rate applies the EXACT batch Gopher gate to
+    the decoded payload; windows finalize insert-only under the same
+    watermark semantics as crawl_rate."""
+    src = str(tmp_path / "src")
+    good = ("the cats and dogs run " * 20).encode()  # passes every gate
+    bad = b"<p>too short to pass anything</p>"
+    _write_drop(spark, [
+        ("https://q/1", "2024-01-01 10:10:00", good, "en"),
+        ("https://q/2", "2024-01-01 10:20:00", good, "en"),
+        ("https://q/3", "2024-01-01 10:40:00", bad, "en"),
+    ], os.path.join(src, "drop1"))
+    # advance event time so the 10:00 window finalizes (eviction is
+    # pinned a batch early by the keep-alive drop, see crawl_rate test)
+    _write_drop(spark, [
+        ("https://q/4", "2024-01-01 14:05:00", bad, "en"),
+    ], os.path.join(src, "drop2"))
+    _write_drop(spark, [
+        ("https://q/5", "2024-01-01 14:06:00", bad, "en"),
+    ], os.path.join(src, "drop3"))
+
+    out = _run_stream(
+        spark, src + "/*",
+        lambda s: monitor.quality_rate(s, window="1 hour", watermark="2 hours"),
+        "quality_rate_sink",
+    ).collect()
+    by_start = {str(r["window_start"]): r for r in out}
+    r = by_start["2024-01-01 10:00:00"]
+    assert (r["pages"], r["kept"]) == (3, 2)
+    assert r["keep_rate"] == 0.666667
+    # batch-gate identity: the same payloads through gopher_rules
+    from alix_spark.textops import textstats
+
+    batch = textstats.gopher_rules(
+        spark.createDataFrame(
+            [(1, good.decode()), (2, bad.decode())], "doc_id long, text string"
+        )
+    ).collect()
+    verdicts = {r_["doc_id"]: r_["keep"] for r_ in batch}
+    assert verdicts == {1: True, 2: False}
