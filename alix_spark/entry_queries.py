@@ -1125,6 +1125,14 @@ def q_source_overlap(spark, sf_dir):
     return dedup.source_overlap(docs)
 
 
+def q_onion_dedup(spark, sf_dir):
+    """ONION duplicate 5-gram ratio gate (Pomikalek 2011) — the
+    order-independent corpus-frequency variant; raw corpus (the
+    synthetic corpus carries natural whole-doc duplicates plus
+    coincidental 5-gram repeats, so both gate directions fire)."""
+    return dedup.onion_ratio(_docs(spark, sf_dir), n=5)
+
+
 # Shared-syntax fixture for gopher_rules: the raw corpus is
 # single-line synthetic prose that trips exactly one gate (it carries
 # at most one of the 8 stop words), so every other rule would be
@@ -1364,8 +1372,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_or": q_bm25_or,
         # (sim_freq rotated out fourth session: same similarity-
         # selection machinery as in-window sim_g/sim_chi2inv, differing
-        # only in the weight formula)
-        "sim_g": q_sim_g,
+        # only in the weight formula. sim_g itself rotated out fifth
+        # session for onion_dedup on the same grounds — sim_chi2inv,
+        # the round's NEW weight branch, stays as the in-window
+        # representative of the shared selection machinery)
         # (keyness_logratio rotated out fourth session: the keyness
         # family shares the TopTerms scorer machinery — keyness_chi2
         # stays as the in-window representative; logratio/g2/logdice/
@@ -1448,6 +1458,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the rotation comment at the top)
         "source_overlap": q_source_overlap,
         "gopher_rules": q_gopher_rules,
+        # onion_dedup (slot freed by sim_g, see the rotation comment at
+        # the top): the ONION duplicate-n-gram-ratio gate — a NEW code
+        # path (positional gram multiplicities + corpus-frequency
+        # join), not a sibling of the distinct-shingle Jaccard tier
+        "onion_dedup": q_onion_dedup,
         # winnowing (slot freed by sim_freq, see the rotation comment
         # at the top): the MOSS winnowing sketch — a NEW code
         # path (rank-based rightmost-min window selection), not a
@@ -1557,6 +1572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # untouched; dedup.py, cooc.py and similarities.py diffs are
         # append-only new functions/branches), so every rotated
         # query's last driver-visible row stays <=1 round old.
+        "sim_g": q_sim_g,
         "sim_chi2": q_sim_chi2,
         "multimodal_features": q_multimodal_features,
         "bm25_and": q_bm25_and,
@@ -3417,6 +3433,40 @@ SELECT source_a, source_b, n_shared,
 FROM p JOIN s sa ON sa.source = p.source_a
        JOIN s sb ON sb.source = p.source_b
 ORDER BY source_a, source_b
+"""
+
+    # ONION oracle: positional 5-grams (multiplicity kept — the
+    # duplicate test counts POSITIONS, so within-doc repeats count),
+    # corpus gram totals, per-doc rollup. Both engines md5 the same
+    # space-joined gram strings; counts are integers, so the only
+    # float is the displayed ratio (round6'd) and the keep verdict is
+    # integer cross-multiplied on BOTH sides.
+    _onion_gram = " || ' ' || ".join(f"l[i + {j}]" if j else "l[i]" for j in range(5))
+    sqls["onion_dedup"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents
+),
+g AS (
+  SELECT doc_id, md5({_onion_gram}) AS h
+  FROM t, unnest(generate_series(1, greatest(len(l) - 4, 0))) AS u(i)
+),
+gc AS (SELECT h, count(*) AS c FROM g GROUP BY h),
+d AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams
+  FROM g JOIN gc USING (h) GROUP BY doc_id
+)
+SELECT doc.doc_id,
+       coalesce(d.n_grams, 0) AS n_grams,
+       coalesce(d.dup_grams, 0) AS dup_grams,
+       CASE WHEN d.n_grams > 0
+            THEN {sql_round6('d.dup_grams / CAST(d.n_grams AS DOUBLE)')}
+       END AS dup_ratio,
+       (2 * coalesce(d.dup_grams, 0) <= coalesce(d.n_grams, 0)) AS keep
+FROM documents doc LEFT JOIN d USING (doc_id) ORDER BY doc.doc_id
 """
 
     # ellipsis/bullet rendered as runtime chars from Python-side

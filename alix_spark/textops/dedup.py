@@ -724,3 +724,94 @@ def source_overlap(
         )
         .orderBy("source_a", "source_b")
     )
+
+
+def onion_ratio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    toks_col: str | None = None,
+) -> DataFrame:
+    """(doc_id, n_grams, dup_grams, dup_ratio, keep): ONION-style
+    duplicate n-gram ratio gate (Pomikalek 2011, "Removing Boilerplate
+    and Duplicate Content from Web Corpora", ch. 5 — the onion tool's
+    doc-level resemblance filter, order-independent variant).
+
+    A gram POSITION is duplicate when its word n-gram occurs >= 2
+    times in the whole corpus (within-doc repeats count — the
+    symmetric restatement of onion's seen-before test that does not
+    depend on document processing order, so the verdict is
+    partitioning- and resume-stable); a doc is kept while duplicate
+    positions are at most half its gram positions (onion's default
+    0.5 threshold), compared in integer cross-multiplied form
+    (2*dup_grams <= n_grams) so keep never touches a float. Docs with
+    fewer than ``n`` tokens (or NULL text) carry no evidence:
+    n_grams = 0, dup_ratio NULL, keep true.
+
+    Scale shape: one Arrow pass emits (doc, gram-md5, multiplicity) —
+    one row per DISTINCT gram per doc, never per position; gram totals
+    are one map-side-combined groupBy on the fixed-width hash; the
+    totals->doc join is a plain shuffle equi-join on that hash (the
+    gram table is linear in corpus tokens and is never broadcast or
+    collected); the per-doc rollup is a second combine-friendly
+    groupBy. ``toks_col`` names a pre-tokenized array<string> column
+    (the training_shard single-tokenize hook).
+    """
+    ensure_py_files(df.sparkSession)
+    tok_expr = (
+        F.col(toks_col) if toks_col is not None else tokens_array(df, text_col)
+    )
+    toks = df.select(F.col(id_col).alias("doc_id"), tok_expr.alias("toks"))
+    id_type = toks.schema["doc_id"].dataType.simpleString()
+
+    def gen(it):
+        import hashlib
+        from collections import Counter
+
+        for pdf in it:
+            ids, hs, ms = [], [], []
+            for doc_id, tl in zip(pdf["doc_id"], pdf["toks"]):
+                tl = list(tl) if tl is not None else []
+                cnt = Counter(
+                    " ".join(tl[i : i + n]) for i in range(len(tl) - n + 1)
+                )
+                for gram, m in cnt.items():
+                    ids.append(doc_id)
+                    hs.append(hashlib.md5(gram.encode("utf-8")).hexdigest())
+                    ms.append(m)
+            if ids:
+                yield pd.DataFrame({"doc_id": ids, "h": hs, "m": ms})
+
+    ex = toks.mapInPandas(gen, f"doc_id {id_type}, h string, m long")
+    totals = ex.groupBy("h").agg(F.sum("m").alias("c"))
+    per_doc = (
+        ex.join(totals, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("c") > 1, F.col("m")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("dup_grams"),
+        )
+    )
+    base = df.select(F.col(id_col).alias("doc_id"))
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce(F.col("dup_grams"), F.lit(0))
+            .cast("long")
+            .alias("dup_grams"),
+            F.when(
+                F.col("n_grams") > 0,
+                round6(F.col("dup_grams") / F.col("n_grams")),
+            ).alias("dup_ratio"),
+            (
+                2 * F.coalesce(F.col("dup_grams"), F.lit(0))
+                <= F.coalesce(F.col("n_grams"), F.lit(0))
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

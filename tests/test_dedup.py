@@ -269,3 +269,37 @@ class TestSourceOverlap:
         # A counts once per source; NULL texts carry no content
         assert got[("s1", "s2")]["n_shared"] == 1
         assert got[("s1", "s2")]["overlap"] == 1.0  # 1 / min(1, 1)
+
+
+def test_onion_ratio_gate_semantics(spark):
+    """Whole-doc duplicates hit ratio 1.0 and drop; a doc sharing only
+    a prefix run keeps when clean grams outweigh duplicates; short and
+    NULL docs carry no evidence (NULL ratio, keep). Within-doc repeats
+    count as duplicate positions (the order-independent restatement)."""
+    dup = "one two three four five six seven eight nine ten"
+    rows = [
+        (0, dup),                         # exact dup of 1 -> ratio 1.0
+        (1, dup),
+        # shares only its leading 5-gram 'one two three four five'
+        # with the duplicate pair — a single duplicate position
+        (2, "one two three four five apple pear plum fig date kiwi"),
+        (3, "short doc"),                 # < 5 tokens -> no grams
+        (4, None),                        # NULL text -> no grams
+        # internal repeat: the same 5-gram twice within ONE doc
+        (5, "a b c d e a b c d e"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup.onion_ratio(df, n=5).collect()}
+    assert len(out) == 6
+    assert out[0]["dup_ratio"] == 1.0 and not out[0]["keep"]
+    assert out[1]["dup_ratio"] == 1.0 and not out[1]["keep"]
+    # doc 2: 7 gram positions, exactly 1 duplicate -> keep
+    assert out[2]["n_grams"] == 7 and out[2]["dup_grams"] == 1
+    assert out[2]["keep"]
+    assert out[3]["n_grams"] == 0 and out[3]["dup_ratio"] is None
+    assert out[3]["keep"] and out[4]["keep"]
+    assert out[4]["n_grams"] == 0
+    # doc 5: 6 positions; 'a b c d e' occurs at 0 and 5 (2 dup
+    # positions); the straddling grams are unique -> 2/6, keep
+    assert out[5]["n_grams"] == 6 and out[5]["dup_grams"] == 2
+    assert out[5]["keep"]
