@@ -134,6 +134,21 @@ def q_bm25_or(spark, sf_dir):
     )
 
 
+MLT_SRC_PRED = "doc_id % 100 = 0"
+
+
+def q_more_like_this(spark, sf_dir):
+    """Lucene MoreLikeThis parity: per source doc (every 100th), top-25
+    interesting terms (tf-idf, ClassicSimilarity idf, minTermFreq 2 /
+    minDocFreq 5) retrieved as an OR-mode BM25 query, top-10 related
+    docs each (source excluded)."""
+    from alix_spark.query import mlt
+
+    post, dstats, tstats, cstats = _bm25_inputs(spark, sf_dir)
+    sources = _docs(spark, sf_dir).filter(MLT_SRC_PRED).select("doc_id")
+    return mlt.more_like_this(post, dstats, tstats, cstats, sources)
+
+
 def _alt_sim(spark, sf_dir, sim):
     """Alternate doc-scoring similarities (reference §2.6 experiments:
     SimilarityChi2/Chi2inv/G/Gsimple/Freq — negative scores mark
@@ -1406,8 +1421,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the only machinery the OR mode adds to bm25_wand_and — has
         # no substantive r04 diff (annotation only); the r04 wand.py
         # diffs are the span kernels and the mixed path, exercised
-        # in-window by phrase_wand / near_match / mixed_term_or)
-        "bm25_wand_and": q_bm25_wand_and,
+        # in-window by phrase_wand / near_match / mixed_term_or.
+        # bm25_wand_and itself rotated out fifth session on the same
+        # grounds — r03 green, wand_topk untouched this round — for
+        # more_like_this, the NEW Lucene-MLT related-doc operator
+        # (term-selection window + OR-mode BM25 retrieval, a new code
+        # path over the shared _bm25_inputs subtree))
+        "more_like_this": q_more_like_this,
         "mixed_term_or": q_mixed_term_or,
         "phrase_wand": q_phrase_wand,
         "near_match": q_near_match,
@@ -1573,6 +1593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # append-only new functions/branches), so every rotated
         # query's last driver-visible row stays <=1 round old.
         "sim_g": q_sim_g,
+        "bm25_wand_and": q_bm25_wand_and,
         "sim_chi2": q_sim_chi2,
         "multimodal_features": q_multimodal_features,
         "bm25_and": q_bm25_and,
@@ -1757,6 +1778,10 @@ FROM toks
     # rank-identity): same oracle as the brute-force DataFrame path
     sqls["bm25_wand_and"] = bm25.bm25_oracle_sql(BM25_AND_TERMS, k=10, mode="and")
     sqls["bm25_wand_or"] = bm25.bm25_oracle_sql(BM25_OR_TERMS, k=10, mode="or")
+
+    from alix_spark.query import mlt as _mlt
+
+    sqls["more_like_this"] = _mlt.mlt_oracle_sql(MLT_SRC_PRED)
 
     _mixed_all = ", ".join(
         f"'{t}'" for t in sorted([MIXED_TERM] + MIXED_OR_GROUP)

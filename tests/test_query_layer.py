@@ -349,3 +349,69 @@ def test_unordered_greedy_vectorized_parity(spark, tmp_path):
         if n:
             want[d] = n
     assert got == want and want
+
+
+class TestMoreLikeThis:
+    """Lucene-MLT parity semantics: frequency gates on term selection,
+    source self-exclusion, term-count cap."""
+
+    def _tables(self, spark, rows):
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        post = simple.postings(simple.tokens(df))
+        dstats = post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        tstats = post.groupBy("term").agg(F.count("*").alias("df"))
+        cstats = post.agg(
+            F.countDistinct("doc_id").alias("corpus_docs"),
+            F.sum("tf").alias("corpus_tokens"),
+        ).select(
+            "corpus_docs",
+            "corpus_tokens",
+            (F.col("corpus_tokens") / F.col("corpus_docs")).alias("avgdl"),
+        )
+        return df, post, dstats, tstats, cstats
+
+    def test_gates_self_exclusion_and_ranking(self, spark):
+        from alix_spark.query import mlt
+
+        rows = [
+            (0, "apple apple banana"),      # source: apple stf=2 ok,
+            (1, "apple apple apple zebra"),  # banana stf=1 gated out
+            (2, "apple pie"),
+            (3, "banana only text"),
+            (4, "nothing relevant here"),
+        ]
+        df, post, dstats, tstats, cstats = self._tables(spark, rows)
+        out = mlt.more_like_this(
+            post, dstats, tstats, cstats,
+            df.filter("doc_id = 0").select("doc_id"),
+            min_term_freq=2, min_doc_freq=2, k=3,
+        ).collect()
+        # only apple survives the gates: banana-only/noise docs never
+        # become candidates, and the source doc itself is excluded
+        assert [r["doc_id"] for r in out] == [1, 2]
+        assert [r["rank"] for r in out] == [1, 2]
+        assert out[0]["score"] > out[1]["score"]
+        assert all(r["src_id"] == 0 for r in out)
+
+    def test_max_query_terms_cap(self, spark):
+        from alix_spark.query import mlt
+
+        # source has two qualifying terms; rarer 'cider' (df 2) beats
+        # common 'apple' (df 4) on idf at equal stf, so with a cap of
+        # one query term only cider-docs are retrieved
+        rows = [
+            (0, "apple apple cider cider"),
+            (1, "cider press here"),
+            (2, "apple apple sauce"),
+            (3, "apple tart base"),
+            (4, "apple apple apple jam"),
+        ]
+        df, post, dstats, tstats, cstats = self._tables(spark, rows)
+        out = mlt.more_like_this(
+            post, dstats, tstats, cstats,
+            df.filter("doc_id = 0").select("doc_id"),
+            min_term_freq=2, min_doc_freq=2, max_query_terms=1, k=5,
+        ).collect()
+        assert [r["doc_id"] for r in out] == [1]
