@@ -1104,6 +1104,27 @@ def q_zipf_profile(spark, sf_dir):
     return textstats.zipf_profile(_docs(spark, sf_dir), top_n=500)
 
 
+DSIR_TARGET_SOURCE = "src1"
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR hashed-n-gram importance weights (Xie et al. 2023) against
+    the 'src1' target domain: per-doc log ratio of Laplace-smoothed
+    target vs raw bucket distributions (1024 buckets, unigrams +
+    bigrams); every ln argument is an integer count."""
+    return webpipe.dsir_weights(
+        _docs(spark, sf_dir),
+        F.col("source") == DSIR_TARGET_SOURCE,
+    )
+
+
+def q_top_ngrams(spark, sf_dir):
+    """WIMBD-style per-source top-20 trigram heavy hitters — integer-
+    keyed ranking (n_occ desc, n_docs desc, gram asc), no float ever
+    enters the ordering."""
+    return textstats.top_ngrams(_docs(spark, sf_dir))
+
+
 def q_token_entropy(spark, sf_dir):
     """Per-doc unigram Shannon entropy (nats) + type counts — the
     lexical-diversity quality gate; n_types == 1 pinned to exact 0.0
@@ -1383,8 +1404,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- rotated back into the window (r03 tail, green r01/r02;
         # bm25_single rotated out fourth session — it is the brute
         # scorer's single-term case and bm25_or, the same brute path
-        # with the harder term set, stays in-window)
-        "bm25_or": q_bm25_or,
+        # with the harder term set, stays in-window. bm25_or itself
+        # rotated out fifth session for top_ngrams: the brute
+        # bm25_topk path holds an r03-green tail row via bm25_and,
+        # and more_like_this keeps score_expr + the OR-mode
+        # aggregation oracled in-window)
         # (sim_freq rotated out fourth session: same similarity-
         # selection machinery as in-window sim_g/sim_chi2inv, differing
         # only in the weight formula. sim_g itself rotated out fifth
@@ -1435,7 +1459,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chrono_channels": q_chrono_channels,
         # --- lexicometry
         "cooc_profile_scored": q_cooc_profile_scored,
-        "theme_bm25": q_theme_bm25,
+        # (theme_bm25 rotated out fifth session for dsir_weights: r03
+        # green, and the r04 theme.py machinery — the shared
+        # _bm25_inputs aggregate + vectorized score map — keeps its
+        # in-window representative via theme_rsj, which differs only
+        # in the contrast formula)
+        "dsir_weights": q_dsir_weights,
+        "top_ngrams": q_top_ngrams,
         # (part_keyness_min rotated out fourth session: identical
         # signature and machinery as in-window part_keyness_tail —
         # only the scorer tail policy parameter differs)
@@ -1594,6 +1624,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # query's last driver-visible row stays <=1 round old.
         "sim_g": q_sim_g,
         "bm25_wand_and": q_bm25_wand_and,
+        "bm25_or": q_bm25_or,
+        "theme_bm25": q_theme_bm25,
         "sim_chi2": q_sim_chi2,
         "multimodal_features": q_multimodal_features,
         "bm25_and": q_bm25_and,
@@ -3492,6 +3524,83 @@ SELECT doc.doc_id,
        END AS dup_ratio,
        (2 * coalesce(d.dup_grams, 0) <= coalesce(d.n_grams, 0)) AS keep
 FROM documents doc LEFT JOIN d USING (doc_id) ORDER BY doc.doc_id
+"""
+
+    # DSIR oracle: unigram+bigram features hashed with the md5_key
+    # idiom (60-bit hex prefix -> BIGINT, mod 1024 — nonnegative on
+    # both engines); every ln argument is an integer count, the
+    # per-bucket delta is parenthesized identically on both sides,
+    # and the per-doc sum's ordering noise is absorbed by round6.
+    sqls["dsir_weights"] = f"""
+WITH t AS (
+  SELECT doc_id, coalesce(source = '{DSIR_TARGET_SOURCE}', false) AS is_target,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                           '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents
+),
+u AS (SELECT doc_id, is_target, l[i] AS f
+      FROM t, unnest(generate_series(1, len(l))) AS un(i)),
+bg AS (SELECT doc_id, is_target, l[i] || ' ' || l[i + 1] AS f
+       FROM t, unnest(generate_series(1, greatest(len(l) - 1, 0))) AS un(i)),
+f AS (SELECT * FROM u UNION ALL SELECT * FROM bg),
+fb AS (
+  SELECT doc_id, is_target,
+         CAST(('0x' || substr(md5(f), 1, 15)) AS BIGINT) % 1024 AS bucket,
+         CAST(count(*) AS BIGINT) AS m
+  FROM f GROUP BY 1, 2, 3
+),
+b AS (
+  SELECT bucket, CAST(sum(m) AS BIGINT) AS cr,
+         CAST(sum(CASE WHEN is_target THEN m ELSE 0 END) AS BIGINT) AS ct
+  FROM fb GROUP BY bucket
+),
+tot AS (SELECT CAST(sum(cr) AS BIGINT) AS r, CAST(sum(ct) AS BIGINT) AS tt FROM b),
+bt AS (
+  SELECT bucket,
+         (ln(ct + 1) - ln(tt + 1024)) - (ln(cr + 1) - ln(r + 1024)) AS delta
+  FROM b, tot
+),
+d AS (
+  SELECT fb.doc_id, CAST(sum(fb.m) AS BIGINT) AS n_feats,
+         {sql_round6('sum(fb.m * bt.delta)')} AS log_weight
+  FROM fb JOIN bt USING (bucket) GROUP BY fb.doc_id
+)
+SELECT doc.doc_id,
+       coalesce(doc.source = '{DSIR_TARGET_SOURCE}', false) AS is_target,
+       coalesce(d.n_feats, 0) AS n_feats, d.log_weight
+FROM documents doc LEFT JOIN d USING (doc_id) ORDER BY doc.doc_id
+"""
+
+    # top_ngrams oracle: wholly integer-keyed ranking — no float in
+    # the window order, so selection cannot diverge. n_docs =
+    # count(DISTINCT doc_id) equals the engine's per-doc-distinct row
+    # count under the documented doc_id-uniqueness precondition.
+    sqls["top_ngrams"] = """
+WITH t AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents WHERE source IS NOT NULL
+),
+g AS (
+  SELECT doc_id, source, l[i] || ' ' || l[i + 1] || ' ' || l[i + 2] AS gram
+  FROM t, unnest(generate_series(1, greatest(len(l) - 2, 0))) AS un(i)
+),
+a AS (
+  SELECT source, gram, CAST(count(*) AS BIGINT) AS n_occ,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM g GROUP BY 1, 2
+),
+r AS (
+  SELECT source, gram, n_occ, n_docs,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY n_occ DESC, n_docs DESC, gram ASC) AS rank
+  FROM a
+)
+SELECT source, CAST(rank AS BIGINT) AS rank, gram, n_occ, n_docs
+FROM r WHERE rank <= 20 ORDER BY source, rank
 """
 
     # ellipsis/bullet rendered as runtime chars from Python-side

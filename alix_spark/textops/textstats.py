@@ -991,3 +991,76 @@ def winnowing(
     return toks.mapInPandas(
         gen, f"doc_id {id_type}, pos long, fp string"
     ).orderBy("doc_id", "pos")
+
+
+def top_ngrams(
+    docs: DataFrame,
+    n: int = 3,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    toks_col: str | None = None,
+) -> DataFrame:
+    """(source, rank, gram, n_occ, n_docs): per-source top-k word
+    n-grams by occurrence count — the WIMBD-style corpus heavy-hitter
+    report (Elazar et al. 2024, "What's In My Big Data?"): the most
+    duplicated n-grams per source surface boilerplate, templates and
+    memorization risk before training.
+
+    Rank is wholly integer-keyed (n_occ desc, n_docs desc, gram asc),
+    so selection is deterministic and engine-independent — no float
+    ever enters the ordering. NULL-``group_col`` docs have no stratum
+    and are excluded; NULL text carries no grams.
+
+    Scale shape: one Arrow pass emits (source, gram, multiplicity) —
+    one row per distinct gram per doc, so n_docs is a plain count and
+    n_occ a sum on the aggregated table; the rank window partitions by
+    source over the AGGREGATED (source, gram) counts, never the raw
+    corpus. At web scale the gram vocabulary is linear in corpus
+    tokens — the one shuffle this op cannot avoid — and the window
+    sorts each source's slice of the aggregate, not the corpus.
+    """
+    from pyspark.sql import Window
+
+    ensure_py_files(docs.sparkSession)
+    tok_expr = (
+        F.col(toks_col)
+        if toks_col is not None
+        else tokens_array(docs, text_col)
+    )
+    base = docs.filter(F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("source"), tok_expr.alias("toks")
+    )
+
+    def gen(it):
+        from collections import Counter
+
+        for pdf in it:
+            srcs, gs, ms = [], [], []
+            for src, tl in zip(pdf["source"], pdf["toks"]):
+                tl = list(tl) if tl is not None else []
+                cnt = Counter(
+                    " ".join(tl[i : i + n]) for i in range(len(tl) - n + 1)
+                )
+                for gram, m in cnt.items():
+                    srcs.append(src)
+                    gs.append(gram)
+                    ms.append(m)
+            if srcs:
+                yield pd.DataFrame({"source": srcs, "gram": gs, "m": ms})
+
+    ex = base.mapInPandas(gen, "source string, gram string, m long")
+    agg = ex.groupBy("source", "gram").agg(
+        F.sum("m").cast("long").alias("n_occ"),
+        F.count("*").cast("long").alias("n_docs"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_occ"), F.desc("n_docs"), F.asc("gram")
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("source", "rank", "gram", "n_occ", "n_docs")
+        .orderBy("source", "rank")
+    )

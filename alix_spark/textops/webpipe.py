@@ -1102,3 +1102,135 @@ def c4_clean(
         keep.alias("keep"),
         F.md5(F.col("kept_text")).alias("clean_md5"),
     ).orderBy("doc_id")
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: Column,
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    toks_col: str | None = None,
+) -> DataFrame:
+    """(doc_id, is_target, n_feats, log_weight): DSIR importance
+    weights (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling") — per-doc log importance ratio between a
+    target domain's hashed-n-gram distribution and the raw corpus's.
+
+    Features are the doc's word unigrams and bigrams hashed into
+    ``n_buckets`` buckets (md5 60-bit prefix mod n_buckets — the
+    md5_key idiom, bit-identical in DuckDB); both distributions are
+    Laplace-smoothed over the bucket space, and
+
+        log_weight = sum_b c_doc(b) * [ (ln(ct_b + 1) - ln(T + B))
+                                      - (ln(cr_b + 1) - ln(R + B)) ]
+
+    with ct/cr the target/raw bucket counts and T/R their totals.
+    Docs above 0 look target-like; a sampler keeps doc i with
+    probability proportional to exp(log_weight_i). Every ln argument
+    is an integer (the token_entropy discipline — both engines ln the
+    same inputs); the per-doc sum's ordering noise is absorbed by
+    round6. Docs with no tokens carry no evidence: n_feats 0,
+    log_weight NULL.
+
+    ``target`` is a boolean Column over ``docs`` naming the target
+    domain (e.g. ``F.col('source') == 'src1'``); NULL evaluates as
+    not-target. Scale shape: one Arrow pass emits (doc, is_target,
+    bucket, multiplicity) — one row per distinct bucket per doc; the
+    bucket table is <= n_buckets rows (two map-side-combined groupBys
+    + a 1-row totals crossJoin) and BROADCASTS to the per-doc join,
+    so the only corpus-sized shuffle is the final per-doc rollup.
+    """
+    import pandas as pd
+
+    from alix_spark.index.simple import tokens_array
+    from alix_spark.util import ensure_py_files
+
+    ensure_py_files(docs.sparkSession)
+    tok_expr = (
+        F.col(toks_col)
+        if toks_col is not None
+        else tokens_array(docs, text_col)
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(target, F.lit(False)).alias("is_target"),
+        tok_expr.alias("toks"),
+    )
+    id_type = base.schema["doc_id"].dataType.simpleString()
+
+    def gen(it):
+        import hashlib
+        from collections import Counter
+
+        for pdf in it:
+            ids, tgt, bks, ms = [], [], [], []
+            for doc_id, is_t, tl in zip(
+                pdf["doc_id"], pdf["is_target"], pdf["toks"]
+            ):
+                tl = list(tl) if tl is not None else []
+                cnt = Counter(tl)
+                cnt.update(
+                    f"{tl[i]} {tl[i + 1]}" for i in range(len(tl) - 1)
+                )
+                for feat, m in cnt.items():
+                    h = hashlib.md5(feat.encode("utf-8")).hexdigest()
+                    ids.append(doc_id)
+                    tgt.append(bool(is_t))
+                    bks.append(int(h[:15], 16) % n_buckets)
+                    ms.append(m)
+            if ids:
+                yield pd.DataFrame(
+                    {"doc_id": ids, "is_target": tgt, "bucket": bks, "m": ms}
+                )
+
+    feats = base.mapInPandas(
+        gen, f"doc_id {id_type}, is_target boolean, bucket long, m long"
+    )
+    buckets = feats.groupBy("bucket").agg(
+        F.sum("m").cast("long").alias("cr"),
+        F.sum(F.when(F.col("is_target"), F.col("m")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("ct"),
+    )
+    totals = buckets.agg(
+        F.sum("cr").cast("long").alias("R"),
+        F.sum("ct").cast("long").alias("T"),
+    )
+    bt = buckets.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            (
+                F.log(F.col("ct") + F.lit(1))
+                - F.log(F.col("T") + F.lit(n_buckets))
+            )
+            - (
+                F.log(F.col("cr") + F.lit(1))
+                - F.log(F.col("R") + F.lit(n_buckets))
+            )
+        ).alias("delta"),
+    )
+    per_doc = (
+        feats.join(F.broadcast(bt), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").cast("long").alias("n_feats"),
+            round6(F.sum(F.col("m") * F.col("delta"))).alias("log_weight"),
+        )
+    )
+    flags = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(target, F.lit(False)).alias("is_target"),
+    )
+    return (
+        flags.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "is_target",
+            F.coalesce(F.col("n_feats"), F.lit(0))
+            .cast("long")
+            .alias("n_feats"),
+            "log_weight",
+        )
+        .orderBy("doc_id")
+    )

@@ -1338,3 +1338,65 @@ class TestC4Clean:
         assert got[1]["keep"] is True and got[1]["kept_lines"] == 3
         assert got[1]["clean_md5"] == want
         assert got[2]["clean_md5"] == want
+
+
+class TestDsirWeights:
+    def test_target_features_score_positive(self, spark):
+        """Docs sharing the target domain's vocabulary get higher
+        weights than off-domain docs; empty docs carry NULL."""
+        rows = [
+            (0, "alpha beta alpha beta gamma", "tgt"),
+            (1, "alpha beta gamma alpha", "tgt"),
+            (2, "alpha beta gamma beta", "other"),   # target-like
+            (3, "delta epsilon zeta eta theta", "other"),
+            (4, "", "other"),
+            (5, None, "tgt"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = {
+            r["doc_id"]: r
+            for r in webpipe.dsir_weights(
+                df, F.col("source") == "tgt", n_buckets=64
+            ).collect()
+        }
+        assert len(out) == 6
+        assert out[0]["is_target"] and not out[2]["is_target"]
+        # the target-like off-domain doc outranks the off-domain one
+        assert out[2]["log_weight"] > out[3]["log_weight"]
+        # no evidence -> NULL weight, zero features
+        assert out[4]["n_feats"] == 0 and out[4]["log_weight"] is None
+        assert out[5]["n_feats"] == 0 and out[5]["log_weight"] is None
+
+    def test_weight_is_partitioning_invariant(self, spark):
+        rows = [(i, f"w{i % 3} w{(i + 1) % 5} common tail", "tgt" if i % 4 == 0 else "o")
+                for i in range(24)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        a = webpipe.dsir_weights(df.repartition(1), F.col("source") == "tgt").collect()
+        b = webpipe.dsir_weights(df.repartition(7), F.col("source") == "tgt").collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+class TestTopNgrams:
+    def test_integer_ranking_and_tiebreaks(self, spark):
+        rows = [
+            (0, "a b c a b c a b c", "s1"),   # 'a b c' x3 in one doc
+            (1, "a b c x y z", "s1"),          # +1 occurrence, 2nd doc
+            (2, "x y z x y z", "s1"),          # 'x y z' x2 here +1 doc1
+            (3, "p q r s t", "s2"),
+            (4, None, "s1"),
+            (5, "only two", None),             # NULL source excluded
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = textstats.top_ngrams(df, n=3, k=3)
+        got = [(r["source"], r["rank"], r["gram"], r["n_occ"], r["n_docs"])
+               for r in out.collect()]
+        s1 = [g for g in got if g[0] == "s1"]
+        # 'a b c': 4 occurrences across 2 docs; 'x y z': 3 across 2
+        assert s1[0] == ("s1", 1, "a b c", 4, 2)
+        assert s1[1] == ("s1", 2, "x y z", 3, 2)
+        # rank 3 resolves the (n_occ 2, n_docs 1) tie by gram asc:
+        # 'b c a' beats 'c a b'
+        assert s1[2] == ("s1", 3, "b c a", 2, 1)
+        s2 = [g for g in got if g[0] == "s2"]
+        assert all(g[3] == 1 and g[4] == 1 for g in s2)
+        assert not [g for g in got if g[0] is None]
