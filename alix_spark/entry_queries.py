@@ -1055,11 +1055,11 @@ NORM_SUFFIXES = {
 
 def _sql_str(s: str) -> str:
     """Render a Python string as a DuckDB SQL expression, emitting
-    chr(n) for control chars and doubling single quotes."""
+    chr(n) for C0/C1 control chars and doubling single quotes."""
     parts: list[str] = []
     buf = ""
     for ch in s:
-        if ord(ch) < 32 or ch == "\x7f":
+        if ord(ch) < 32 or 0x7F <= ord(ch) <= 0x9F:
             if buf:
                 parts.append("'" + buf.replace("'", "''") + "'")
                 buf = ""
@@ -1102,6 +1102,90 @@ def q_zipf_profile(spark, sf_dir):
     """Per-source Zipf's-law fit: OLS slope/r2 of ln(freq) on ln(rank)
     over each source's top-500 terms."""
     return textstats.zipf_profile(_docs(spark, sf_dir), top_n=500)
+
+
+# The C4 dirty-word gate is LIST-driven, so any lexicon exercises it;
+# entries are drawn from the corpus vocabulary ('dup' is rare, df~5%,
+# 'vector' common, df~76% at sf0.01) so both verdicts and both count
+# columns take multiple values.
+BADWORDS = ["dup", "vector"]
+
+
+def q_badwords_filter(spark, sf_dir):
+    """C4 §2.2 blocklist page gate (any listed word drops the page)
+    over the raw corpus with a corpus-vocabulary word list."""
+    return webpipe.badwords_filter(_docs(spark, sf_dir), BADWORDS)
+
+
+# Mojibake-injection fixture for encoding_anomalies: the raw corpus is
+# clean ASCII (every anomaly count would be a vacuous 0). doc_id % 5
+# classes: untouched; Latin-1 mojibake suffix (keep — diluted by the
+# page); cp1252 punctuation mojibake + a C1 control (density drop on
+# typical page lengths); replacement chars (unconditional drop); and a
+# page REPLACED by dense mojibake (ratio drop). Non-ASCII literals are
+# explicit \\u escapes in source; the oracle renders the SAME dicts
+# through _sql_str (C0/C1 controls become chr(n) calls).
+MOJI_SUFFIXES = {
+    0: "",  # untouched
+    1: " caf\u00c3\u00a9 na\u00c3\u00afve",  # UTF-8-as-Latin-1 e-acute/i-daeresis
+    2: " it\u00e2\u20ac\u2122s \u00e2\u20ac\u0153quoted\u00e2\u20ac\u009d",  # cp1252 curly quotes + C1
+    3: " bad\ufffdchar \ufffd",  # decoder gave up
+}
+MOJI_REPLACE = "\u00c3\u00a9\u00c3\u00a9 \u00c3\u00a9"  # doc_id%5==4: dense page
+
+
+def _moji_fixture_col():
+    sfx = F.lit("")
+    for k, v in sorted(MOJI_SUFFIXES.items()):
+        if v:
+            sfx = F.when(F.col("doc_id") % 5 == k, F.lit(v)).otherwise(sfx)
+    return F.when(F.col("doc_id") % 5 == 4, F.lit(MOJI_REPLACE)).otherwise(
+        F.concat(F.col("text"), sfx)
+    )
+
+
+def _moji_fixture_sql() -> str:
+    cases = " ".join(
+        f"WHEN {k} THEN text || {_sql_str(v)}"
+        for k, v in sorted(MOJI_SUFFIXES.items())
+        if v
+    )
+    return (
+        f"CASE doc_id % 5 {cases} WHEN 4 THEN {_sql_str(MOJI_REPLACE)} "
+        "ELSE text END"
+    )
+
+
+def q_encoding_anomalies(spark, sf_dir):
+    """ftfy-style encoding-health gate (mojibake / U+FFFD / stray
+    controls) over mojibake-injected text."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", _moji_fixture_col().alias("text")
+    )
+    return textstats.encoding_anomalies(docs)
+
+
+# Sentence-injection fixture for readability: the raw corpus is
+# unpunctuated prose (n_sents would be a vacuous all-0 → all-NULL
+# ARI). Pure-ASCII shared syntax, runs verbatim on both engines;
+# classes 0/3 keep zero sentence runs so the NULL-evidence branch
+# stays exercised.
+READ_TAIL_EXPR = (
+    "text || CASE doc_id % 4 "
+    "WHEN 1 THEN '. One tidy sentence arrives. And another follows!' "
+    "WHEN 2 THEN '? Indeed... so it ends. ' "
+    "WHEN 3 THEN ' trailing fragment without terminator' "
+    "ELSE '' END"
+)
+
+
+def q_readability(spark, sf_dir):
+    """Automated Readability Index census over sentence-injected
+    text (integer char/word/sentence-run counts, round6 ratios)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(READ_TAIL_EXPR).alias("text")
+    )
+    return textstats.readability(docs)
 
 
 DSIR_TARGET_SOURCE = "src1"
@@ -1419,8 +1503,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family shares the TopTerms scorer machinery — keyness_chi2
         # stays as the in-window representative; logratio/g2/logdice/
         # simplemaths differ only in the score formula)
-        "keyness_chi2": q_keyness_chi2,
-        "events_by_type": q_events_by_type,
+        # (keyness_chi2 rotated back out fifth session for readability:
+        # the keyness family's shared TopTerms machinery holds an
+        # r03-GREEN row via tail keyness_g2 and keyness.py has no r04
+        # diff; chi2 differs from g2 only in the score formula, so the
+        # family's last driver-visible row stays <=1 round old without
+        # it. events_by_type likewise yields its slot to
+        # badwords_filter: it is the same trivial FlucCategory groupBy
+        # path as facet_counts / time_histogram, BOTH r03-green with
+        # no r04 diff in that path.)
         # (webtext_term_stats rotated out fourth session: the full
         # webtext chain stays driver-visible through in-window
         # webtext_wand_fr; term_stats is a roll-up of that same
@@ -1468,8 +1559,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": q_top_ngrams,
         # (part_keyness_min rotated out fourth session: identical
         # signature and machinery as in-window part_keyness_tail —
-        # only the scorer tail policy parameter differs)
-        "part_keyness_tail": q_part_keyness_tail,
+        # only the scorer tail policy parameter differs.
+        # part_keyness_tail itself rotated out fifth session for
+        # encoding_anomalies: BOTH part_keyness_tail and
+        # part_keyness_min are r03-GREEN and the LogLikelihood/Tail
+        # scorer path has only append-only r04 diffs — the NEW
+        # PartScorer branches, residual and specificity, stay
+        # in-window below)
         # --- PartScorer variants: residual (the column-expression
         # branch) and specificity (the Arrow hypergeometric kernel)
         # stay in-window; pearson/rateratio share residual's exact
@@ -1604,6 +1700,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_profile": q_zipf_profile,
         "url_filter": q_url_filter,
         "length_outliers": q_length_outliers,
+        # --- new fifth session: the C4 dirty-word list gate (slot
+        # freed by events_by_type), the ftfy-style encoding-health
+        # gate (slot freed by part_keyness_tail) and the ARI
+        # readability census (slot freed by keyness_chi2) — all three
+        # genuinely NEW code paths (broadcast token-list inner join;
+        # shared-regex anomaly counters; integer sentence census +
+        # ratio formula), see the rotation comments above
+        "badwords_filter": q_badwords_filter,
+        "encoding_anomalies": q_encoding_anomalies,
+        "readability": q_readability,
         # ---- driver window boundary (entry 50) ----
         # structural always-greens, every one green in r03; ann_lsh /
         # logdice / simplemaths / jaccard are green-r03 siblings of
@@ -1626,6 +1732,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_wand_and": q_bm25_wand_and,
         "bm25_or": q_bm25_or,
         "theme_bm25": q_theme_bm25,
+        "events_by_type": q_events_by_type,
+        "keyness_chi2": q_keyness_chi2,
+        "part_keyness_tail": q_part_keyness_tail,
         "sim_chi2": q_sim_chi2,
         "multimodal_features": q_multimodal_features,
         "bm25_and": q_bm25_and,
@@ -3601,6 +3710,73 @@ r AS (
 )
 SELECT source, CAST(rank AS BIGINT) AS rank, gram, n_occ, n_docs
 FROM r WHERE rank <= 20 ORDER BY source, rank
+"""
+
+    # badwords oracle: same token idiom, hit rows counted per doc via
+    # an IN-list semi filter; the LEFT JOIN back to the doc spine
+    # keeps zero-hit docs with coalesced 0s (keep=true).
+    bad_in = ", ".join(f"'{w}'" for w in BADWORDS)
+    sqls["badwords_filter"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                           '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(l) AS tk FROM t),
+h AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bad,
+         CAST(count(DISTINCT tk) AS BIGINT) AS n_bad_types
+  FROM tok WHERE tk IN ({bad_in}) GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(len(t.l) AS BIGINT) AS n_tokens,
+       CAST(coalesce(h.n_bad, 0) AS BIGINT) AS n_bad,
+       CAST(coalesce(h.n_bad_types, 0) AS BIGINT) AS n_bad_types,
+       coalesce(h.n_bad, 0) = 0 AS keep
+FROM t LEFT JOIN h USING (doc_id) ORDER BY t.doc_id
+"""
+
+    # encoding_anomalies oracle: the SAME regex pattern strings the
+    # engine compiles (textstats.MOJI_RE/REPL_RE/CTRL_RE — \\x{...}
+    # classes are shared Java/RE2 syntax and DuckDB '' strings take
+    # backslashes literally); the keep verdict is the identical
+    # integer cross-multiplied comparison.
+    sqls["encoding_anomalies"] = f"""
+WITH src AS (SELECT doc_id, {_moji_fixture_sql()} AS t FROM documents),
+c AS (
+  SELECT doc_id,
+    CAST(len(coalesce(t, '')) AS BIGINT) AS n_chars,
+    CAST(len(regexp_extract_all(coalesce(t, ''), '{textstats.REPL_RE}')) AS BIGINT) AS n_repl,
+    CAST(len(regexp_extract_all(coalesce(t, ''), '{textstats.MOJI_RE}')) AS BIGINT) AS n_moji,
+    CAST(len(regexp_extract_all(coalesce(t, ''), '{textstats.CTRL_RE}')) AS BIGINT) AS n_ctrl
+  FROM src)
+SELECT doc_id, n_chars, n_repl, n_moji, n_ctrl,
+       (n_repl = 0 AND 200 * (n_moji + n_ctrl) <= 1 * n_chars) AS keep
+FROM c ORDER BY doc_id
+"""
+
+    # readability oracle: integer char/word/sentence-run censuses,
+    # identically parenthesized ARI formula (BIGINT / BIGINT is float
+    # division on both engines; round6 absorbs the last ulp).
+    sqls["readability"] = f"""
+WITH src AS (SELECT doc_id, {READ_TAIL_EXPR} AS t FROM documents),
+c AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(lower(t), '[a-z0-9]')) AS BIGINT) AS n_chars,
+    CAST(len(list_filter(regexp_split_to_array(lower(t), '[^a-z0-9]+'),
+                         x -> x <> '')) AS BIGINT) AS n_words,
+    CAST(len(regexp_extract_all(t, '[.!?]+')) AS BIGINT) AS n_sents
+  FROM src)
+SELECT doc_id, n_chars, n_words, n_sents,
+  CASE WHEN n_words > 0
+       THEN {sql_round6('n_chars / n_words')} END AS chars_per_word,
+  CASE WHEN n_sents > 0
+       THEN {sql_round6('n_words / n_sents')} END AS words_per_sent,
+  CASE WHEN n_words > 0 AND n_sents > 0
+       THEN {sql_round6('4.71 * (n_chars / n_words) + 0.5 * (n_words / n_sents) - 21.43')}
+       END AS ari
+FROM c ORDER BY doc_id
 """
 
     # ellipsis/bullet rendered as runtime chars from Python-side

@@ -1064,3 +1064,127 @@ def top_ngrams(
         .select("source", "rank", "gram", "n_occ", "n_docs")
         .orderBy("source", "rank")
     )
+
+
+# Shared Java/RE2 BMP classes (the script_profile discipline: both
+# engines compile the same pattern text). MOJI matches the two classic
+# UTF-8-read-as-Latin-1/cp1252 signatures: a Latin-1 lead letter
+# (Â/Ã/â) followed by a raw continuation char, and the cp1252-decoded
+# general-punctuation prefix "â€" (â€). CTRL is every
+# C0/C1 control except tab/LF/CR. The classes overlap on purpose
+# (Ã + C1 continuation counts in both) — they are independent
+# evidence channels, not a partition.
+MOJI_RE = (
+    "[\\x{00C2}\\x{00C3}\\x{00E2}][\\x{0080}-\\x{00BF}]"
+    "|\\x{00E2}\\x{20AC}"
+)
+REPL_RE = "\\x{FFFD}"
+CTRL_RE = (
+    "[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}"
+    "\\x{007F}-\\x{009F}]"
+)
+
+
+def encoding_anomalies(
+    docs: DataFrame,
+    max_bad_per_200: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_chars, n_repl, n_moji, n_ctrl, keep): ftfy-style
+    encoding-health gate — the hygiene pass every web pipeline runs
+    before quality scoring, because mojibake ("Ã©", "â€™"), U+FFFD
+    replacement chars (a decoder already gave up) and stray C0/C1
+    controls poison tokenizers and n-gram stats downstream.
+
+    keep is false iff any replacement char is present, or the
+    mojibake+control density exceeds ``max_bad_per_200`` per 200
+    chars — the comparison is the integer cross-multiplied form
+    ``200 * (n_moji + n_ctrl) > max_bad_per_200 * n_chars`` (the
+    gopher_rules discipline: no float ratio ever enters a verdict).
+    NULL text carries no evidence: all counts 0, keep=true.
+
+    Scale shape: four regexp_count column expressions over one scan —
+    zero shuffles, whole-stage codegen, the cheapest possible gate at
+    100 TB."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_chars = F.length(t).cast("long")
+    n_repl = F.regexp_count(t, F.lit(REPL_RE)).cast("long")
+    n_moji = F.regexp_count(t, F.lit(MOJI_RE)).cast("long")
+    n_ctrl = F.regexp_count(t, F.lit(CTRL_RE)).cast("long")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.alias("n_chars"),
+        n_repl.alias("n_repl"),
+        n_moji.alias("n_moji"),
+        n_ctrl.alias("n_ctrl"),
+    ).select(
+        "doc_id",
+        "n_chars",
+        "n_repl",
+        "n_moji",
+        "n_ctrl",
+        (
+            (F.col("n_repl") == 0)
+            & (
+                F.lit(200) * (F.col("n_moji") + F.col("n_ctrl"))
+                <= F.lit(int(max_bad_per_200)) * F.col("n_chars")
+            )
+        ).alias("keep"),
+    ).orderBy("doc_id")
+
+
+def readability(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_chars, n_words, n_sents, chars_per_word,
+    words_per_sent, ari): Automated Readability Index profile — the
+    classic integer-census readability score (Senter & Smith 1967),
+    used as a cheap fluency/complexity signal in corpus audits (very
+    low ARI flags word salad and boilerplate, very high flags OCR
+    noise and run-ons).
+
+        ari = 4.71 * (chars/words) + 0.5 * (words/sents) - 21.43
+
+    Census rules (deterministic, engine-independent): ``n_chars``
+    counts [a-z0-9] after lowercasing (letters+digits, the ARI
+    convention — punctuation and spaces excluded), ``n_words`` the
+    whitespace/punctuation-delimited tokens, ``n_sents`` the RUNS of
+    terminal punctuation [.!?]+ (an unterminated trailing fragment
+    ends no sentence). Zero words or zero sentences → NULL metrics
+    (no evidence, never a division blow-up). All three counts are
+    integers; the ratios divide the SAME integers in both engines and
+    round6 absorbs the last-ulp of the float combine.
+
+    Scale shape: regexp_count column expressions over one scan — zero
+    shuffles, codegen'd end to end."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n_chars = F.regexp_count(F.lower(t), F.lit("[a-z0-9]")).cast("long")
+    n_words = F.coalesce(F.size(tokens_array(docs, text_col)), F.lit(0)).cast(
+        "long"
+    )
+    n_sents = F.regexp_count(t, F.lit("[.!?]+")).cast("long")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        n_sents.alias("n_sents"),
+    )
+    cw = F.col("n_chars") / F.col("n_words")
+    ws = F.col("n_words") / F.col("n_sents")
+    return base.select(
+        "doc_id",
+        "n_chars",
+        "n_words",
+        "n_sents",
+        F.when(F.col("n_words") > 0, round6(cw)).alias("chars_per_word"),
+        F.when(F.col("n_sents") > 0, round6(ws)).alias("words_per_sent"),
+        F.when(
+            (F.col("n_words") > 0) & (F.col("n_sents") > 0),
+            round6(
+                F.lit(4.71) * cw + F.lit(0.5) * ws - F.lit(21.43)
+            ),
+        ).alias("ari"),
+    ).orderBy("doc_id")

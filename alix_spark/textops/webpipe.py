@@ -1234,3 +1234,79 @@ def dsir_weights(
         )
         .orderBy("doc_id")
     )
+
+
+def badwords_filter(
+    docs: DataFrame,
+    badwords: DataFrame | list[str] = (),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    toks_col: str | None = None,
+) -> DataFrame:
+    """(doc_id, n_tokens, n_bad, n_bad_types, keep): list-driven page
+    gate — the C4 "dirty word" filter (Raffel et al. 2020 §2.2 drop
+    any page containing a word from a blocklist; the public instance
+    is the LDNOOBW list). ``keep`` is true iff NO token of the doc is
+    in the list; ``n_bad`` counts occurrences and ``n_bad_types``
+    distinct listed words, so callers can soften the verdict to a
+    ratio threshold. Entries are single lowercase tokens (multi-word
+    list entries need phrase matching — a positional-index query, see
+    query/wand.py — and are out of scope for this gate).
+
+    NULL text tokenizes to the empty array: zero evidence, keep=true
+    (the C4 rule only fires on a positive hit). Like url_filter, the
+    list may arrive as a Python list or as a 1-column DataFrame.
+
+    Scale shape: the list is a SMALL dimension. Tokens explode in the
+    scan stage (narrow) and inner-join the broadcast list first, so
+    only BAD-token rows — a vanishing fraction of the corpus — reach
+    the per-doc groupBy; the verdict join back to the doc spine is on
+    the count-guarded broadcast of that small hit table
+    (util.maybe_broadcast falls back to a shuffle join if most of the
+    corpus turns out dirty)."""
+    spark = docs.sparkSession
+    if not isinstance(badwords, DataFrame):
+        rows = [(w.lower(),) for w in badwords]
+        bw = spark.createDataFrame(rows or [("",)], "bad string")
+        if not rows:
+            bw = bw.filter(F.lit(False))
+    else:
+        bw = badwords.select(
+            F.lower(F.col(badwords.columns[0])).alias("bad")
+        )
+    bw = bw.distinct()
+
+    from alix_spark.index.simple import tokens_array
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens_array(docs, text_col).alias("toks")
+        if toks_col is None
+        else F.col(toks_col).alias("toks"),
+    )
+    spine = base.select(
+        "doc_id",
+        F.coalesce(F.size("toks"), F.lit(0)).cast("long").alias("n_tokens"),
+    )
+    tok = base.select("doc_id", F.explode("toks").alias("t"))
+    hits = (
+        tok.join(util.maybe_broadcast(bw), F.col("t") == F.col("bad"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bad"),
+            F.count_distinct("t").cast("long").alias("n_bad_types"),
+        )
+    )
+    return (
+        spine.join(util.maybe_broadcast(hits), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_bad"), F.lit(0)).cast("long").alias("n_bad"),
+            F.coalesce(F.col("n_bad_types"), F.lit(0))
+            .cast("long")
+            .alias("n_bad_types"),
+            (F.coalesce(F.col("n_bad"), F.lit(0)) == 0).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

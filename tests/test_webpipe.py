@@ -1400,3 +1400,113 @@ class TestTopNgrams:
         s2 = [g for g in got if g[0] == "s2"]
         assert all(g[3] == 1 and g[4] == 1 for g in s2)
         assert not [g for g in got if g[0] is None]
+
+
+class TestBadwordsFilter:
+    def test_list_gate_counts_and_verdicts(self, spark):
+        rows = [
+            (0, "clean text about tables and joins"),
+            (1, "one naughty word here"),
+            (2, "naughty naughty and also rude stuff"),
+            (3, None),
+            (4, ""),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["doc_id"]: r
+            for r in webpipe.badwords_filter(df, ["naughty", "rude"]).collect()
+        }
+        assert len(out) == 5
+        assert out[0]["keep"] and out[0]["n_bad"] == 0
+        assert (out[1]["n_bad"], out[1]["n_bad_types"]) == (1, 1)
+        assert (out[2]["n_bad"], out[2]["n_bad_types"]) == (3, 2)
+        assert not out[2]["keep"]
+        # zero evidence -> keep (the C4 rule fires only on a hit)
+        assert out[3]["keep"] and out[3]["n_tokens"] == 0
+        assert out[4]["keep"] and out[4]["n_tokens"] == 0
+
+    def test_dataframe_list_and_case_fold(self, spark):
+        df = spark.createDataFrame(
+            [(0, "Shouted NAUGHTY word")], "doc_id long, text string"
+        )
+        bl = spark.createDataFrame([("NaUgHtY",)], "w string")
+        out = webpipe.badwords_filter(df, bl).collect()[0]
+        assert out["n_bad"] == 1 and not out["keep"]
+
+    def test_blocklist_join_is_never_nested_loop(self, spark):
+        df = spark.createDataFrame(
+            [(0, "some text")], "doc_id long, text string"
+        )
+        plan = (
+            webpipe.badwords_filter(df, ["x", "y"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestEncodingAnomalies:
+    def test_channel_counts_and_verdicts(self, spark):
+        pad = "clean words " * 40  # 480 chars: dilutes the 2-moji class
+        # under the 1-per-200 density gate (2 anomalies need >= 400)
+        rows = [
+            (0, pad),
+            (1, pad + " caf\u00c3\u00a9 na\u00c3\u00afve"),  # 2 moji, keep
+            (2, pad + " it\u00e2\u20ac\u2122s \u00e2\u20ac\u009d"),
+            (3, pad + " x\ufffd"),  # replacement char: unconditional drop
+            (4, "\u00c3\u00a9\u00c3\u00a9 \u00c3\u00a9"),  # dense: ratio drop
+            (5, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["doc_id"]: r
+            for r in textstats.encoding_anomalies(df).collect()
+        }
+        assert out[0]["keep"] and out[0]["n_moji"] == 0
+        assert out[1]["n_moji"] == 2 and out[1]["keep"]
+        # curly apostrophe counts once (a-circ + punct continuation);
+        # the bare "a-circ euro" prefix plus the raw C1 closer: 1 ctrl
+        assert out[2]["n_moji"] == 2 and out[2]["n_ctrl"] == 1
+        assert out[3]["n_repl"] == 1 and not out[3]["keep"]
+        assert out[4]["n_moji"] == 3 and not out[4]["keep"]
+        # NULL text: zero evidence, keep
+        assert out[5]["n_chars"] == 0 and out[5]["keep"]
+
+    def test_c0_controls_counted_tab_lf_cr_exempt(self, spark):
+        df = spark.createDataFrame(
+            [(0, "a\tb\nc\rd\x07e\x0bf")], "doc_id long, text string"
+        )
+        out = textstats.encoding_anomalies(df).collect()[0]
+        assert out["n_ctrl"] == 2  # BEL and VT only
+
+
+class TestReadability:
+    def test_ari_formula_and_null_evidence(self, spark):
+        rows = [
+            (0, "The cat sat on the mat. It was flat!"),
+            (1, "no terminator at all"),
+            (2, ""),
+            (3, None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in textstats.readability(df).collect()}
+        r0 = out[0]
+        assert (r0["n_chars"], r0["n_words"], r0["n_sents"]) == (26, 9, 2)
+        ari = 4.71 * (26 / 9) + 0.5 * (9 / 2) - 21.43
+        import math
+
+        assert r0["ari"] == math.floor(ari * 1e6 + 0.5) / 1e6
+        # words but no sentence runs: per-word metric present, ARI NULL
+        assert out[1]["chars_per_word"] is not None
+        assert out[1]["words_per_sent"] is None and out[1]["ari"] is None
+        # no words at all: everything NULL
+        assert out[2]["n_words"] == 0 and out[2]["chars_per_word"] is None
+        assert out[3]["n_chars"] == 0 and out[3]["ari"] is None
+
+    def test_terminator_runs_not_chars(self, spark):
+        df = spark.createDataFrame(
+            [(0, "Wait... what?! Yes.")], "doc_id long, text string"
+        )
+        out = textstats.readability(df).collect()[0]
+        assert out["n_sents"] == 3  # runs: dots, interrobang, final dot
