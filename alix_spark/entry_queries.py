@@ -1169,9 +1169,12 @@ def q_encoding_anomalies(spark, sf_dir):
 # unpunctuated prose (n_sents would be a vacuous all-0 → all-NULL
 # ARI). Pure-ASCII shared syntax, runs verbatim on both engines;
 # classes 0/3 keep zero sentence runs so the NULL-evidence branch
-# stays exercised.
+# stays exercised. coalesce keeps the fixture NULL-text-proof: a bare
+# `text ||` would NULL-propagate and the oracle's census would carry
+# the NULL through len() while the engine coalesces to 0s (review
+# batch 24).
 READ_TAIL_EXPR = (
-    "text || CASE doc_id % 4 "
+    "coalesce(text, '') || CASE doc_id % 4 "
     "WHEN 1 THEN '. One tidy sentence arrives. And another follows!' "
     "WHEN 2 THEN '? Indeed... so it ends. ' "
     "WHEN 3 THEN ' trailing fragment without terminator' "

@@ -40,6 +40,71 @@ def tokens_array(df: DataFrame, text_col: str = "text") -> "F.Column":
     )
 
 
+def gram_multiplicities(
+    base: DataFrame,
+    orders,
+    out_col: str,
+    out_type: str = "string",
+    key_fn=None,
+    toks_col: str = "toks",
+) -> DataFrame:
+    """(carried..., out_col, m): ONE Arrow pass emitting one row per
+    distinct word n-gram per input row with its within-row
+    multiplicity ``m`` — the shared emitter behind top_ngrams (raw
+    grams), onion_ratio (md5 keys) and dsir_weights (hashed buckets),
+    extracted in review batch 24 so the tokenize/Counter/column-
+    accumulate loop is maintained once.
+
+    ``orders`` is the n-gram orders to pool into one Counter (e.g.
+    ``(3,)`` or DSIR's ``(1, 2)`` — orders never collide because a
+    token cannot contain the joining space); ``key_fn`` maps each gram
+    string to the emitted ``out_col`` value (None = the raw gram).
+    Carried columns are every column of ``base`` except ``toks_col``,
+    copied verbatim onto each emitted row — output types derive from
+    the input schema, so string ids survive. NULL token arrays carry
+    no grams (rows vanish; callers re-join a doc spine when
+    zero-evidence rows must survive the op).
+
+    mapInPandas may split a logical group across Arrow batches, which
+    is safe here because the Counter is strictly per input ROW (the
+    per-group-aggregation hazard never arises)."""
+    carried = [f for f in base.schema.fields if f.name != toks_col]
+    names = [f.name for f in carried]
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in carried
+    )
+    orders = tuple(int(n) for n in orders)
+
+    def gen(it):
+        from collections import Counter
+
+        import pandas as pd
+
+        for pdf in it:
+            acc: dict = {c: [] for c in names}
+            vals, ms = [], []
+            for row in zip(pdf[toks_col], *(pdf[c] for c in names)):
+                tl = list(row[0]) if row[0] is not None else []
+                cnt: Counter = Counter()
+                for n in orders:
+                    if n == 1:
+                        cnt.update(tl)
+                    else:
+                        cnt.update(
+                            " ".join(tl[i : i + n])
+                            for i in range(len(tl) - n + 1)
+                        )
+                for gram, m in cnt.items():
+                    for c, kv in zip(names, row[1:]):
+                        acc[c].append(kv)
+                    vals.append(gram if key_fn is None else key_fn(gram))
+                    ms.append(m)
+            if vals:
+                yield pd.DataFrame({**acc, out_col: vals, "m": ms})
+
+    return base.mapInPandas(gen, f"{schema}, {out_col} {out_type}, m long")
+
+
 def tokens(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exploded token table ``(doc_id, pos, term)``; pos is the 0-based
     index in the filtered token sequence (the reference's token position

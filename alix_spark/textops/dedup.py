@@ -23,8 +23,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from alix_spark.index.simple import tokens_array
+from alix_spark.index.simple import gram_multiplicities, tokens_array
 from alix_spark.util import ensure_py_files, maybe_broadcast, round6
+
+
+def _gram_md5(gram: str) -> str:
+    """md5 hex of a gram — the fixed-width shuffle key for gram joins
+    (bit-identical to the oracle's md5())."""
+    import hashlib
+
+    return hashlib.md5(gram.encode("utf-8")).hexdigest()
 
 MERSENNE61 = (1 << 61) - 1
 
@@ -763,27 +771,13 @@ def onion_ratio(
         F.col(toks_col) if toks_col is not None else tokens_array(df, text_col)
     )
     toks = df.select(F.col(id_col).alias("doc_id"), tok_expr.alias("toks"))
-    id_type = toks.schema["doc_id"].dataType.simpleString()
-
-    def gen(it):
-        import hashlib
-        from collections import Counter
-
-        for pdf in it:
-            ids, hs, ms = [], [], []
-            for doc_id, tl in zip(pdf["doc_id"], pdf["toks"]):
-                tl = list(tl) if tl is not None else []
-                cnt = Counter(
-                    " ".join(tl[i : i + n]) for i in range(len(tl) - n + 1)
-                )
-                for gram, m in cnt.items():
-                    ids.append(doc_id)
-                    hs.append(hashlib.md5(gram.encode("utf-8")).hexdigest())
-                    ms.append(m)
-            if ids:
-                yield pd.DataFrame({"doc_id": ids, "h": hs, "m": ms})
-
-    ex = toks.mapInPandas(gen, f"doc_id {id_type}, h string, m long")
+    # lazy localCheckpoint: the gram table feeds the totals aggregation
+    # AND the probe side of the totals->doc join — without the pin the
+    # tokenize+md5 Arrow stage runs twice per action (review batch 24;
+    # the minhash_lsh_pairs trade: ContextCleaner reclaims the blocks)
+    ex = gram_multiplicities(
+        toks, (n,), "h", "string", key_fn=_gram_md5
+    ).localCheckpoint(eager=False)
     totals = ex.groupBy("h").agg(F.sum("m").alias("c"))
     per_doc = (
         ex.join(totals, "h")

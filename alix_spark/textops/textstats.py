@@ -15,7 +15,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from alix_spark.index.simple import tokens_array
+from alix_spark.index.simple import gram_multiplicities, tokens_array
 from alix_spark.util import NONSPACE_RE, WS_CLASS, ensure_py_files, round6
 
 
@@ -1032,25 +1032,7 @@ def top_ngrams(
     base = docs.filter(F.col(group_col).isNotNull()).select(
         F.col(group_col).alias("source"), tok_expr.alias("toks")
     )
-
-    def gen(it):
-        from collections import Counter
-
-        for pdf in it:
-            srcs, gs, ms = [], [], []
-            for src, tl in zip(pdf["source"], pdf["toks"]):
-                tl = list(tl) if tl is not None else []
-                cnt = Counter(
-                    " ".join(tl[i : i + n]) for i in range(len(tl) - n + 1)
-                )
-                for gram, m in cnt.items():
-                    srcs.append(src)
-                    gs.append(gram)
-                    ms.append(m)
-            if srcs:
-                yield pd.DataFrame({"source": srcs, "gram": gs, "m": ms})
-
-    ex = base.mapInPandas(gen, "source string, gram string, m long")
+    ex = gram_multiplicities(base, (n,), "gram", "string")
     agg = ex.groupBy("source", "gram").agg(
         F.sum("m").cast("long").alias("n_occ"),
         F.count("*").cast("long").alias("n_docs"),

@@ -1141,9 +1141,7 @@ def dsir_weights(
     + a 1-row totals crossJoin) and BROADCASTS to the per-doc join,
     so the only corpus-sized shuffle is the final per-doc rollup.
     """
-    import pandas as pd
-
-    from alix_spark.index.simple import tokens_array
+    from alix_spark.index.simple import gram_multiplicities, tokens_array
     from alix_spark.util import ensure_py_files
 
     ensure_py_files(docs.sparkSession)
@@ -1157,36 +1155,20 @@ def dsir_weights(
         F.coalesce(target, F.lit(False)).alias("is_target"),
         tok_expr.alias("toks"),
     )
-    id_type = base.schema["doc_id"].dataType.simpleString()
 
-    def gen(it):
+    def bucket_of(feat: str) -> int:
         import hashlib
-        from collections import Counter
 
-        for pdf in it:
-            ids, tgt, bks, ms = [], [], [], []
-            for doc_id, is_t, tl in zip(
-                pdf["doc_id"], pdf["is_target"], pdf["toks"]
-            ):
-                tl = list(tl) if tl is not None else []
-                cnt = Counter(tl)
-                cnt.update(
-                    f"{tl[i]} {tl[i + 1]}" for i in range(len(tl) - 1)
-                )
-                for feat, m in cnt.items():
-                    h = hashlib.md5(feat.encode("utf-8")).hexdigest()
-                    ids.append(doc_id)
-                    tgt.append(bool(is_t))
-                    bks.append(int(h[:15], 16) % n_buckets)
-                    ms.append(m)
-            if ids:
-                yield pd.DataFrame(
-                    {"doc_id": ids, "is_target": tgt, "bucket": bks, "m": ms}
-                )
+        h = hashlib.md5(feat.encode("utf-8")).hexdigest()
+        return int(h[:15], 16) % n_buckets
 
-    feats = base.mapInPandas(
-        gen, f"doc_id {id_type}, is_target boolean, bucket long, m long"
-    )
+    # lazy localCheckpoint: the feature table feeds the bucket
+    # aggregation AND the probe side of the broadcast delta join —
+    # without the pin the tokenize+md5 Arrow stage runs three times
+    # per action (review batch 24; the training_shard trade)
+    feats = gram_multiplicities(
+        base, (1, 2), "bucket", "long", key_fn=bucket_of
+    ).localCheckpoint(eager=False)
     buckets = feats.groupBy("bucket").agg(
         F.sum("m").cast("long").alias("cr"),
         F.sum(F.when(F.col("is_target"), F.col("m")).otherwise(F.lit(0)))

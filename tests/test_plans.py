@@ -205,3 +205,22 @@ def test_centroid_similarity_aggregates_before_pairing(spark):
     assert "partial_avg" in plan or "partial_" in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_gram_emitters_run_one_arrow_pass(spark):
+    """onion_ratio's gram table feeds the totals agg AND the join
+    probe; dsir_weights' feature table feeds the bucket agg AND the
+    delta join. Both must pin the shared gram_multiplicities pass
+    (lazy localCheckpoint, review batch 24) so the tokenize+md5 Arrow
+    stage appears in the plan as a reused checkpoint scan — never as
+    two or three MapInPandas subtrees."""
+    from alix_spark.textops import dedup, webpipe
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for df in (
+        dedup.onion_ratio(docs),
+        webpipe.dsir_weights(docs, F.col("source") == "src1"),
+    ):
+        plan = _plan(df)
+        assert plan.count("MapInPandas") < 2
+        assert "ExistingRDD" in plan  # the pinned gram pass

@@ -1510,3 +1510,30 @@ class TestReadability:
         )
         out = textstats.readability(df).collect()[0]
         assert out["n_sents"] == 3  # runs: dots, interrobang, final dot
+
+    def test_contract_fixture_is_null_text_proof(self, spark, tmp_path):
+        # review batch 24: a bare `text || CASE...` fixture NULL-
+        # propagates in the ORACLE's census (len(NULL) stays NULL)
+        # while the engine coalesces to 0s — the fixture must
+        # coalesce so a NULL-text corpus row can never split the
+        # engines
+        import duckdb
+        import pandas as pd
+
+        from alix_spark import entry_queries as EQ
+
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": ["plain words here", None, "more. Text!", None],
+            }
+        )
+        p = str(tmp_path / "documents.parquet")
+        pdf.to_parquet(p)
+        got = EQ.q_readability(spark, str(tmp_path)).collect()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM '{p}'")
+        want = con.execute(EQ.oracle_sql()["readability"]).fetchall()
+        assert len(got) == len(want) == 4
+        for sr, dr in zip(got, want):
+            assert tuple(sr) == dr
