@@ -1256,6 +1256,29 @@ def q_onion_dedup(spark, sf_dir):
     return dedup.onion_ratio(_docs(spark, sf_dir), n=5)
 
 
+# bloom_dedup fixture: the reference partition is every 3rd doc; the
+# OVERLAP duplicate injection guarantees genuine cross-boundary
+# duplicates (candidate docs whose text a ref doc also carries), so
+# both membership verdicts fire. Shared syntax, runs verbatim on both
+# engines.
+BLOOM_REF_EXPR = "doc_id % 3 = 0"
+BLOOM_M_BITS = 1 << 16
+
+
+def q_bloom_dedup(spark, sf_dir):
+    """Bloom-filter membership gate (Bloom 1970; the CCNet-style
+    incremental-crawl pre-dedup tier): gate candidate docs against a
+    fixed-size bit filter built from the reference partition's content
+    md5s — false positives possible (deterministic here), false
+    negatives impossible."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(OVERLAP_TEXT_EXPR).alias("text")
+    )
+    return dedup.bloom_membership(
+        docs, F.expr(BLOOM_REF_EXPR), m_bits=BLOOM_M_BITS, k=4
+    )
+
+
 # Shared-syntax fixture for gopher_rules: the raw corpus is
 # single-line synthetic prose that trips exactly one gate (it carries
 # at most one of the 8 stop words), so every other rule would be
@@ -1569,12 +1592,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scorer path has only append-only r04 diffs — the NEW
         # PartScorer branches, residual and specificity, stay
         # in-window below)
-        # --- PartScorer variants: residual (the column-expression
-        # branch) and specificity (the Arrow hypergeometric kernel)
-        # stay in-window; pearson/rateratio share residual's exact
-        # plan (_score_corpus_family) differing only in the cell
-        # formula, and rotate to the tail for the third-session ops
-        "part_residual": q_part_residual,
+        # --- PartScorer variants: specificity (the Arrow
+        # hypergeometric kernel, the family's fragile branch) stays
+        # in-window as the _score_corpus_family representative;
+        # residual rotated to the tail fifth session for bloom_dedup —
+        # its surrounding plan (per-part contingency aggregation,
+        # broadcast stats, top-k) is identical to specificity's, only
+        # the cell-score column differs, and residual/pearson/
+        # rateratio stay checked by the local mini-driver every run
         "part_specificity": q_part_specificity,
         # --- webtext chain (webtext_extract and part_chrono — both
         # rows-only EVERY round, so their driver rows carry only
@@ -1612,6 +1637,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # path (positional gram multiplicities + corpus-frequency
         # join), not a sibling of the distinct-shingle Jaccard tier
         "onion_dedup": q_onion_dedup,
+        # bloom_dedup (slot freed by part_residual, see the PartScorer
+        # comment above): the memory-bounded approximate-membership
+        # dedup tier — a NEW code path (bit-packed broadcast filter +
+        # shuffle-free k-way bitwise probe), not a formula sibling of
+        # the exact-md5 tier it routes to
+        "bloom_dedup": q_bloom_dedup,
         # winnowing (slot freed by sim_freq, see the rotation comment
         # at the top): the MOSS winnowing sketch — a NEW code
         # path (rank-based rightmost-min window selection), not a
@@ -1732,6 +1763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # append-only new functions/branches), so every rotated
         # query's last driver-visible row stays <=1 round old.
         "sim_g": q_sim_g,
+        "part_residual": q_part_residual,
         "bm25_wand_and": q_bm25_wand_and,
         "bm25_or": q_bm25_or,
         "theme_bm25": q_theme_bm25,
@@ -3636,6 +3668,48 @@ SELECT doc.doc_id,
        END AS dup_ratio,
        (2 * coalesce(d.dup_grams, 0) <= coalesce(d.n_grams, 0)) AS keep
 FROM documents doc LEFT JOIN d USING (doc_id) ORDER BY doc.doc_id
+"""
+
+    # Bloom membership oracle: the filter is the DISTINCT set of bit
+    # positions (the engine's bit-packed (word, bits) rows are an
+    # internal representation of the same set — membership is the
+    # same function of the same positions); 4 independent 32-bit md5
+    # slices mod m on both engines, and the 4 LEFT JOINs mirror the
+    # engine's k chained broadcast probes. NULL-text candidates keep
+    # NULL verdicts on BOTH sides (the engine NULL-propagates through
+    # the mask arithmetic; the oracle CASEs on the NULL hash).
+    sqls["bloom_dedup"] = f"""
+WITH t AS (SELECT doc_id, {OVERLAP_TEXT_EXPR} AS text FROM documents),
+r AS (SELECT DISTINCT
+        CAST(('0x' || substr(md5(text), 1 + 8 * ks.i, 8)) AS BIGINT)
+          % {BLOOM_M_BITS} AS p
+      FROM t, (VALUES (0), (1), (2), (3)) ks(i)
+      WHERE ({BLOOM_REF_EXPR}) AND text IS NOT NULL),
+c AS (SELECT doc_id, md5(text) AS h FROM t WHERE NOT ({BLOOM_REF_EXPR})),
+p AS (SELECT doc_id, h,
+        CAST(('0x' || substr(h,  1, 8)) AS BIGINT) % {BLOOM_M_BITS} AS p0,
+        CAST(('0x' || substr(h,  9, 8)) AS BIGINT) % {BLOOM_M_BITS} AS p1,
+        CAST(('0x' || substr(h, 17, 8)) AS BIGINT) % {BLOOM_M_BITS} AS p2,
+        CAST(('0x' || substr(h, 25, 8)) AS BIGINT) % {BLOOM_M_BITS} AS p3
+      FROM c),
+j AS (SELECT doc_id, h,
+        (f0.p IS NOT NULL) AS h0, (f1.p IS NOT NULL) AS h1,
+        (f2.p IS NOT NULL) AS h2, (f3.p IS NOT NULL) AS h3
+      FROM p LEFT JOIN r f0 ON f0.p = p.p0
+             LEFT JOIN r f1 ON f1.p = p.p1
+             LEFT JOIN r f2 ON f2.p = p.p2
+             LEFT JOIN r f3 ON f3.p = p.p3)
+SELECT doc_id,
+       CASE WHEN h IS NULL THEN NULL
+            ELSE CAST((CASE WHEN h0 THEN 1 ELSE 0 END)
+                    + (CASE WHEN h1 THEN 1 ELSE 0 END)
+                    + (CASE WHEN h2 THEN 1 ELSE 0 END)
+                    + (CASE WHEN h3 THEN 1 ELSE 0 END) AS BIGINT)
+       END AS n_hits,
+       CASE WHEN h IS NULL THEN NULL
+            ELSE (h0 AND h1 AND h2 AND h3)
+       END AS maybe_dup
+FROM j ORDER BY doc_id
 """
 
     # DSIR oracle: unigram+bigram features hashed with the md5_key

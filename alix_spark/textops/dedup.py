@@ -809,3 +809,116 @@ def onion_ratio(
         )
         .orderBy("doc_id")
     )
+
+
+def bloom_membership(
+    docs: DataFrame,
+    is_ref,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_bits: int = 1 << 16,
+    k: int = 4,
+) -> DataFrame:
+    """(doc_id, n_hits, maybe_dup): memory-bounded approximate
+    membership gate (Bloom 1970) — the incremental-crawl dedup tier:
+    build a Bloom filter over the exact-content md5s of the docs
+    matching ``is_ref`` (the already-ingested corpus), then gate every
+    candidate (non-ref) doc on membership. ``maybe_dup`` true means
+    "possibly already ingested — route to the exact tier"; false is a
+    GUARANTEED new content (Bloom filters have no false negatives).
+    The CCNet/BigScience pre-dedup pattern: the filter is sized by
+    ``m_bits`` alone, NOT by the reference corpus, so at 10^12 ingested
+    docs the gate is still a fixed-size broadcast, never a join against
+    the full hash set.
+
+    Hash family: position_i = int(md5(text)[8i : 8i+8], 16) % m_bits
+    for i < k (independent 32-bit slices of one md5 — deterministic,
+    partitioning-stable, and expressible verbatim in ANSI SQL, which is
+    what makes this tier oracle-checkable bit-for-bit). k <= 4 slices;
+    false-positive rate ~= (1 - e^(-k*n_ref/m_bits))^k — size m_bits
+    ~= 10 * k * n_ref for sub-percent rates.
+
+    Scale shape: the build side collapses to DISTINCT bit positions
+    (<= k * n_ref rows) then packs them into <= m_bits/32 (word, bits)
+    rows via bit_or — the ONLY corpus-sized work is that one map-side-
+    combined aggregation, pinned (lazy localCheckpoint) so it runs once,
+    not once per probe join. The packed filter is broadcast UNCONDITIONALLY
+    (its row count is structurally bounded by m_bits/32, independent of
+    the corpus — the one case where a count-guard would be noise), and
+    the probe is k chained broadcast hash joins + bitwise tests:
+    ZERO shuffles over the candidate corpus at any scale. NULL-text
+    candidates carry no content: n_hits and maybe_dup are NULL.
+    Docs whose ``is_ref`` is NULL are candidates (only true builds)."""
+    if not 1 <= k <= 4:
+        raise ValueError(f"k must be in [1, 4] (md5 has 4 32-bit slices), got {k}")
+    if m_bits < 32:
+        raise ValueError(f"m_bits must be >= 32, got {m_bits}")
+
+    def positions(h):
+        return [
+            F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long")
+            % F.lit(int(m_bits))
+            for i in range(k)
+        ]
+
+    ref = docs.filter(
+        F.coalesce(is_ref, F.lit(False)) & F.col(text_col).isNotNull()
+    ).select(F.md5(F.col(text_col)).alias("_h"))
+    pos = ref.select(
+        F.explode(F.array(*positions(F.col("_h")))).alias("_p")
+    ).distinct()
+    words = pos.groupBy(F.expr("_p DIV 32").alias("_w")).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_p % 32 AS INT))")
+        ).alias("_bits")
+    )
+    # lazy localCheckpoint: the packed filter feeds k broadcast
+    # exchanges — without the pin each broadcast recomputes the whole
+    # reference-corpus scan + position collapse (k corpus scans); with
+    # it the build runs once and the k broadcasts read the <= m/32
+    # pinned rows (the minhash_lsh_pairs trade: ContextCleaner
+    # reclaims the blocks)
+    words = words.localCheckpoint(eager=False)
+
+    cand = docs.filter(~F.coalesce(is_ref, F.lit(False))).select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(text_col)).alias("_h"),
+    )
+    probe = cand.select(
+        "doc_id",
+        *[p.alias(f"_p{i}") for i, p in enumerate(positions(F.col("_h")))],
+    )
+    # one staged select per derived layer (positions -> word/mask) so
+    # the md5 expression is evaluated once per row, not once per slice
+    probe = probe.select(
+        "doc_id",
+        *[F.expr(f"_p{i} DIV 32").alias(f"_w{i}") for i in range(k)],
+        *[
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(_p{i} % 32 AS INT))").alias(f"_m{i}")
+            for i in range(k)
+        ],
+    )
+    for i in range(k):
+        flt = F.broadcast(
+            words.select(
+                F.col("_w").alias(f"_fw{i}"), F.col("_bits").alias(f"_fb{i}")
+            )
+        )
+        probe = probe.join(flt, probe[f"_w{i}"] == flt[f"_fw{i}"], "left")
+    hits = [
+        (
+            F.coalesce(F.col(f"_fb{i}"), F.lit(0).cast("long")).bitwiseAND(
+                F.col(f"_m{i}")
+            )
+            == F.col(f"_m{i}")
+        ).cast("int")
+        for i in range(k)
+    ]
+    n_hits = hits[0]
+    for h in hits[1:]:
+        n_hits = n_hits + h
+    return probe.select(
+        "doc_id",
+        n_hits.cast("long").alias("n_hits"),
+        (n_hits == F.lit(k)).alias("maybe_dup"),
+    ).orderBy("doc_id")

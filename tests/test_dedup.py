@@ -303,3 +303,62 @@ def test_onion_ratio_gate_semantics(spark):
     # positions); the straddling grams are unique -> 2/6, keep
     assert out[5]["n_grams"] == 6 and out[5]["dup_grams"] == 2
     assert out[5]["keep"]
+
+
+class TestBloomMembership:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_no_false_negatives_and_verdicts(self, spark):
+        from alix_spark.textops import dedup
+
+        df = self._df(
+            spark,
+            [
+                (0, "alpha beta"),
+                (1, "gamma delta"),
+                (2, "alpha beta"),
+                (3, None),
+                (4, "unique text"),
+                (5, "gamma delta"),
+                (6, "alpha beta"),
+                (7, None),
+            ],
+        )
+        out = dedup.bloom_membership(
+            df, F.col("doc_id") % 3 == 0, m_bits=1 << 12
+        )
+        rows = {r.doc_id: (r.n_hits, r.maybe_dup) for r in out.collect()}
+        # ref = {0, 6: 'alpha beta', 3: NULL}; candidates = 1,2,4,5,7
+        assert set(rows) == {1, 2, 4, 5, 7}
+        # false negatives are impossible: doc 2 duplicates ref content
+        assert rows[2] == (4, True)
+        # distinct contents (false positives vanish at this m/n)
+        assert rows[1] == (1, False) or rows[1][1] is False
+        assert rows[4][1] is False and rows[5][1] is False
+        # NULL text carries no content -> NULL verdicts
+        assert rows[7] == (None, None)
+
+    def test_partitioning_invariance_and_string_ids(self, spark):
+        from alix_spark.textops import dedup
+
+        rows = [(f"d{i:03d}", f"text number {i % 5}") for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        ref = F.substring("doc_id", 2, 3).cast("int") % 2 == 0
+        a = dedup.bloom_membership(df, ref, m_bits=1 << 10).collect()
+        b = dedup.bloom_membership(
+            df.repartition(7), ref, m_bits=1 << 10
+        ).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+        # every candidate's text also exists in the ref half (i%5
+        # cycles both halves) -> all maybe_dup
+        assert all(r.maybe_dup for r in a)
+
+    def test_parameter_validation(self, spark):
+        from alix_spark.textops import dedup
+
+        df = self._df(spark, [(0, "x")])
+        with pytest.raises(ValueError, match="k must be"):
+            dedup.bloom_membership(df, F.lit(True), k=5)
+        with pytest.raises(ValueError, match="m_bits"):
+            dedup.bloom_membership(df, F.lit(True), m_bits=16)

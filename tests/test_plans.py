@@ -224,3 +224,28 @@ def test_gram_emitters_run_one_arrow_pass(spark):
         plan = _plan(df)
         assert plan.count("MapInPandas") < 2
         assert "ExistingRDD" in plan  # the pinned gram pass
+
+
+def test_bloom_probe_is_broadcast_and_shuffle_free(spark):
+    """bloom_membership's probe side must be k chained BROADCAST hash
+    joins over a structurally bounded (<= m_bits/32 rows) filter —
+    never a sort-merge join, never a Python stage, and the ONLY
+    shuffles anywhere are the build side's position collapse/bit-pack
+    aggregations plus the presentation sort (at 10^12 candidates a
+    shuffled probe would move the whole corpus; the broadcast gate
+    moves m_bits/8 bytes)."""
+    from alix_spark.textops import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = dedup.bloom_membership(docs, F.col("doc_id") % 3 == 0)
+    plan = _plan(out)
+    assert plan.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+    # the packed filter is PINNED (lazy localCheckpoint) so the
+    # reference-corpus build runs once, not once per broadcast — the
+    # probe plan holds no hash shuffle at all (the trailing
+    # rangepartitioning exchange is the contract orderBy)
+    assert plan.count("hashpartitioning") == 0
+    assert "ExistingRDD" in plan
