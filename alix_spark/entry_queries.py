@@ -1212,6 +1212,13 @@ def q_top_ngrams(spark, sf_dir):
     return textstats.top_ngrams(_docs(spark, sf_dir))
 
 
+def q_collocations(spark, sf_dir):
+    """Corpus-wide adjacent-bigram collocations ranked by signed
+    Dunning G2 over pair events (margins and total from the bigram
+    table itself); raw corpus, min pair count 5, top 100."""
+    return textstats.collocations(_docs(spark, sf_dir), min_count=5, top=100)
+
+
 def q_token_entropy(spark, sf_dir):
     """Per-doc unigram Shannon entropy (nats) + type counts — the
     lexical-diversity quality gate; n_types == 1 pinned to exact 0.0
@@ -1582,7 +1589,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window representative via theme_rsj, which differs only
         # in the contrast formula)
         "dsir_weights": q_dsir_weights,
-        "top_ngrams": q_top_ngrams,
+        # (top_ngrams rotated to the tail fifth session for
+        # collocations: after review batch 24 the three gram ops share
+        # ONE Arrow emitter (gram_multiplicities — in-window via
+        # onion_dedup, dsir_weights AND collocations), and top_ngrams'
+        # downstream is the same emitter -> single map-side-combined
+        # groupBy-agg pipeline that collocations keeps oracled
+        # in-window with a strictly richer tail (margins + G2);
+        # top_ngrams' per-source rank residue stays checked by the
+        # local mini-driver every run)
+        "collocations": q_collocations,
         # (part_keyness_min rotated out fourth session: identical
         # signature and machinery as in-window part_keyness_tail —
         # only the scorer tail policy parameter differs.
@@ -1764,6 +1780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # query's last driver-visible row stays <=1 round old.
         "sim_g": q_sim_g,
         "part_residual": q_part_residual,
+        "top_ngrams": q_top_ngrams,
         "bm25_wand_and": q_bm25_wand_and,
         "bm25_or": q_bm25_or,
         "theme_bm25": q_theme_bm25,
@@ -3762,6 +3779,40 @@ FROM documents doc LEFT JOIN d USING (doc_id) ORDER BY doc.doc_id
     # the window order, so selection cannot diverge. n_docs =
     # count(DISTINCT doc_id) equals the engine's per-doc-distinct row
     # count under the documented doc_id-uniqueness precondition.
+    # Collocations oracle: adjacent pairs straight from the token
+    # arrays (the engine's gram emitter + split is the same pair
+    # stream); margins/total from the aggregated bigram table; the G2
+    # expression below is TEXTUALLY the engine's column expression
+    # (same double casts, same operation order, same k > 0 guards,
+    # same sign comparison in doubles), floor-round6'd.
+    sqls["collocations"] = """
+WITH t AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents
+),
+pr AS (
+  SELECT l[i] AS w1, l[i + 1] AS w2
+  FROM t, unnest(generate_series(1, greatest(len(l) - 1, 0))) AS un(i)
+),
+b AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM pr GROUP BY 1, 2),
+m1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM b GROUP BY w1),
+m2 AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM b GROUP BY w2),
+tot AS (SELECT CAST(sum(c12) AS BIGINT) AS n FROM b)
+SELECT w1, w2, c12, c1, c2,
+       floor((CASE WHEN CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE) >= CAST(c2 AS DOUBLE) / CAST(n AS DOUBLE) THEN (CASE WHEN CAST(c12 AS DOUBLE) > 0 THEN 2.0 * CAST(c12 AS DOUBLE) * ln(CAST(c12 AS DOUBLE) / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE) / CAST(n AS DOUBLE))) ELSE 0 END
+          + CASE WHEN (CAST(c1 AS DOUBLE) - CAST(c12 AS DOUBLE)) > 0 THEN 2.0 * (CAST(c1 AS DOUBLE) - CAST(c12 AS DOUBLE)) * ln((CAST(c1 AS DOUBLE) - CAST(c12 AS DOUBLE)) / (CAST(c1 AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(c2 AS DOUBLE)) / CAST(n AS DOUBLE))) ELSE 0 END
+          + CASE WHEN (CAST(c2 AS DOUBLE) - CAST(c12 AS DOUBLE)) > 0 THEN 2.0 * (CAST(c2 AS DOUBLE) - CAST(c12 AS DOUBLE)) * ln((CAST(c2 AS DOUBLE) - CAST(c12 AS DOUBLE)) / ((CAST(n AS DOUBLE) - CAST(c1 AS DOUBLE)) * CAST(c2 AS DOUBLE) / CAST(n AS DOUBLE))) ELSE 0 END
+          + CASE WHEN (CAST(n AS DOUBLE) - CAST(c1 AS DOUBLE) - CAST(c2 AS DOUBLE) + CAST(c12 AS DOUBLE)) > 0 THEN 2.0 * (CAST(n AS DOUBLE) - CAST(c1 AS DOUBLE) - CAST(c2 AS DOUBLE) + CAST(c12 AS DOUBLE)) * ln((CAST(n AS DOUBLE) - CAST(c1 AS DOUBLE) - CAST(c2 AS DOUBLE) + CAST(c12 AS DOUBLE)) / ((CAST(n AS DOUBLE) - CAST(c1 AS DOUBLE)) * (CAST(n AS DOUBLE) - CAST(c2 AS DOUBLE)) / CAST(n AS DOUBLE))) ELSE 0 END) ELSE -(CASE WHEN CAST(c12 AS DOUBLE) > 0 THEN 2.0 * CAST(c12 AS DOUBLE) * ln(CAST(c12 AS DOUBLE) / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE) / CAST(n AS DOUBLE))) ELSE 0 END
+          + CASE WHEN (CAST(c1 AS DOUBLE) - CAST(c12 AS DOUBLE)) > 0 THEN 2.0 * (CAST(c1 AS DOUBLE) - CAST(c12 AS DOUBLE)) * ln((CAST(c1 AS DOUBLE) - CAST(c12 AS DOUBLE)) / (CAST(c1 AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(c2 AS DOUBLE)) / CAST(n AS DOUBLE))) ELSE 0 END
+          + CASE WHEN (CAST(c2 AS DOUBLE) - CAST(c12 AS DOUBLE)) > 0 THEN 2.0 * (CAST(c2 AS DOUBLE) - CAST(c12 AS DOUBLE)) * ln((CAST(c2 AS DOUBLE) - CAST(c12 AS DOUBLE)) / ((CAST(n AS DOUBLE) - CAST(c1 AS DOUBLE)) * CAST(c2 AS DOUBLE) / CAST(n AS DOUBLE))) ELSE 0 END
+          + CASE WHEN (CAST(n AS DOUBLE) - CAST(c1 AS DOUBLE) - CAST(c2 AS DOUBLE) + CAST(c12 AS DOUBLE)) > 0 THEN 2.0 * (CAST(n AS DOUBLE) - CAST(c1 AS DOUBLE) - CAST(c2 AS DOUBLE) + CAST(c12 AS DOUBLE)) * ln((CAST(n AS DOUBLE) - CAST(c1 AS DOUBLE) - CAST(c2 AS DOUBLE) + CAST(c12 AS DOUBLE)) / ((CAST(n AS DOUBLE) - CAST(c1 AS DOUBLE)) * (CAST(n AS DOUBLE) - CAST(c2 AS DOUBLE)) / CAST(n AS DOUBLE))) ELSE 0 END) END) * 1000000.0 + 0.5) / 1000000.0 AS score
+FROM b JOIN m1 USING (w1) JOIN m2 USING (w2), tot
+WHERE c12 >= 5
+ORDER BY score DESC, w1 ASC, w2 ASC
+LIMIT 100
+"""
+
     sqls["top_ngrams"] = """
 WITH t AS (
   SELECT doc_id, source,

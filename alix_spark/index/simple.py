@@ -71,7 +71,8 @@ def gram_multiplicities(
     carried = [f for f in base.schema.fields if f.name != toks_col]
     names = [f.name for f in carried]
     schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in carried
+        [f"{f.name} {f.dataType.simpleString()}" for f in carried]
+        + [f"{out_col} {out_type}", "m long"]
     )
     orders = tuple(int(n) for n in orders)
 
@@ -102,7 +103,7 @@ def gram_multiplicities(
             if vals:
                 yield pd.DataFrame({**acc, out_col: vals, "m": ms})
 
-    return base.mapInPandas(gen, f"{schema}, {out_col} {out_type}, m long")
+    return base.mapInPandas(gen, schema)
 
 
 def tokens(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -16,7 +16,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from alix_spark.index.simple import gram_multiplicities, tokens_array
-from alix_spark.util import NONSPACE_RE, WS_CLASS, ensure_py_files, round6
+from alix_spark.util import (
+    NONSPACE_RE,
+    WS_CLASS,
+    ensure_py_files,
+    maybe_broadcast,
+    round6,
+)
 
 
 def _member(words: list[str]):
@@ -1065,6 +1071,99 @@ CTRL_RE = (
     "[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}"
     "\\x{007F}-\\x{009F}]"
 )
+
+
+def collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    top: int = 100,
+    text_col: str = "text",
+    toks_col: str | None = None,
+) -> DataFrame:
+    """(w1, w2, c12, c1, c2, score): corpus-wide adjacent-bigram
+    collocations ranked by signed log-likelihood ratio (Dunning 1993,
+    "Accurate Methods for the Statistics of Surprise and Coincidence"
+    — the classic collocation finder; the corpus-wide adjacent analog
+    of the pivot-windowed cooc family in lexicometry/cooc.py).
+
+    The contingency is over adjacent-pair EVENTS: c12 = count of the
+    pair (w1, w2), c1 = pairs with w1 on the left, c2 = pairs with w2
+    on the right, n = all pairs — margins and total come from the
+    aggregated bigram table itself, so no unigram pass is needed and
+    the 2x2 is exactly consistent. Score is G2 with the keyness-family
+    sign convention (negative when the pair occurs LESS than expected:
+    observed/left-margin rate under the right-margin rate, compared as
+    identical doubles on both engines); cells guard k > 0 like
+    keyness.g2_expr, all count inputs cast to double first, and the
+    displayed score is floor-round6'd so the DuckDB oracle matches
+    bit-for-bit. Ordering is (score desc, w1 asc, w2 asc) — total and
+    deterministic. ``min_count`` prunes the candidate pairs BEFORE the
+    margin joins; margins/total still use the full counts.
+
+    Scale shape: one Arrow pass emits (bigram, multiplicity) — one row
+    per distinct bigram per doc, no positional explode; ONE map-side-
+    combined groupBy builds the corpus bigram table, pinned (lazy
+    localCheckpoint) because it feeds both margins, the total and the
+    probe; margins join back count-guarded (maybe_broadcast — at web
+    scale the vocabulary-sized margin tables fall back to shuffle
+    equi-joins); the final top-k is TakeOrderedAndProject, never a
+    full sort. NULL text carries no pairs."""
+    ensure_py_files(docs.sparkSession)
+    tok_expr = (
+        F.col(toks_col)
+        if toks_col is not None
+        else tokens_array(docs, text_col)
+    )
+    base = docs.select(tok_expr.alias("toks"))
+    ex = gram_multiplicities(base, (2,), "gram")
+    bi = (
+        ex.groupBy("gram")
+        .agg(F.sum("m").cast("long").alias("c12"))
+        .select(F.split("gram", " ").alias("_a"), "c12")
+        .select(
+            F.col("_a")[0].alias("w1"), F.col("_a")[1].alias("w2"), "c12"
+        )
+        .localCheckpoint(eager=False)
+    )
+    m1 = bi.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    m2 = bi.groupBy("w2").agg(F.sum("c12").cast("long").alias("c2"))
+    tot = bi.agg(F.sum("c12").cast("long").alias("n"))
+    j = (
+        bi.filter(F.col("c12") >= F.lit(int(min_count)))
+        .join(maybe_broadcast(m1), "w1")
+        .join(maybe_broadcast(m2), "w2")
+        .crossJoin(F.broadcast(tot))
+    )
+    k11 = F.col("c12").cast("double")
+    r1 = F.col("c1").cast("double")
+    r2 = F.col("c2").cast("double")
+    nn = F.col("n").cast("double")
+    k12 = r1 - k11
+    k21 = r2 - k11
+    k22 = nn - r1 - r2 + k11
+
+    def cell(k, e):
+        return F.when(k > 0, 2.0 * k * F.log(k / e)).otherwise(0.0)
+
+    g2 = (
+        cell(k11, r1 * r2 / nn)
+        + cell(k12, r1 * (nn - r2) / nn)
+        + cell(k21, (nn - r1) * r2 / nn)
+        + cell(k22, (nn - r1) * (nn - r2) / nn)
+    )
+    signed = F.when(k11 / r1 >= r2 / nn, g2).otherwise(-g2)
+    return (
+        j.select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "c2",
+            round6(signed).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "w1", "w2")
+        .limit(int(top))
+    )
 
 
 def encoding_anomalies(

@@ -249,3 +249,18 @@ def test_bloom_probe_is_broadcast_and_shuffle_free(spark):
     # rangepartitioning exchange is the contract orderBy)
     assert plan.count("hashpartitioning") == 0
     assert "ExistingRDD" in plan
+
+
+def test_collocations_single_emit_and_topk(spark):
+    """collocations must tokenize/emit ONCE (pinned gram pass feeding
+    margins, total and probe), keep the margin joins off sort-merge,
+    and take the final top-k via TakeOrderedAndProject — never a full
+    global sort of the bigram table."""
+    from alix_spark.textops import textstats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = textstats.collocations(docs, min_count=2, top=50)
+    plan = _plan(out)
+    assert plan.count("MapInPandas") == 0  # pinned: shows as ExistingRDD
+    assert "ExistingRDD" in plan
+    assert "TakeOrderedAndProject" in plan

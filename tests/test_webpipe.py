@@ -1537,3 +1537,79 @@ class TestReadability:
         assert len(got) == len(want) == 4
         for sr, dr in zip(got, want):
             assert tuple(sr) == dr
+
+
+class TestCollocations:
+    def _df(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+
+    def test_known_ranking_and_margins(self, spark):
+        df = self._df(
+            spark,
+            [
+                "the quick brown fox jumps over the lazy dog the quick brown fox",
+                "the quick brown cat naps",
+                None,
+                "quick brown quick brown quick brown fox",
+            ],
+        )
+        out = textstats.collocations(df, min_count=2, top=10).collect()
+        assert out[0].w1 == "quick" and out[0].w2 == "brown"
+        by_pair = {(r.w1, r.w2): r for r in out}
+        r = by_pair[("quick", "brown")]
+        # 6 quick->brown pairs; quick is left of 6 pairs, brown right of 6
+        assert (r.c12, r.c1, r.c2) == (6, 6, 6)
+        # margins/total come from the FULL bigram table, not the
+        # min_count-filtered probe
+        n = sum(rr.c12 for rr in
+                textstats.collocations(df, min_count=1, top=10000).collect())
+        assert n == 22  # 12 + 4 + 0 + 6 pair slots (per-doc len-1)
+
+    def test_matches_reference_formula(self, spark):
+        import math
+
+        df = self._df(
+            spark,
+            ["a b a b a b c d", "b a c d c d", "a b c d a b"],
+        )
+        out = textstats.collocations(df, min_count=1, top=1000).collect()
+        pairs = {}
+        for t in ["a b a b a b c d", "b a c d c d", "a b c d a b"]:
+            toks = t.split()
+            for x, y in zip(toks, toks[1:]):
+                pairs[(x, y)] = pairs.get((x, y), 0) + 1
+        n = sum(pairs.values())
+        c1 = {}
+        c2 = {}
+        for (x, y), c in pairs.items():
+            c1[x] = c1.get(x, 0) + c
+            c2[y] = c2.get(y, 0) + c
+        for r in out:
+            k11, r1, rr2, nn = (
+                float(pairs[(r.w1, r.w2)]),
+                float(c1[r.w1]),
+                float(c2[r.w2]),
+                float(n),
+            )
+            cells = [
+                (k11, r1 * rr2 / nn),
+                (r1 - k11, r1 * (nn - rr2) / nn),
+                (rr2 - k11, (nn - r1) * rr2 / nn),
+                (nn - r1 - rr2 + k11, (nn - r1) * (nn - rr2) / nn),
+            ]
+            g2 = sum(2.0 * k * math.log(k / e) for k, e in cells if k > 0)
+            want = g2 if k11 / r1 >= rr2 / nn else -g2
+            want = math.floor(want * 1e6 + 0.5) / 1e6
+            assert r.score == pytest.approx(want, abs=0), (r, want)
+        # repulsed pairs sink below zero (e.g. 'b a' happens less than
+        # chance given how often b leads and a follows)
+        assert any(r.score < 0 for r in out)
+
+    def test_partitioning_invariance(self, spark):
+        texts = [f"w{i % 7} w{(i + 1) % 5} w{i % 3} common pair" for i in range(30)]
+        df = self._df(spark, texts)
+        a = textstats.collocations(df, min_count=2, top=50).collect()
+        b = textstats.collocations(df.repartition(11), min_count=2, top=50).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
