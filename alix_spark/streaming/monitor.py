@@ -164,3 +164,65 @@ def quality_rate(
             ).alias("keep_rate"),
         )
     )
+
+
+def host_sessions(
+    pages: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """(host, session_start, session_end, pages): per-host crawl
+    SESSIONIZATION via ``session_window`` — consecutive fetches from
+    one host merge while their gaps stay under ``gap``; a longer pause
+    closes the session. The politeness/health view a crawl operator
+    watches: a session with thousands of pages and no pause is a
+    crawler hammering one host; many one-page sessions on one host is
+    a seed list thrashing.
+
+    Same watermark/append semantics as :func:`crawl_rate`: a session
+    emits exactly once, after the watermark passes its close (sessions
+    have data-driven ends — MERGING stays possible until then), so the
+    sink stays insert-only. Hosts parse JVM-side (``parse_url``);
+    NULL/unparseable urls group under host NULL rather than vanishing.
+
+    Scale: session state is per (host, open session) — bounded by
+    active hosts within the watermark horizon, not stream length; the
+    merge is the state store's sorted-interval union, never a shuffle
+    of history."""
+    host = F.lower(F.parse_url(F.col("url"), F.lit("HOST"))).alias("host")
+    return (
+        pages.select(F.col(ts_col), host)
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), "host")
+        .agg(F.count("*").cast("long").alias("pages"))
+        .select(
+            "host",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "pages",
+        )
+    )
+
+
+def recent_dedup(pages: DataFrame, watermark: str = "24 hours") -> DataFrame:
+    """Streaming content dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` on the content hash — a recrawl
+    of the same payload within the watermark horizon is suppressed;
+    state for a hash is evicted once the watermark passes it, so a
+    re-fetch far later CAN re-emit.
+
+    The production-scale twin of :func:`first_seen`: first_seen
+    guarantees global first-occurrence but its state grows with
+    DISTINCT content forever (10^12 markers at crawl scale);
+    recent_dedup bounds state to the watermark horizon — the standard
+    state-TTL trade (dedup exactness within the horizon, periodic
+    batch compaction — textops.dedup — owns cross-horizon exactness).
+    Output rows are the surviving pages (url, warc_ts, lang,
+    content_md5), insert-only."""
+    keyed = pages.select(
+        "url", "warc_ts", "lang", F.md5(F.col("html")).alias("content_md5")
+    )
+    return keyed.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
+        ["content_md5"]
+    )

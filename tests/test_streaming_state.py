@@ -143,3 +143,82 @@ def test_quality_rate_gates_with_the_batch_gopher_verdict(spark, tmp_path):
     ).collect()
     verdicts = {r_["doc_id"]: r_["keep"] for r_ in batch}
     assert verdicts == {1: True, 2: False}
+
+
+def test_host_sessions_merge_and_split(spark, tmp_path):
+    """Pages within the gap merge into one session per host; a pause
+    longer than the gap opens a new session; sessions finalize
+    (append) once the watermark passes their close."""
+    src = str(tmp_path / "src")
+    _write_drop(spark, [
+        ("https://a.example/1", "2024-01-01 10:00:00", b"x", "fr"),
+        ("https://a.example/2", "2024-01-01 10:10:00", b"y", "fr"),
+        ("https://b.example/1", "2024-01-01 10:05:00", b"z", "fr"),
+    ], os.path.join(src, "drop1"))
+    # a.example returns after a 50-minute pause -> NEW session
+    _write_drop(spark, [
+        ("https://a.example/3", "2024-01-01 11:00:00", b"w", "fr"),
+    ], os.path.join(src, "drop2"))
+    # advance watermark far past every session close (+ keep-alive)
+    _write_drop(spark, [
+        ("https://c.example/1", "2024-01-01 20:00:00", b"k", "fr"),
+    ], os.path.join(src, "drop3"))
+    _write_drop(spark, [
+        ("https://c.example/2", "2024-01-01 20:01:00", b"k2", "fr"),
+    ], os.path.join(src, "drop4"))
+
+    out = _run_stream(
+        spark, src + "/*",
+        lambda s: monitor.host_sessions(s, gap="30 minutes", watermark="1 hour"),
+        "host_sessions_sink",
+    ).collect()
+    sess = {(r.host, str(r.session_start)): r.pages for r in out}
+    # one merged 2-page session for a.example at 10:00 (10:00+10:10
+    # within the 30-min gap), a separate 1-page session at 11:00
+    assert sess[("a.example", "2024-01-01 10:00:00")] == 2
+    assert sess[("a.example", "2024-01-01 11:00:00")] == 1
+    assert sess[("b.example", "2024-01-01 10:05:00")] == 1
+    # the 20:00 sessions never finalized (watermark stops at 19:01)
+    assert not any(h == "c.example" for h, _ in sess)
+    # insert-only: one row per finalized session
+    assert len(out) == len(sess) == 3
+
+
+def test_recent_dedup_bounds_state_to_watermark(spark, tmp_path):
+    """A recrawl of the same payload within the watermark horizon is
+    suppressed; once the watermark passes the first sighting's
+    eviction point, the same payload re-emits (bounded state — the
+    trade vs first_seen's forever markers)."""
+    src = str(tmp_path / "src")
+    _write_drop(spark, [
+        ("https://a/1", "2024-01-01 10:00:00", b"<p>same</p>", "fr"),
+        ("https://a/2", "2024-01-01 10:30:00", b"<p>other</p>", "fr"),
+    ], os.path.join(src, "drop1"))
+    # same payload 1h later: within the 2h horizon -> suppressed
+    _write_drop(spark, [
+        ("https://b/1", "2024-01-01 11:00:00", b"<p>same</p>", "fr"),
+    ], os.path.join(src, "drop2"))
+    # advance event time far beyond the horizon; eviction runs at the
+    # END of the batch that advances the watermark, so a second
+    # keep-alive pins it one batch BEFORE the re-fetch (the same
+    # gotcha the crawl_rate test documents)
+    _write_drop(spark, [
+        ("https://k/1", "2024-01-02 09:00:00", b"<p>keepalive</p>", "fr"),
+    ], os.path.join(src, "drop3"))
+    _write_drop(spark, [
+        ("https://k/2", "2024-01-02 09:01:00", b"<p>keepalive2</p>", "fr"),
+    ], os.path.join(src, "drop4"))
+    # same payload again, a day later: state evicted -> re-emits
+    _write_drop(spark, [
+        ("https://c/1", "2024-01-02 10:00:00", b"<p>same</p>", "fr"),
+    ], os.path.join(src, "drop5"))
+
+    out = _run_stream(
+        spark, src + "/*",
+        lambda s: monitor.recent_dedup(s, watermark="2 hours"),
+        "recent_dedup_sink",
+    ).collect()
+    urls = sorted(r.url for r in out)
+    assert "https://b/1" not in urls          # within-horizon dup dropped
+    assert "https://a/1" in urls and "https://c/1" in urls  # re-emit after eviction
+    assert len(urls) == 5
