@@ -1381,6 +1381,40 @@ def q_c4_clean(spark, sf_dir):
     return webpipe.c4_clean(docs)
 
 
+# Shared-syntax fixture for fineweb_clean: doc_id % 5 classes exercise
+# each FineWeb gate in isolation — a clean keep page, a duplicated-
+# boilerplate page (dup-line-chars gate), a short-lines page (lines
+# punctuated so ONLY the short gate fires), an unpunctuated-long-lines
+# page (only the punct-ratio gate), and the raw single-line
+# unpunctuated corpus text (punct gate, raw path).
+FINEWEB_TEXT_EXPR = (
+    "CASE doc_id % 5 "
+    "WHEN 1 THEN 'A fine long punctuated sentence right here.' || chr(10) || "
+    "'Another fine long sentence follows on!' || chr(10) || "
+    "'And one more closes the page nicely.' "
+    "WHEN 2 THEN 'Repeated navigation boilerplate line here.' || chr(10) || "
+    "'Repeated navigation boilerplate line here.' || chr(10) || "
+    "'Repeated navigation boilerplate line here.' || chr(10) || "
+    "'One genuine content sentence sits here.' "
+    "WHEN 3 THEN 'Short line one.' || chr(10) || 'Short line two.' || chr(10) || "
+    "'Short line three.' || chr(10) || "
+    "'A single longer sentence to balance it all.' "
+    "WHEN 4 THEN 'a long unpunctuated heading line without any mark' || chr(10) || "
+    "'another long unpunctuated heading line without mark' "
+    "ELSE text END"
+)
+
+
+def q_fineweb_clean(spark, sf_dir):
+    """FineWeb custom quality filters (Penedo et al. 2024): doc-level
+    punctuation ratio, short-line ratio, duplicated-line char ratio —
+    integer cross-multiplied gates over the gate-exercising fixture."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(FINEWEB_TEXT_EXPR).alias("text")
+    )
+    return webpipe.fineweb_clean(docs)
+
+
 
 # Structured-URL fixture for url_filter: variable path depth (repeat)
 # and a 0/1/3/5-parameter query ladder, in shared Spark/DuckDB syntax
@@ -1781,6 +1815,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_g": q_sim_g,
         "part_residual": q_part_residual,
         "top_ngrams": q_top_ngrams,
+        # fineweb_clean enters AT the tail (new fifth session): it is
+        # a formula-branch sibling of in-window c4_clean — the exact
+        # line-stream machinery (terminator normalization, trim,
+        # blank-drop, per-row array higher-order predicates, zero
+        # shuffle), different gate formulas — per the sim_gsimple
+        # precedent for new-this-round formula siblings.
+        "fineweb_clean": q_fineweb_clean,
         "bm25_wand_and": q_bm25_wand_and,
         "bm25_or": q_bm25_or,
         "theme_bm25": q_theme_bm25,
@@ -4147,6 +4188,53 @@ SELECT doc_id,
        (len(kept) >= 3 AND NOT has_lorem AND NOT has_brace) AS keep,
        md5(kept_text) AS clean_md5
 FROM f ORDER BY doc_id
+"""
+
+    # FineWeb oracle: same line stream (normalize/trim/blank-drop),
+    # then per-(doc, line) occurrence counts via unnest+GROUP BY —
+    # mathematically the engine's sorted-neighbor dup scan (sum of
+    # k*chars over lines with k > 1 = chars in every occurrence of a
+    # duplicated line); all channels integers, gates integer
+    # cross-multiplied on BOTH sides.
+    sqls["fineweb_clean"] = f"""
+WITH src AS (SELECT doc_id, {FINEWEB_TEXT_EXPR} AS text FROM documents),
+c AS (SELECT doc_id,
+             regexp_replace(coalesce(text, ''),
+                            '\\r\\n|[\\r{_terms}]', chr(10), 'g') AS t
+      FROM src),
+m AS (
+  SELECT doc_id,
+         list_filter(list_transform(regexp_split_to_array(t, chr(10)),
+                                    l -> trim(l)),
+                     l -> l <> '') AS lines
+  FROM c
+),
+lc AS (
+  SELECT doc_id, l, count(*) AS k, len(l) AS chars,
+         regexp_matches(l, '[.!?"]$') AS is_punct,
+         len(l) < 30 AS is_short
+  FROM (SELECT doc_id, unnest(lines) AS l FROM m)
+  GROUP BY doc_id, l
+),
+s AS (
+  SELECT doc_id,
+         CAST(sum(k) AS BIGINT) AS n_lines,
+         CAST(sum(CASE WHEN is_punct THEN k ELSE 0 END) AS BIGINT) AS punct_lines,
+         CAST(sum(CASE WHEN is_short THEN k ELSE 0 END) AS BIGINT) AS short_lines,
+         CAST(sum(CASE WHEN k > 1 THEN k * chars ELSE 0 END) AS BIGINT) AS dup_chars,
+         CAST(sum(k * chars) AS BIGINT) AS total_chars
+  FROM lc GROUP BY doc_id
+)
+SELECT m.doc_id,
+       coalesce(n_lines, 0) AS n_lines,
+       coalesce(punct_lines, 0) AS punct_lines,
+       coalesce(short_lines, 0) AS short_lines,
+       coalesce(dup_chars, 0) AS dup_chars,
+       coalesce(total_chars, 0) AS total_chars,
+       (100 * coalesce(punct_lines, 0) > 12 * coalesce(n_lines, 0)
+        AND 100 * coalesce(short_lines, 0) < 67 * coalesce(n_lines, 0)
+        AND 100 * coalesce(dup_chars, 0) < 10 * coalesce(total_chars, 0)) AS keep
+FROM m LEFT JOIN s USING (doc_id) ORDER BY m.doc_id
 """
 
     sqls["token_entropy"] = f"""

@@ -1104,6 +1104,92 @@ def c4_clean(
     ).orderBy("doc_id")
 
 
+def fineweb_clean(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    punct_pct: int = 12,
+    short_chars: int = 30,
+    short_pct: int = 67,
+    dup_pct: int = 10,
+) -> DataFrame:
+    """(doc_id, n_lines, punct_lines, short_lines, dup_chars,
+    total_chars, keep): the three FineWeb custom quality filters
+    (Penedo et al. 2024, "The FineWeb Datasets", the ablation-selected
+    additions on top of the C4/Gopher recipes). A page DROPS when:
+
+    - at most ``punct_pct``% of its lines end in terminal punctuation
+      (. ! ? ") — the C4-inspired doc-LEVEL restatement;
+    - at least ``short_pct``% of its lines are shorter than
+      ``short_chars`` characters;
+    - at least ``dup_pct``% of its line characters sit in DUPLICATED
+      lines (every occurrence of a line that appears >= 2 times in the
+      page counts) — boilerplate nav/footer repetition.
+
+    Every gate compares in integer cross-multiplied form
+    (100*punct_lines <= punct_pct*n_lines, never a float ratio), so
+    keep verdicts are bit-exact and a zero-line page (NULL/empty text)
+    is keep = false through the same comparisons. Lines are c4_clean's
+    exact line stream (terminator normalization, trim, blank drop) —
+    the two gates share one definition of "line".
+
+    Scale shape: the c4_clean family's — per-document array
+    higher-order expressions only, NO shuffle at any corpus size.
+    Duplicated-line chars avoid the naive O(L^2) per-row scan: the
+    line array is array_sort'd JVM-side and a positional lambda keeps
+    elements equal to a sorted neighbor (O(L log L) + O(L) interpreted
+    steps per page). Staged named selects keep each lambda-bearing
+    expression evaluated once (Spark's subexpression elimination
+    skips lambdas — the c4_clean note)."""
+    t = F.regexp_replace(
+        F.coalesce(F.col(text_col), F.lit("")),
+        "\r\n|[\r\u0085\u2028\u2029]",
+        "\n",
+    )
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda l: F.trim(l)),
+        lambda l: l != F.lit(""),
+    )
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        lines.alias("_lines"),
+        F.array_sort(lines).alias("_srt"),
+    )
+    m = staged.select(
+        "doc_id",
+        F.size("_lines").cast("long").alias("n_lines"),
+        F.size(
+            F.expr('''filter(_lines, l -> l rlike '[.!?"]$')''')
+        ).cast("long").alias("punct_lines"),
+        F.size(
+            F.filter(F.col("_lines"), lambda l: F.length(l) < F.lit(int(short_chars)))
+        ).cast("long").alias("short_lines"),
+        F.expr(
+            "aggregate(filter(_srt, (x, i) -> "
+            "(i > 0 AND x = element_at(_srt, i)) OR "
+            "(i < size(_srt) - 1 AND x = element_at(_srt, i + 2))), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + length(x))"
+        ).alias("dup_chars"),
+        F.expr(
+            "aggregate(_lines, CAST(0 AS BIGINT), (acc, x) -> acc + length(x))"
+        ).alias("total_chars"),
+    )
+    keep = (
+        (100 * F.col("punct_lines") > F.lit(int(punct_pct)) * F.col("n_lines"))
+        & (100 * F.col("short_lines") < F.lit(int(short_pct)) * F.col("n_lines"))
+        & (100 * F.col("dup_chars") < F.lit(int(dup_pct)) * F.col("total_chars"))
+    )
+    return m.select(
+        "doc_id",
+        "n_lines",
+        "punct_lines",
+        "short_lines",
+        "dup_chars",
+        "total_chars",
+        keep.alias("keep"),
+    ).orderBy("doc_id")
+
+
 def dsir_weights(
     docs: DataFrame,
     target: Column,

@@ -264,3 +264,17 @@ def test_collocations_single_emit_and_topk(spark):
     assert plan.count("MapInPandas") == 0  # pinned: shows as ExistingRDD
     assert "ExistingRDD" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_fineweb_clean_no_shuffle_no_python(spark):
+    """fineweb_clean is the c4_clean family: per-row array expressions
+    only — no Exchange other than the presentation sort, no Python
+    stage (a posexplode of the line stream would shuffle the corpus
+    at 10^12 pages)."""
+    from alix_spark.textops import webpipe
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(webpipe.fineweb_clean(docs))
+    assert "hashpartitioning" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan

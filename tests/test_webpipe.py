@@ -1613,3 +1613,53 @@ class TestCollocations:
         a = textstats.collocations(df, min_count=2, top=50).collect()
         b = textstats.collocations(df.repartition(11), min_count=2, top=50).collect()
         assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+class TestFinewebClean:
+    def test_each_gate_fires_in_isolation(self, spark):
+        docs = spark.createDataFrame([
+            (0, "A fine long punctuated sentence right here.\n"
+                "Another fine long sentence follows on!\n"
+                "And one more closes the page nicely."),
+            (1, "Repeated navigation boilerplate line here.\n"
+                "Repeated navigation boilerplate line here.\n"
+                "Repeated navigation boilerplate line here.\n"
+                "One genuine content sentence sits here."),
+            (2, "Short line one.\nShort line two.\nShort line three.\n"
+                "A single longer sentence to balance it all."),
+            (3, "a long unpunctuated heading line without any mark\n"
+                "another long unpunctuated heading line without mark"),
+            (4, None),
+        ], "doc_id long, text string")
+        rows = {r.doc_id: r for r in webpipe.fineweb_clean(docs).collect()}
+        assert rows[0].keep is True
+        # dup gate: 3 x 42 chars duplicated of 165 total
+        assert rows[1].keep is False and rows[1].dup_chars == 126
+        assert rows[1].punct_lines == 4  # punct gate does NOT fire
+        # short gate: 3 of 4 lines under 30 chars (punctuated)
+        assert rows[2].keep is False and rows[2].short_lines == 3
+        # punct gate: long lines, zero terminal punctuation
+        assert rows[3].keep is False and rows[3].punct_lines == 0
+        assert rows[3].short_lines == 0 and rows[3].dup_chars == 0
+        # NULL text = zero-line page: all-zero channels, keep false
+        assert tuple(rows[4]) == (4, 0, 0, 0, 0, 0, False)
+
+    def test_boundary_is_integer_exact(self, spark):
+        # exactly 12% punctuated lines (3 of 25) must DROP (<=), and
+        # 13% (one more) must pass the punct gate
+        def page(n_punct, n_total):
+            lines = [
+                f"a long unpunctuated filler line number {i} without mark"
+                for i in range(n_total - n_punct)
+            ] + [
+                f"A long properly punctuated sentence number {i} is here."
+                for i in range(n_punct)
+            ]
+            return "\n".join(lines)
+
+        docs = spark.createDataFrame(
+            [(0, page(3, 25)), (1, page(4, 25))], "doc_id long, text string"
+        )
+        rows = {r.doc_id: r for r in webpipe.fineweb_clean(docs).collect()}
+        assert rows[0].keep is False  # 100*3 <= 12*25 exactly
+        assert rows[1].keep is True
