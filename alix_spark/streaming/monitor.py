@@ -219,10 +219,16 @@ def recent_dedup(pages: DataFrame, watermark: str = "24 hours") -> DataFrame:
     state-TTL trade (dedup exactness within the horizon, periodic
     batch compaction — textops.dedup — owns cross-horizon exactness).
     Output rows are the surviving pages (url, warc_ts, lang,
-    content_md5), insert-only."""
+    content_md5), insert-only. NULL-payload pages carry no content to
+    compare and PASS THROUGH un-deduped (the batch tiers' NULL-text
+    convention; review batch 25 — a NULL dedup key would collapse
+    every payload-less page within the horizon into one emission)."""
     keyed = pages.select(
         "url", "warc_ts", "lang", F.md5(F.col("html")).alias("content_md5")
     )
-    return keyed.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
-        ["content_md5"]
+    deduped = (
+        keyed.filter(F.col("content_md5").isNotNull())
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["content_md5"])
     )
+    return deduped.unionByName(keyed.filter(F.col("content_md5").isNull()))

@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import hashlib
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -29,9 +31,10 @@ from alix_spark.util import ensure_py_files, maybe_broadcast, round6
 
 def _gram_md5(gram: str) -> str:
     """md5 hex of a gram — the fixed-width shuffle key for gram joins
-    (bit-identical to the oracle's md5())."""
-    import hashlib
-
+    (bit-identical to the oracle's md5()). hashlib binds at module
+    level: this runs once per distinct gram per doc (corpus-hot), and
+    a per-call import is a sys.modules lookup comparable to the md5
+    itself (review batch 25)."""
     return hashlib.md5(gram.encode("utf-8")).hexdigest()
 
 MERSENNE61 = (1 << 61) - 1

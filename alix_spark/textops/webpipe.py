@@ -31,6 +31,8 @@ partial aggregations (JVM-side, codegen'd):
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -1009,6 +1011,27 @@ def sampling_weights(
     )
 
 
+def line_stream(text_col: str):
+    """(t, lines): the ONE definition of a page's cleaned line stream,
+    shared by c4_clean and fineweb_clean (review batch 25 — the two
+    gates must see identical lines, and the terminator class must stay
+    in sync with the oracle's `_terms` in entry_queries in exactly one
+    place): NULL text -> empty page; CRLF / lone CR / NEL / LS / PS
+    normalize to \\n BEFORE splitting (Java's $ tolerates a trailing
+    \\r, RE2's does not); lines trim ASCII spaces and blank lines are
+    formatting, never content."""
+    t = F.regexp_replace(
+        F.coalesce(F.col(text_col), F.lit("")),
+        "\r\n|[\r\u0085\u2028\u2029]",
+        "\n",
+    )
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda l: F.trim(l)),
+        lambda l: l != F.lit(""),
+    )
+    return t, lines
+
+
 def c4_clean(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -1049,15 +1072,7 @@ def c4_clean(
     single select would evaluate the interpreted filter chain once
     per consumer. Per-row verdict semantics: every input doc gets a
     row (NULL text = empty page)."""
-    t = F.regexp_replace(
-        F.coalesce(F.col(text_col), F.lit("")),
-        "\r\n|[\r\u0085\u2028\u2029]",
-        "\n",
-    )
-    lines = F.filter(
-        F.transform(F.split(t, "\n"), lambda l: F.trim(l)),
-        lambda l: l != F.lit(""),
-    )
+    t, lines = line_stream(text_col)
     kept = F.filter(
         lines,
         lambda l: l.rlike('[.!?"]$')
@@ -1141,19 +1156,17 @@ def fineweb_clean(
     steps per page). Staged named selects keep each lambda-bearing
     expression evaluated once (Spark's subexpression elimination
     skips lambdas — the c4_clean note)."""
-    t = F.regexp_replace(
-        F.coalesce(F.col(text_col), F.lit("")),
-        "\r\n|[\r\u0085\u2028\u2029]",
-        "\n",
-    )
-    lines = F.filter(
-        F.transform(F.split(t, "\n"), lambda l: F.trim(l)),
-        lambda l: l != F.lit(""),
-    )
+    _t, lines = line_stream(text_col)
+    # stage 1 materializes _lines ONCE; _srt derives from the named
+    # column in stage 2 so the interpreted line chain never runs
+    # twice per page (review batch 25)
     staged = docs.select(
         F.col(id_col).alias("doc_id"),
         lines.alias("_lines"),
-        F.array_sort(lines).alias("_srt"),
+    ).select(
+        "doc_id",
+        "_lines",
+        F.array_sort(F.col("_lines")).alias("_srt"),
     )
     m = staged.select(
         "doc_id",
@@ -1243,8 +1256,9 @@ def dsir_weights(
     )
 
     def bucket_of(feat: str) -> int:
-        import hashlib
-
+        # hashlib binds at module level — this runs once per distinct
+        # feature per doc (corpus-hot); a per-call import is a
+        # sys.modules lookup comparable to the md5 (review batch 25)
         h = hashlib.md5(feat.encode("utf-8")).hexdigest()
         return int(h[:15], 16) % n_buckets
 

@@ -193,6 +193,8 @@ def test_recent_dedup_bounds_state_to_watermark(spark, tmp_path):
     _write_drop(spark, [
         ("https://a/1", "2024-01-01 10:00:00", b"<p>same</p>", "fr"),
         ("https://a/2", "2024-01-01 10:30:00", b"<p>other</p>", "fr"),
+        ("https://n/1", "2024-01-01 10:31:00", None, "fr"),
+        ("https://n/2", "2024-01-01 10:32:00", None, "fr"),
     ], os.path.join(src, "drop1"))
     # same payload 1h later: within the 2h horizon -> suppressed
     _write_drop(spark, [
@@ -221,4 +223,6 @@ def test_recent_dedup_bounds_state_to_watermark(spark, tmp_path):
     urls = sorted(r.url for r in out)
     assert "https://b/1" not in urls          # within-horizon dup dropped
     assert "https://a/1" in urls and "https://c/1" in urls  # re-emit after eviction
-    assert len(urls) == 5
+    # NULL-payload pages carry no content: BOTH pass through un-deduped
+    assert "https://n/1" in urls and "https://n/2" in urls
+    assert len(urls) == 7
