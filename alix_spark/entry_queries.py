@@ -1415,6 +1415,40 @@ def q_fineweb_clean(spark, sf_dir):
     return webpipe.fineweb_clean(docs)
 
 
+# Shared-syntax fixture for refinedweb_lines: doc_id % 5 classes — a
+# clean mixed-case page (keep, zero removals), a long page whose
+# counter + digits-only lines are removed while the page SURVIVES the
+# 5% gate, a counters/one-word page (drop), a shouting-headline page
+# (uppercase rule, drop), and the raw single-line lowercase corpus
+# prose (kept line, keep).
+REFINEDWEB_TEXT_EXPR = (
+    "CASE doc_id % 5 "
+    "WHEN 1 THEN 'A clean first sentence of prose.' || chr(10) || "
+    "'Another tidy sentence follows.' || chr(10) || "
+    "'And a third one closes it.' "
+    "WHEN 2 THEN 'this is a fairly long line of ordinary prose content here one' || chr(10) || "
+    "'this is a fairly long line of ordinary prose content here two' || chr(10) || "
+    "'this is a fairly long line of ordinary prose content here three' || chr(10) || "
+    "'this is a fairly long line of ordinary prose content here four' || chr(10) || "
+    "'2 likes' || chr(10) || '12345' "
+    "WHEN 3 THEN '3 likes' || chr(10) || 'Menu' || chr(10) || "
+    "'a tiny line here' "
+    "WHEN 4 THEN 'ALL CAPS HEADING LINE' || chr(10) || "
+    "'a modest line of prose here' "
+    "ELSE text END"
+)
+
+
+def q_refinedweb_lines(spark, sf_dir):
+    """RefinedWeb line-wise corrections (Penedo et al. 2023 §4.2):
+    uppercase/no-letter/counter/one-word line removal + the 5%
+    removed-characters document gate, integer cross-multiplied."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(REFINEDWEB_TEXT_EXPR).alias("text")
+    )
+    return webpipe.refinedweb_lines(docs)
+
+
 
 # Structured-URL fixture for url_filter: variable path depth (repeat)
 # and a 0/1/3/5-parameter query ladder, in shared Spark/DuckDB syntax
@@ -1822,6 +1856,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # shuffle), different gate formulas — per the sim_gsimple
         # precedent for new-this-round formula siblings.
         "fineweb_clean": q_fineweb_clean,
+        # refinedweb_lines likewise enters AT the tail (new fifth
+        # session): the same shared line_stream machinery as in-window
+        # c4_clean, different line predicates + document gate.
+        "refinedweb_lines": q_refinedweb_lines,
         "bm25_wand_and": q_bm25_wand_and,
         "bm25_or": q_bm25_or,
         "theme_bm25": q_theme_bm25,
@@ -4234,6 +4272,60 @@ SELECT m.doc_id,
        (100 * coalesce(punct_lines, 0) > 12 * coalesce(n_lines, 0)
         AND 100 * coalesce(short_lines, 0) < 67 * coalesce(n_lines, 0)
         AND 100 * coalesce(dup_chars, 0) < 10 * coalesce(total_chars, 0)) AS keep
+FROM m LEFT JOIN s USING (doc_id) ORDER BY m.doc_id
+"""
+
+    # RefinedWeb oracle: same shared line stream; per-line removal
+    # flags via the SAME literal-char letter classes the engine
+    # interpolates (webpipe.RW_UPPER_CLASS/RW_LOWER_CLASS/
+    # RW_COUNTER_RE); kept text re-joins IN LINE ORDER
+    # (generate_subscripts + string_agg ORDER BY) so clean_md5 is
+    # bit-identical; integer gate on both sides.
+    _rwu, _rwl = webpipe.RW_UPPER_CLASS, webpipe.RW_LOWER_CLASS
+    _rwlet = (f"len(regexp_extract_all(l, '{_rwu}')) "
+              f"+ len(regexp_extract_all(l, '{_rwl}'))")
+    _rwrem = (
+        f"(({_rwlet} > 0 AND len(regexp_extract_all(l, '{_rwu}')) "
+        f"> len(regexp_extract_all(l, '{_rwl}'))) "
+        f"OR {_rwlet} = 0 "
+        f"OR regexp_matches(l, '{webpipe.RW_COUNTER_RE}') "
+        "OR NOT regexp_matches(l, ' '))"
+    )
+    sqls["refinedweb_lines"] = f"""
+WITH src AS (SELECT doc_id, {REFINEDWEB_TEXT_EXPR} AS text FROM documents),
+c AS (SELECT doc_id,
+             regexp_replace(coalesce(text, ''),
+                            '\\r\\n|[\\r{_terms}]', chr(10), 'g') AS t
+      FROM src),
+m AS (
+  SELECT doc_id,
+         list_filter(list_transform(regexp_split_to_array(t, chr(10)),
+                                    l -> trim(l)),
+                     l -> l <> '') AS lines
+  FROM c
+),
+e AS (
+  SELECT doc_id, generate_subscripts(lines, 1) AS i, unnest(lines) AS l
+  FROM m
+),
+f AS (SELECT doc_id, i, l, {_rwrem} AS removed FROM e),
+s AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS removed_lines,
+         CAST(sum(CASE WHEN removed THEN len(l) ELSE 0 END) AS BIGINT) AS removed_chars,
+         CAST(sum(len(l)) AS BIGINT) AS total_chars,
+         coalesce(string_agg(CASE WHEN removed THEN NULL ELSE l END,
+                             chr(10) ORDER BY i), '') AS kept_text
+  FROM f GROUP BY doc_id
+)
+SELECT m.doc_id,
+       coalesce(n_lines, 0) AS n_lines,
+       coalesce(removed_lines, 0) AS removed_lines,
+       coalesce(removed_chars, 0) AS removed_chars,
+       coalesce(total_chars, 0) AS total_chars,
+       NOT (100 * coalesce(removed_chars, 0) > 5 * coalesce(total_chars, 0)) AS keep,
+       md5(coalesce(kept_text, '')) AS clean_md5
 FROM m LEFT JOIN s USING (doc_id) ORDER BY m.doc_id
 """
 

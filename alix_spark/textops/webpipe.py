@@ -1203,6 +1203,90 @@ def fineweb_clean(
     ).orderBy("doc_id")
 
 
+# Shared Java/RE2 letter classes for the RefinedWeb uppercase rule
+# (literal chars via python escapes — both engines' regex dialects take
+# them verbatim; the oracle interpolates the SAME constants):
+# ASCII + Latin-1 letters, excluding the multiplication/division signs.
+RW_UPPER_CLASS = "[A-Z\u00c0-\u00d6\u00d8-\u00de]"
+RW_LOWER_CLASS = "[a-z\u00df-\u00f6\u00f8-\u00ff]"
+RW_COUNTER_RE = "^[0-9]+ (like|share|comment|view|retweet)s?$"
+
+
+def refinedweb_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    drop_pct: int = 5,
+) -> DataFrame:
+    """(doc_id, n_lines, removed_lines, removed_chars, total_chars,
+    keep, clean_md5): RefinedWeb line-wise corrections (Penedo et al.
+    2023, "The RefinedWeb Dataset for Falcon LLM", §4.2 / Table 2):
+    remove lines that are (a) mainly uppercase (more uppercase than
+    lowercase letters, at least one letter), (b) without any letter
+    (numeric/punctuation-only), (c) social-media counters ("3 likes",
+    "12 comments", ...), or (d) a single word (no space); then DROP
+    the whole document when removed characters exceed ``drop_pct``% of
+    its line characters (the paper's "if they end up removing more
+    than 5% of the document, remove it entirely"). ``clean_md5``
+    hashes the surviving lines re-joined with newlines — the page a
+    shard writer would emit.
+
+    Lines are the SHARED c4_clean/fineweb_clean line stream
+    (``line_stream``); the doc gate compares in integer
+    cross-multiplied form (100*removed_chars > drop_pct*total_chars),
+    so verdicts carry no float half-case. A zero-line page keeps
+    keep = true (the line pass drops pages BECAUSE of removals;
+    emptiness is c4/Gopher territory). Letter classes are shared
+    literal-char ASCII+Latin-1 ranges (RW_UPPER_CLASS/RW_LOWER_CLASS —
+    the oracle interpolates the same constants).
+
+    Scale shape: the c4_clean family's — per-row array higher-order
+    predicates, zero shuffles at any corpus size, no Python stage.
+    The removed/kept split evaluates the predicate body twice per
+    line (Spark lambdas cannot be named mid-expression); both runs
+    sit in the same staged projection over the pinned _lines column.
+    """
+    _t, lines = line_stream(text_col)
+    body = (
+        f"(regexp_count(l, '{RW_UPPER_CLASS}') + regexp_count(l, '{RW_LOWER_CLASS}') > 0"
+        f" AND regexp_count(l, '{RW_UPPER_CLASS}') > regexp_count(l, '{RW_LOWER_CLASS}'))"
+        f" OR regexp_count(l, '{RW_UPPER_CLASS}') + regexp_count(l, '{RW_LOWER_CLASS}') = 0"
+        f" OR l rlike '{RW_COUNTER_RE}'"
+        " OR NOT l rlike ' '"
+    )
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        lines.alias("_lines"),
+    ).select(
+        "doc_id",
+        "_lines",
+        F.expr(f"filter(_lines, l -> {body})").alias("_removed"),
+        F.expr(f"filter(_lines, l -> NOT ({body}))").alias("_kept"),
+    )
+    m = staged.select(
+        "doc_id",
+        F.size("_lines").cast("long").alias("n_lines"),
+        F.size("_removed").cast("long").alias("removed_lines"),
+        F.expr(
+            "aggregate(_removed, CAST(0 AS BIGINT), (acc, x) -> acc + length(x))"
+        ).alias("removed_chars"),
+        F.expr(
+            "aggregate(_lines, CAST(0 AS BIGINT), (acc, x) -> acc + length(x))"
+        ).alias("total_chars"),
+        F.array_join("_kept", "\n").alias("_kept_text"),
+    )
+    keep = ~(100 * F.col("removed_chars") > F.lit(int(drop_pct)) * F.col("total_chars"))
+    return m.select(
+        "doc_id",
+        "n_lines",
+        "removed_lines",
+        "removed_chars",
+        "total_chars",
+        keep.alias("keep"),
+        F.md5(F.col("_kept_text")).alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
 def dsir_weights(
     docs: DataFrame,
     target: Column,

@@ -278,3 +278,15 @@ def test_fineweb_clean_no_shuffle_no_python(spark):
     assert "hashpartitioning" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_refinedweb_lines_no_shuffle_no_python(spark):
+    """refinedweb_lines is the c4_clean family: per-row array
+    expressions only — no hash shuffle, no Python stage."""
+    from alix_spark.textops import webpipe
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(webpipe.refinedweb_lines(docs))
+    assert "hashpartitioning" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan

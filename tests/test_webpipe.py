@@ -1663,3 +1663,54 @@ class TestFinewebClean:
         rows = {r.doc_id: r for r in webpipe.fineweb_clean(docs).collect()}
         assert rows[0].keep is False  # 100*3 <= 12*25 exactly
         assert rows[1].keep is True
+
+
+class TestRefinedwebLines:
+    def test_line_rules_and_doc_gate(self, spark):
+        docs = spark.createDataFrame([
+            (0, "A clean first sentence of prose.\n"
+                "Another tidy sentence follows.\nAnd a third one closes it."),
+            (1, "this is a fairly long line of ordinary prose content here one\n"
+                "this is a fairly long line of ordinary prose content here two\n"
+                "this is a fairly long line of ordinary prose content here three\n"
+                "this is a fairly long line of ordinary prose content here four\n"
+                "2 likes\n12345"),
+            (2, "3 likes\nMenu\na tiny line here"),
+            (3, "ALL CAPS HEADING LINE\na modest line of prose here"),
+            (4, None),
+        ], "doc_id long, text string")
+        rows = {r.doc_id: r for r in webpipe.refinedweb_lines(docs).collect()}
+        # clean page: nothing removed
+        assert rows[0].removed_lines == 0 and rows[0].keep is True
+        # counter + digits-only lines removed, page survives the 5% gate
+        assert rows[1].removed_lines == 2
+        assert rows[1].removed_chars == 12 and rows[1].keep is True
+        # counters/one-word dominate: drop
+        assert rows[2].removed_lines == 2 and rows[2].keep is False
+        # shouting headline (upper > lower): drop
+        assert rows[3].removed_lines == 1
+        assert rows[3].removed_chars == 21 and rows[3].keep is False
+        # zero-line page: nothing removed -> keep true (emptiness is
+        # c4/Gopher territory), md5 of the empty page
+        import hashlib
+        assert tuple(rows[4])[:6] == (4, 0, 0, 0, 0, True)
+        assert rows[4].clean_md5 == hashlib.md5(b"").hexdigest()
+
+    def test_kept_text_preserves_line_order(self, spark):
+        import hashlib
+        docs = spark.createDataFrame(
+            [(0, "keep me first today\n12345\nkeep me second today\nSHOUT LINE HERE\nkeep me third today")],
+            "doc_id long, text string",
+        )
+        r = webpipe.refinedweb_lines(docs).collect()[0]
+        want = "keep me first today\nkeep me second today\nkeep me third today"
+        assert r.clean_md5 == hashlib.md5(want.encode()).hexdigest()
+
+    def test_mixed_case_prose_survives_uppercase_rule(self, spark):
+        # acronyms inside prose do not trip the rule while a headline does
+        docs = spark.createDataFrame(
+            [(0, "The NASA and ESA teams met for a long while today.\nNASA ESA GO")],
+            "doc_id long, text string",
+        )
+        r = webpipe.refinedweb_lines(docs).collect()[0]
+        assert r.removed_lines == 1  # only the all-caps headline
