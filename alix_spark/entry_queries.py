@@ -804,6 +804,13 @@ def q_dedup_groups(spark, sf_dir):
     return dedup.dup_groups(pairs)
 
 
+def q_dedup_canonical(spark, sf_dir):
+    """Keep-best canonical selection per near-dup cluster: the same
+    0.08 Jaccard pair graph as dedup_groups, quality argmax instead of
+    min-id as the keeper rule."""
+    return dedup.dedup_canonical(_docs(spark, sf_dir), threshold=0.08)
+
+
 def q_dedup_simhash(spark, sf_dir):
     # fully oracle-checked: 60-bit md5-based fingerprints are
     # reproducible in SQL (bit ops + weighted per-bit sums)
@@ -1224,6 +1231,19 @@ def q_token_entropy(spark, sf_dir):
     lexical-diversity quality gate; n_types == 1 pinned to exact 0.0
     (the one systematic floor-boundary half-case)."""
     return textstats.token_entropy(_docs(spark, sf_dir))
+
+
+def q_source_divergence(spark, sf_dir):
+    """Pairwise Jensen–Shannon divergence between source unigram
+    distributions — the domain-distance map behind training-mixture
+    design; every ln runs on integer counts (see textstats)."""
+    return textstats.source_divergence(_docs(spark, sf_dir))
+
+
+def q_tokenizer_fertility(spark, sf_dir):
+    """Per-language tokenizer-fertility census (BLOOM-style): pieces
+    per whitespace word, chars per piece, vocabulary size."""
+    return textstats.tokenizer_fertility(_docs(spark, sf_dir))
 
 
 def q_heaps_profile(spark, sf_dir):
@@ -1698,11 +1718,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # VERBATIM inside mix_report's in-window oracle-matched plan,
         # so the fold code path keeps a driver-visible row)
         "script_profile": q_script_profile,
-        # --- new fourth session: lexical-diversity entropy gate and
-        # the Heaps'-law vocabulary-growth profile (both genuinely new
-        # operator code paths — the freed slots come from the two
-        # formula-branch siblings above, per the rotation policy)
-        "token_entropy": q_token_entropy,
+        # --- new sixth session: the pairwise Jensen–Shannon
+        # domain-distance map. Slot freed by token_entropy: after this
+        # session's refactor BOTH ops run the ONE shared entropy
+        # aggregation (_entropy_agg/_entropy_expr — ln on integer
+        # counts, k==1 pin), and source_divergence is the richer
+        # in-window consumer (per-source grouping + the mixture-
+        # entropy pair stage on top); token_entropy differs only in
+        # grouping by doc + the zero-token left-join spine, the
+        # collocations/top_ngrams shared-emitter precedent.
+        "source_divergence": q_source_divergence,
         "heaps_profile": q_heaps_profile,
         # --- LLM-pipeline ops (dedup_exact and dedup_minhash rotated
         # to the tail this session for cooc_profile_scored/part_chrono:
@@ -1773,12 +1798,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "pack_shards": q_pack_shards,
         "stratified_sample": q_stratified_sample,
-        # lm_score enters for ca_map, pack_shards_shuffled for
-        # term_embeddings (both rows-only every round; svd.py has NO
-        # r04 diff — the SVD family keeps its r03 rows-only rows and
-        # the full local mini-driver/verify checks, like the other
-        # rotated rows-only entries)
-        "lm_score": q_lm_score,
+        # lm_score rotated out sixth session for dedup_canonical:
+        # textstats.lm_scores runs VERBATIM inside in-window
+        # ccnet_buckets (webpipe.ccnet_buckets stage 1 — the
+        # dedup_groups/training_shard containment precedent), so the
+        # bigram-LM path keeps a driver-visible oracle row.
+        # dedup_canonical is the NEW keep-best cluster-representative
+        # step (quality argmax per connected component).
+        "dedup_canonical": q_dedup_canonical,
         # line_dedup enters for suggest_population (r03 green; the r04
         # suggest.py diff is lock hygiene + the separate spell backend
         # — the fold+rank value path is unchanged and suggest /
@@ -1814,7 +1841,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # All five stay fully checked by the local mini-driver
         # (tests/test_oracle_parity.py) every suite run.
         "normalize_text": q_normalize_text,
-        "quality_classifier": q_quality_classifier,
+        # quality_classifier rotated out sixth session for
+        # tokenizer_fertility: textstats.classifier_scores runs
+        # VERBATIM inside in-window mix_report (webpipe.mix_report
+        # derives its gate verdict from classifier_scores' keep
+        # column — the ccnet_buckets/lm_score containment precedent).
+        # tokenizer_fertility is the NEW per-language tokenizer
+        # census (pieces-per-word fertility + vocabulary channel).
+        "tokenizer_fertility": q_tokenizer_fertility,
         "zipf_profile": q_zipf_profile,
         "url_filter": q_url_filter,
         "length_outliers": q_length_outliers,
@@ -1925,6 +1959,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # expression runs verbatim inside in-window mix_report
         "sim_gsimple": q_sim_gsimple,
         "data_split": q_data_split,
+        # rotated out sixth session (see the window comments above):
+        # token_entropy shares the ONE _entropy_agg/_entropy_expr
+        # machinery with in-window source_divergence; lm_score runs
+        # verbatim inside in-window ccnet_buckets; quality_classifier
+        # runs verbatim inside in-window mix_report. All three stay
+        # fully oracle-checked by the local mini-driver every run.
+        "token_entropy": q_token_entropy,
+        "lm_score": q_lm_score,
+        "quality_classifier": q_quality_classifier,
         "bm25_wand_or": q_bm25_wand_or,
         "bm25_single": q_bm25_single,
         "sim_freq": q_sim_freq,
@@ -2891,6 +2934,76 @@ reach(s, d) AS (
   SELECT r.s, e2.d FROM reach r JOIN e e2 ON r.d = e2.s
 )
 SELECT s AS doc_id, min(d) AS group_id FROM reach GROUP BY s ORDER BY doc_id
+"""
+
+    # dedup_groups' transitive closure + quality's composite score +
+    # the keep-best window: keeper = row_number 1 over
+    # (quality DESC, doc_id ASC) per component — quality is
+    # round6-quantized on both sides, so the order has no half-case
+    sqls["dedup_canonical"] = f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(l) - 2, 0)),
+           i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS shingles
+  FROM t
+),
+shn AS (SELECT doc_id, shingles, len(shingles) AS n_sh
+        FROM sh WHERE len(shingles) > 0),
+ex AS (SELECT doc_id, n_sh, unnest(shingles) AS s FROM shn),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+         count(*) AS i
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+),
+p AS (
+  SELECT doc_a, doc_b FROM inter
+  WHERE floor((i * 1.0 / (na + nb - i)) * 1000000.0 + 0.5) / 1000000.0 >= 0.08
+),
+edg AS (
+  SELECT doc_a AS s, doc_b AS d FROM p
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM p
+),
+reach(s, d) AS (
+  SELECT s, s AS d FROM (SELECT DISTINCT s FROM edg) seed
+  UNION
+  SELECT r.s, e2.d FROM reach r JOIN edg e2 ON r.d = e2.s
+),
+grp AS (SELECT s AS doc_id, min(d) AS group_id FROM reach GROUP BY s),
+qb AS (
+  SELECT doc_id,
+         len(l) AS n_tokens, len(list_distinct(l)) AS n_types,
+         len(list_filter(l, x -> x IN ({stop_list}))) AS n_stop
+  FROM t WHERE len(l) > 0
+),
+q AS (
+  SELECT doc_id,
+         {sql_round6(
+             "0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)"
+             " + 0.3 * (n_types / CAST(n_tokens AS DOUBLE))"
+             " + 0.3 * (1.0 - abs(n_stop / CAST(n_tokens AS DOUBLE) - 0.4))"
+         )} AS quality
+  FROM qb
+),
+m AS (SELECT g.doc_id, g.group_id, q.quality FROM grp g JOIN q USING (doc_id)),
+k AS (
+  SELECT group_id, doc_id AS keeper_id,
+         row_number() OVER (PARTITION BY group_id
+                            ORDER BY quality DESC, doc_id ASC) AS rn
+  FROM m
+)
+SELECT m.doc_id, m.group_id, m.quality, k.keeper_id,
+       m.doc_id = k.keeper_id AS keep
+FROM m JOIN k ON m.group_id = k.group_id AND k.rn = 1
+ORDER BY m.doc_id
 """
 
     # the composed pipeline: the SAME stage CTEs as repetition /
@@ -4353,6 +4466,96 @@ SELECT doc_id,
        {sql_round6("CASE WHEN k_i = 1 THEN 0.0 "
                    "ELSE ln(CAST(n_i AS DOUBLE)) - clnc / n_i END")} AS entropy
 FROM t LEFT JOIN a USING (doc_id) ORDER BY doc_id
+"""
+
+    # JSD with every ln on an INTEGER input: mixture prob m_t =
+    # (a·B + b·A)/(2·A·B) — integer numerator over constant integer
+    # denominator — so H(m) = ln D − (Σ n·ln n)/D; only Σ-order noise
+    # crosses engines, absorbed by round6 (the token_entropy contract)
+    _sd_mix = "ln(CAST(2 * ta * tb AS DOUBLE)) - xs / CAST(2 * ta * tb AS DOUBLE)"
+    sqls["source_divergence"] = f"""
+WITH t AS (
+  SELECT source AS src,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents WHERE source IS NOT NULL
+),
+c AS (
+  SELECT src, w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT src, unnest(l) AS w FROM t) GROUP BY src, w
+),
+h AS (
+  SELECT src, CAST(sum(c) AS BIGINT) AS n_i,
+         CAST(count(*) AS BIGINT) AS k_i,
+         sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clnc
+  FROM c GROUP BY src
+),
+e AS (
+  SELECT src, n_i,
+         CASE WHEN k_i = 1 THEN 0.0
+              ELSE ln(CAST(n_i AS DOUBLE)) - clnc / n_i END AS hh
+  FROM h
+),
+p AS (SELECT a.src AS sa, b.src AS sb FROM e a JOIN e b ON a.src < b.src),
+u AS (
+  SELECT p.sa, p.sb, c.w, c.c AS ca, CAST(0 AS BIGINT) AS cb
+  FROM c JOIN p ON c.src = p.sa
+  UNION ALL
+  SELECT p.sa, p.sb, c.w, CAST(0 AS BIGINT) AS ca, c.c AS cb
+  FROM c JOIN p ON c.src = p.sb
+),
+g AS (
+  SELECT sa, sb, w,
+         CAST(sum(ca) AS BIGINT) AS ca, CAST(sum(cb) AS BIGINT) AS cb
+  FROM u GROUP BY sa, sb, w
+),
+x AS (
+  SELECT g.sa, g.sb, ea.n_i AS ta, eb.n_i AS tb,
+         ea.hh AS h_a, eb.hh AS h_b,
+         CAST(count(*) AS BIGINT) AS n_terms,
+         sum(CAST(g.ca * eb.n_i + g.cb * ea.n_i AS DOUBLE)
+             * ln(CAST(g.ca * eb.n_i + g.cb * ea.n_i AS DOUBLE))) AS xs
+  FROM g JOIN e ea ON g.sa = ea.src JOIN e eb ON g.sb = eb.src
+  GROUP BY 1, 2, 3, 4, 5, 6
+)
+SELECT sa AS source_a, sb AS source_b, n_terms,
+       {sql_round6("h_a")} AS entropy_a,
+       {sql_round6("h_b")} AS entropy_b,
+       {sql_round6(_sd_mix)} AS entropy_mix,
+       {sql_round6(f"{_sd_mix} - (h_a + h_b) / 2.0")} AS jsd
+FROM x ORDER BY source_a, source_b
+"""
+
+    sqls["tokenizer_fertility"] = f"""
+WITH t AS (
+  SELECT lang, text,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents WHERE lang IS NOT NULL
+),
+s AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                  x -> x <> ''))) AS BIGINT) AS n_words,
+         CAST(sum(len(regexp_extract_all(lower(text),
+                  '[a-z0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS n_pieces,
+         CAST(sum(length(text)) AS BIGINT) AS n_chars
+  FROM t GROUP BY lang
+),
+v AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS vocab
+  FROM (SELECT DISTINCT lang, unnest(l) AS w FROM t) GROUP BY lang
+)
+SELECT s.lang, n_docs, n_words, n_pieces, n_chars,
+       coalesce(vocab, 0) AS vocab,
+       CASE WHEN n_words > 0
+            THEN {sql_round6("n_pieces / CAST(n_words AS DOUBLE)")}
+       END AS fertility,
+       CASE WHEN n_pieces > 0
+            THEN {sql_round6("n_chars / CAST(n_pieces AS DOUBLE)")}
+       END AS chars_per_piece
+FROM s LEFT JOIN v ON s.lang = v.lang ORDER BY s.lang
 """
 
     sqls["heaps_profile"] = f"""

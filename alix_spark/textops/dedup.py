@@ -532,6 +532,68 @@ def dup_groups(
     )
 
 
+def dedup_canonical(
+    df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(doc_id, group_id, quality, keeper_id, keep): per-near-dup-
+    cluster CANONICAL selection — the decision step a production dedup
+    pipeline runs after connected components: instead of blindly
+    keeping the minimum doc id, keep the highest-QUALITY member of
+    each cluster (quality_scores' composite), ties broken by doc id
+    asc. Near-dup clusters routinely mix a clean original with
+    truncated/boilerplate-wrapped recrawls; min-id keeps whichever was
+    crawled first, keep-best keeps the copy worth training on.
+
+    Composition: jaccard_pairs (threshold ``threshold``) → dup_groups
+    connected components → quality join → per-group argmax. The NEW
+    machinery is the argmax: a row_number window over group_id
+    (partitions = clusters, each a handful of rows) picks rn=1, and the
+    keeper id rides back on a count-guarded broadcast join. Docs in no
+    cluster keep themselves trivially and never appear (dup_groups
+    contract). Determinism: quality is round6-quantized on both
+    engines, so the (quality DESC, doc_id ASC) order has no float
+    half-case; the window shuffles only cluster MEMBERS (a tiny
+    fraction of the corpus), never the corpus itself."""
+    from pyspark.sql.window import Window
+
+    from alix_spark.textops.textstats import quality_scores
+
+    pairs = jaccard_pairs(
+        df, threshold=threshold, id_col=id_col, text_col=text_col, n=n
+    )
+    groups = dup_groups(pairs)
+    quality = quality_scores(df, id_col=id_col, text_col=text_col).select(
+        "doc_id", "quality"
+    )
+    # lazy pin: members feeds BOTH the keeper window (whose
+    # maybe_broadcast count is the first action) and the final join —
+    # without it the quality scan + CC join would run twice
+    members = groups.join(quality, "doc_id").localCheckpoint(eager=False)
+    w = Window.partitionBy("group_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    keepers = (
+        members.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("group_id", F.col("doc_id").alias("keeper_id"))
+    )
+    return (
+        members.join(maybe_broadcast(keepers), "group_id")
+        .select(
+            "doc_id",
+            "group_id",
+            "quality",
+            "keeper_id",
+            (F.col("doc_id") == F.col("keeper_id")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def dup_spans(
     docs: DataFrame,
     k: int = 50,

@@ -621,6 +621,35 @@ def repetition_scores(
     )
 
 
+def _entropy_agg(counts: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Entropy sufficient statistics per group over a term-count table
+    carrying a ``c`` column: ``n_i`` (total tokens), ``k_i`` (distinct
+    types) and ``clnc = Σ c·ln c`` — the ln-on-integer-counts
+    decomposition ``H = ln n − Σ c·ln c / n`` shared by
+    :func:`token_entropy` (group = doc) and :func:`source_divergence`
+    (group = source). ``ln`` runs on integer counts only, so both
+    engines compute bit-identical logs on the same inputs; the final
+    round6 of the assembled entropy absorbs sum-order noise (the
+    repo-wide float contract)."""
+    return counts.groupBy(*group_cols).agg(
+        F.sum("c").cast("long").alias("n_i"),
+        F.count("*").cast("long").alias("k_i"),
+        F.sum(
+            F.col("c").cast("double") * F.log(F.col("c").cast("double"))
+        ).alias("clnc"),
+    )
+
+
+def _entropy_expr() -> F.Column:
+    """The entropy Column over :func:`_entropy_agg` output columns.
+    ``k_i == 1`` is pinned to exactly 0.0 on both engines: the math is
+    exactly zero there but the float expression lands within ±1 ulp of
+    the 1e-6 floor boundary — the one systematic round6 half-case."""
+    return F.when(F.col("k_i") == 1, F.lit(0.0)).otherwise(
+        F.log(F.col("n_i").cast("double")) - F.col("clnc") / F.col("n_i")
+    )
+
+
 def token_entropy(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -659,16 +688,8 @@ def token_entropy(
         .groupBy("doc_id", "w")
         .agg(F.count("*").cast("long").alias("c"))
     )
-    agg = counts.groupBy("doc_id").agg(
-        F.sum("c").cast("long").alias("n_i"),
-        F.count("*").cast("long").alias("k_i"),
-        F.sum(
-            F.col("c").cast("double") * F.log(F.col("c").cast("double"))
-        ).alias("clnc"),
-    )
-    ent = F.when(F.col("k_i") == 1, F.lit(0.0)).otherwise(
-        F.log(F.col("n_i").cast("double")) - F.col("clnc") / F.col("n_i")
-    )
+    agg = _entropy_agg(counts, ["doc_id"])
+    ent = _entropy_expr()
     return (
         base.select("doc_id")
         .join(agg, "doc_id", "left")
@@ -680,6 +701,189 @@ def token_entropy(
         )
         .orderBy("doc_id")
     )
+
+
+def source_divergence(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    toks_col: str | None = None,
+    max_groups: int = 64,
+) -> DataFrame:
+    """(source_a, source_b, n_terms, entropy_a, entropy_b, entropy_mix,
+    jsd): pairwise Jensen–Shannon divergence (nats, ∈ [0, ln 2])
+    between the unigram term distributions of every source pair — the
+    domain-distance map behind training-mixture design (which corpora
+    are redundant, which add coverage; the DSIR/DoReMi-family
+    diagnostics compare domains exactly this way).
+
+    Float contract: every ``ln`` runs on an INTEGER input, so both
+    engines log the same values bit-identically. With per-term counts
+    ``a, b`` and totals ``A, B``, the equal-weight mixture probability
+    is ``m_t = (a·B + b·A) / (2·A·B)`` — integer numerator ``n_t`` over
+    the constant integer denominator ``D`` — so
+    ``H(m) = ln D − (Σ n_t·ln n_t)/D`` and likewise
+    ``H(p) = ln A − (Σ a·ln a)/A``: the only cross-engine float
+    divergence left is Σ-order noise, absorbed by the final round6
+    (the zipf/token_entropy precedent). JSD = H(m) − (H(p)+H(q))/2.
+
+    Scale shape: the per-(source, term) count table is built once with
+    map-side combine and lazily pinned (three consumers); the pair
+    fan-out is two BROADCAST equi-joins against the tiny (sa, sb) pair
+    skeleton (never an OR-condition join, which would plan as a
+    nested-loop) followed by ONE map-side-combined groupBy — the corpus
+    is never joined to itself. Cost is O(k²·V) rows for k sources over
+    vocabulary V, which is why ``max_groups`` guards k (raises above
+    it, like source_overlap's cap): this is a domain diagnostic over
+    tens of corpora, not a per-doc operator. NULL-``group_col`` docs
+    belong to no distribution and are excluded on both sides;
+    token-less sources carry no distribution and emit no pairs."""
+    tok_expr = (
+        F.col(toks_col) if toks_col is not None else tokens_array(df, text_col)
+    )
+    base = df.filter(F.col(group_col).isNotNull()).select(
+        F.col(group_col).alias("src"), tok_expr.alias("toks")
+    )
+    counts = (
+        base.select("src", F.explode("toks").alias("w"))
+        .groupBy("src", "w")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    stats = _entropy_agg(counts, ["src"])
+    srows = stats.select("src").limit(max_groups + 1).collect()
+    if len(srows) > max_groups:
+        raise ValueError(
+            f"source_divergence: more than {max_groups} distinct "
+            f"'{group_col}' values — the pairwise fan-out is quadratic "
+            "in the group count; pre-aggregate or raise max_groups "
+            "deliberately"
+        )
+    srcs = sorted(r.src for r in srows)
+    spark = df.sparkSession
+    pairs = spark.createDataFrame(
+        [(a, b) for i, a in enumerate(srcs) for b in srcs[i + 1 :]],
+        schema="sa string, sb string",
+    )
+    a_side = counts.join(F.broadcast(pairs), counts["src"] == pairs["sa"]).select(
+        "sa", "sb", "w", F.col("c").alias("ca"), F.lit(0).cast("long").alias("cb")
+    )
+    b_side = counts.join(F.broadcast(pairs), counts["src"] == pairs["sb"]).select(
+        "sa", "sb", "w", F.lit(0).cast("long").alias("ca"), F.col("c").alias("cb")
+    )
+    union_counts = (
+        a_side.unionAll(b_side)
+        .groupBy("sa", "sb", "w")
+        .agg(F.sum("ca").cast("long").alias("ca"), F.sum("cb").cast("long").alias("cb"))
+    )
+    h = stats.select(
+        "src", "n_i", _entropy_expr().alias("hh")
+    )
+    ha = h.select(
+        F.col("src").alias("sa"), F.col("n_i").alias("ta"), F.col("hh").alias("h_a")
+    )
+    hb = h.select(
+        F.col("src").alias("sb"), F.col("n_i").alias("tb"), F.col("hh").alias("h_b")
+    )
+    n_t = F.col("ca") * F.col("tb") + F.col("cb") * F.col("ta")
+    per_pair = (
+        union_counts.join(F.broadcast(ha), "sa")
+        .join(F.broadcast(hb), "sb")
+        .groupBy("sa", "sb", "ta", "tb", "h_a", "h_b")
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.sum(n_t.cast("double") * F.log(n_t.cast("double"))).alias("xs"),
+        )
+    )
+    d = (F.lit(2) * F.col("ta") * F.col("tb")).cast("double")
+    h_mix = F.log(d) - F.col("xs") / d
+    return per_pair.select(
+        F.col("sa").alias("source_a"),
+        F.col("sb").alias("source_b"),
+        "n_terms",
+        round6(F.col("h_a")).alias("entropy_a"),
+        round6(F.col("h_b")).alias("entropy_b"),
+        round6(h_mix).alias("entropy_mix"),
+        round6(h_mix - (F.col("h_a") + F.col("h_b")) / F.lit(2.0)).alias("jsd"),
+    ).orderBy("source_a", "source_b")
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """(lang, n_docs, n_words, n_pieces, n_chars, vocab, fertility,
+    chars_per_piece): per-language tokenizer-fertility census — the
+    BLOOM/XGLM-style diagnostic for how expensively a tokenizer
+    represents each language. ``n_words`` counts whitespace words
+    (token_counts' ws definition), ``n_pieces`` the BPE-ish subword
+    proxy (alnum runs + lone non-alnum non-space chars), ``vocab`` the
+    distinct lowercase alnum types; fertility = pieces per word. A
+    fertility far above the corpus norm flags a language the tokenizer
+    fragments (→ more compute per byte of signal); chars_per_piece is
+    the compression view of the same fact.
+
+    Float contract: all sums are integers (exact under any aggregation
+    order); the two ratios divide identical integers on both engines
+    and round6 — no half-case. NULL-``lang_col`` docs belong to no
+    census row and are excluded on both sides; ratios are NULL when
+    their denominator is 0 rather than a division error.
+
+    Scale shape: one scan computing per-doc integer counters →
+    map-side-combined groupBy(lang) (output rows = languages); the
+    vocab channel is a second map-side-combined (lang, term) roll-up
+    whose shuffle volume is per-language vocabulary, not tokens. All
+    JVM column expressions, no Python stage, no window."""
+    base = df.filter(F.col(lang_col).isNotNull()).select(
+        F.col(lang_col).alias("lang"),
+        F.col(text_col).alias("text"),
+        tokens_array(df, text_col).alias("toks"),
+    )
+    per_doc = base.select(
+        "lang",
+        F.size(
+            F.filter(F.split(F.col("text"), "\\s+"), lambda x: x != F.lit(""))
+        ).cast("long").alias("ws"),
+        F.size(
+            F.expr(
+                "regexp_extract_all(lower(`text`), '[a-z0-9]+|[^a-z0-9\\\\s]', 0)"
+            )
+        ).cast("long").alias("pieces"),
+        F.length("text").cast("long").alias("chars"),
+    )
+    sums = per_doc.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("ws").cast("long").alias("n_words"),
+        F.sum("pieces").cast("long").alias("n_pieces"),
+        F.sum("chars").cast("long").alias("n_chars"),
+    )
+    vocab = (
+        base.select("lang", F.explode("toks").alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count("*").alias("_c"))
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("vocab"))
+    )
+    out = sums.join(vocab, "lang", "left")
+    return out.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_pieces",
+        "n_chars",
+        F.coalesce("vocab", F.lit(0)).cast("long").alias("vocab"),
+        F.when(
+            F.col("n_words") > 0,
+            round6(F.col("n_pieces") / F.col("n_words").cast("double")),
+        ).alias("fertility"),
+        F.when(
+            F.col("n_pieces") > 0,
+            round6(F.col("n_chars") / F.col("n_pieces").cast("double")),
+        ).alias("chars_per_piece"),
+    ).orderBy("lang")
 
 
 def heaps_profile(

@@ -362,3 +362,50 @@ class TestBloomMembership:
             dedup.bloom_membership(df, F.lit(True), k=5)
         with pytest.raises(ValueError, match="m_bits"):
             dedup.bloom_membership(df, F.lit(True), m_bits=16)
+
+
+class TestDedupCanonical:
+    def test_keeper_is_highest_quality_then_min_id(self, spark):
+        # docs 1/2 near-dup (2 is a truncation -> fewer tokens ->
+        # lower quality); docs 4/5 identical text (quality tie ->
+        # min id wins); doc 3 is a singleton and never appears
+        df = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon zeta eta theta"),
+                (2, "alpha beta gamma delta epsilon zeta"),
+                (3, "completely unrelated content lives here now"),
+                (4, "shared duplicate page body text here"),
+                (5, "shared duplicate page body text here"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {
+            r.doc_id: r
+            for r in dedup.dedup_canonical(df, threshold=0.3).collect()
+        }
+        assert set(rows) == {1, 2, 4, 5}
+        assert rows[1].keep is True and rows[1].keeper_id == 1
+        assert rows[2].keep is False and rows[2].keeper_id == 1
+        assert rows[1].quality > rows[2].quality
+        # quality tie -> lower doc id keeps
+        assert rows[4].quality == rows[5].quality
+        assert rows[4].keep is True and rows[5].keeper_id == 4
+        # one keeper per group
+        assert rows[1].group_id == rows[2].group_id
+        assert rows[4].group_id == rows[5].group_id
+
+    def test_string_ids_and_null_text(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("a", "the same page body appears twice here"),
+                ("b", "the same page body appears twice here"),
+                ("c", None),
+            ],
+            "doc_id string, text string",
+        )
+        rows = {
+            r.doc_id: r
+            for r in dedup.dedup_canonical(df, threshold=0.3).collect()
+        }
+        assert set(rows) == {"a", "b"}
+        assert rows["a"].keep is True and rows["b"].keeper_id == "a"

@@ -1714,3 +1714,135 @@ class TestRefinedwebLines:
         )
         r = webpipe.refinedweb_lines(docs).collect()[0]
         assert r.removed_lines == 1  # only the all-caps headline
+
+
+class TestSourceDivergence:
+    def _jsd(self, p: dict, q: dict) -> float:
+        # straight probability-space formula, independent of the
+        # engine's ln-on-integers decomposition
+        import math
+
+        terms = set(p) | set(q)
+        m = {t: (p.get(t, 0.0) + q.get(t, 0.0)) / 2.0 for t in terms}
+
+        def h(d):
+            return -sum(v * math.log(v) for v in d.values() if v > 0)
+
+        return h(m) - (h(p) + h(q)) / 2.0
+
+    def test_known_values(self, spark):
+        import math
+
+        df = spark.createDataFrame(
+            [(1, "a a b", "s1"), (2, "a c", "s2")],
+            "doc_id long, text string, source string",
+        )
+        r = textstats.source_divergence(df).collect()
+        assert len(r) == 1
+        row = r[0]
+        assert (row.source_a, row.source_b, row.n_terms) == ("s1", "s2", 3)
+        p = {"a": 2 / 3, "b": 1 / 3}
+        q = {"a": 1 / 2, "c": 1 / 2}
+        assert row.entropy_a == pytest.approx(
+            -sum(v * math.log(v) for v in p.values()), abs=1e-6
+        )
+        assert row.jsd == pytest.approx(self._jsd(p, q), abs=1e-6)
+
+    def test_identical_distributions_give_zero(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c", "s1"), (2, "a b c", "s2")],
+            "doc_id long, text string, source string",
+        )
+        assert textstats.source_divergence(df).collect()[0].jsd == 0.0
+
+    def test_disjoint_vocab_is_ln2(self, spark):
+        import math
+
+        df = spark.createDataFrame(
+            [(1, "a b", "s1"), (2, "c d", "s2")],
+            "doc_id long, text string, source string",
+        )
+        row = textstats.source_divergence(df).collect()[0]
+        assert row.jsd == pytest.approx(math.log(2), abs=1e-6)
+        assert row.n_terms == 4
+
+    def test_null_and_tokenless_sources_excluded(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b", "s1"), (2, "b c", "s2"), (3, "x", None), (4, "", "s3")],
+            "doc_id long, text string, source string",
+        )
+        rows = textstats.source_divergence(df).collect()
+        # s3 has no tokens, NULL source has no identity: one pair only
+        assert [(r.source_a, r.source_b) for r in rows] == [("s1", "s2")]
+
+    def test_max_groups_guard(self, spark):
+        df = spark.createDataFrame(
+            [(i, "a", f"s{i}") for i in range(3)],
+            "doc_id long, text string, source string",
+        )
+        with pytest.raises(ValueError):
+            textstats.source_divergence(df, max_groups=2)
+
+    def test_shares_entropy_machinery_with_token_entropy(self, spark):
+        # the per-source entropy channel must equal token_entropy's
+        # value on a doc holding the same token multiset — both run
+        # the ONE _entropy_agg/_entropy_expr decomposition
+        df = spark.createDataFrame(
+            [(1, "a a b c", "s1"), (2, "z z", "s2")],
+            "doc_id long, text string, source string",
+        )
+        div = textstats.source_divergence(df).collect()[0]
+        ent = {
+            r.doc_id: r.entropy for r in textstats.token_entropy(df).collect()
+        }
+        assert div.entropy_a == ent[1]
+        assert div.entropy_b == ent[2]  # single-type source: exact 0.0
+        assert div.entropy_b == 0.0
+
+
+class TestTokenizerFertility:
+    def test_known_values(self, spark):
+        df = spark.createDataFrame(
+            [(1, "ab cd", "en"), (2, "a-b", "en"), (3, "xy", "fr")],
+            "doc_id long, text string, lang string",
+        )
+        rows = {r.lang: r for r in textstats.tokenizer_fertility(df).collect()}
+        en = rows["en"]
+        # "ab cd": 2 words / 2 pieces; "a-b": 1 word / 3 pieces (a, -, b)
+        assert (en.n_docs, en.n_words, en.n_pieces, en.n_chars) == (2, 3, 5, 8)
+        assert en.vocab == 4  # {ab, cd, a, b}
+        assert en.fertility == pytest.approx(5 / 3, abs=1e-6)
+        assert en.chars_per_piece == pytest.approx(8 / 5, abs=1e-6)
+        assert rows["fr"].fertility == 1.0
+
+    def test_null_lang_excluded_null_text_counted(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b", "en"), (2, None, "en"), (3, "x", None)],
+            "doc_id long, text string, lang string",
+        )
+        rows = {r.lang: r for r in textstats.tokenizer_fertility(df).collect()}
+        assert list(rows) == ["en"]
+        # the NULL-text doc is a census member with zero evidence
+        assert rows["en"].n_docs == 2
+        assert rows["en"].n_words == 2
+
+    def test_zero_denominators_give_null(self, spark):
+        df = spark.createDataFrame(
+            [(1, "", "de")], "doc_id long, text string, lang string"
+        )
+        r = textstats.tokenizer_fertility(df).collect()[0]
+        assert r.fertility is None and r.chars_per_piece is None
+        assert (r.n_docs, r.vocab) == (1, 0)
+
+    def test_no_python_stage(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b", "en")], "doc_id long, text string, lang string"
+        )
+        plan = (
+            textstats.tokenizer_fertility(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in plan
