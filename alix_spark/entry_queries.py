@@ -1246,6 +1246,18 @@ def q_tokenizer_fertility(spark, sf_dir):
     return textstats.tokenizer_fertility(_docs(spark, sf_dir))
 
 
+def q_doc_freq_spectrum(spark, sf_dir):
+    """Document-frequency spectrum (WIMBD-style corpus census): terms
+    and token mass per df value — all-integer, no float contract."""
+    return textstats.doc_freq_spectrum(_docs(spark, sf_dir))
+
+
+def q_embedding_stats(spark, sf_dir):
+    """Per-label vector-hygiene census over the embeddings table
+    (dims, norms, NULL/zero vectors — the pre-ANN admission gate)."""
+    return similarity.embedding_stats(_emb(spark, sf_dir))
+
+
 def q_heaps_profile(spark, sf_dir):
     """Per-source Heaps'-law growth fit (OLS of ln cumulative vocab on
     ln cumulative tokens in doc_id order) via the pack_shards-style
@@ -1775,10 +1787,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # code path (dimension-wise centroid aggregation + pairwise
         # cosine on the centroid table)
         "centroid_similarity": q_centroid_similarity,
-        # --- new this round: web-pipeline hygiene ops
-        "repetition": q_repetition,
+        # --- new this round: web-pipeline hygiene ops.
+        # repetition and pii_scrub rotated out sixth session: BOTH run
+        # VERBATIM inside in-window training_shard
+        # (webpipe.training_shard calls repetition_scores for its
+        # top2_frac gate and scrub_pii for the survivor payload — the
+        # ccnet_buckets/lm_score containment precedent), freeing slots
+        # for doc_freq_spectrum (the NEW all-integer df-spectrum
+        # census path) and embedding_stats (the NEW vector-hygiene
+        # census over the embeddings table)
+        "doc_freq_spectrum": q_doc_freq_spectrum,
         "url_canon": q_url_canon,
-        "pii_scrub": q_pii_scrub,
+        "embedding_stats": q_embedding_stats,
         "domain_stats": q_domain_stats,
         # dedup_groups rotates to the tail for mix_report: its
         # connected-components code runs inside training_shard's
@@ -1968,6 +1988,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_entropy": q_token_entropy,
         "lm_score": q_lm_score,
         "quality_classifier": q_quality_classifier,
+        "repetition": q_repetition,
+        "pii_scrub": q_pii_scrub,
         "bm25_wand_or": q_bm25_wand_or,
         "bm25_single": q_bm25_single,
         "sim_freq": q_sim_freq,
@@ -4524,6 +4546,57 @@ SELECT sa AS source_a, sb AS source_b, n_terms,
        {sql_round6(_sd_mix)} AS entropy_mix,
        {sql_round6(f"{_sd_mix} - (h_a + h_b) / 2.0")} AS jsd
 FROM x ORDER BY source_a, source_b
+"""
+
+    # all-integer spectrum: (term, doc) roll-up → per-term df/tf →
+    # per-df census; no float contract at all
+    sqls["doc_freq_spectrum"] = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents
+),
+c AS (
+  SELECT w, doc_id, count(*) AS c
+  FROM (SELECT doc_id, unnest(l) AS w FROM t) GROUP BY w, doc_id
+),
+s AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS df, CAST(sum(c) AS BIGINT) AS tf
+  FROM c GROUP BY w
+)
+SELECT df, CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(tf) AS BIGINT) AS n_tokens
+FROM s GROUP BY df ORDER BY df
+"""
+
+    # norms exactly as the proven-green ann_cosine pairing (Spark
+    # aggregate-lambda vs pre-doubled list_transform); list_sum of an
+    # empty list is NULL in DuckDB while Spark's aggregate seed gives
+    # 0.0 — coalesce pins the empty-vector case to 0.0 on both sides
+    sqls["embedding_stats"] = f"""
+WITH e AS (
+  SELECT label,
+         CASE WHEN embedding IS NULL THEN NULL
+              ELSE sqrt(coalesce(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 0.0))
+         END AS nrm,
+         CASE WHEN embedding IS NULL THEN NULL
+              ELSE CAST(len(embedding) AS BIGINT) END AS dim,
+         CASE WHEN embedding IS NULL THEN 1 ELSE 0 END AS is_null
+  FROM embeddings
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(is_null) AS BIGINT) AS null_vecs,
+       min(dim) AS dim_min,
+       max(dim) AS dim_max,
+       {sql_round6("min(nrm)")} AS min_norm,
+       {sql_round6("avg(nrm)")} AS mean_norm,
+       {sql_round6("max(nrm)")} AS max_norm,
+       CAST(coalesce(sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS zero_vecs
+FROM e GROUP BY label ORDER BY label
 """
 
     sqls["tokenizer_fertility"] = f"""

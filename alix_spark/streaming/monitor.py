@@ -205,6 +205,80 @@ def host_sessions(
     )
 
 
+def lang_drift(
+    pages: DataFrame,
+    baseline: dict[str, float],
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "warc_ts",
+    threshold: float = 0.2,
+) -> DataFrame:
+    """(window_start, window_end, pages, <lang> counts…, tvd, drifted):
+    windowed language-MIX drift monitor — total-variation distance
+    between each finalized window's language shares and the corpus
+    ``baseline`` (the shares the training mixture was designed
+    around). A drifting crawl (a seed-list change flooding one
+    language, a lang-ID regression) shows up the moment its window
+    finalizes, not after the next mixture rebalance; ``threshold`` is
+    the alert line (TVD ∈ [0, 1], 0.2 ≈ a fifth of the mass moved).
+
+    ``baseline`` maps lang → expected share (shares ≥ 0, Σ ≤ 1; the
+    remainder is the expected OTHER mass). Because the baseline langs
+    are known up front, per-lang counts are conditional sums inside
+    ONE watermarked aggregation — no second stateful stage, no pivot,
+    state one row per window; the same append-mode/insert-only
+    finalization contract as :func:`crawl_rate`. NULL lang counts as
+    OTHER (it is observed mass, just not a baseline language).
+
+    Scale: per-row work is a handful of CASE columns; the agg is a
+    standard watermarked hash aggregation. TVD is computed per
+    finalized window row — a few dozen column ops on a tiny result."""
+    from alix_spark.util import round6
+
+    if not baseline:
+        raise ValueError("lang_drift: baseline must name at least one lang")
+    if any(v < 0 for v in baseline.values()):
+        raise ValueError("lang_drift: baseline shares must be >= 0")
+    total_share = sum(baseline.values())
+    if total_share > 1.0 + 1e-9:
+        raise ValueError("lang_drift: baseline shares must sum to <= 1")
+    langs = sorted(baseline)
+    other_share = max(0.0, 1.0 - total_share)
+    agg = (
+        pages.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window))
+        .agg(
+            F.count("*").cast("long").alias("pages"),
+            *(
+                F.sum(
+                    F.when(F.col("lang") == lang, F.lit(1)).otherwise(F.lit(0))
+                )
+                .cast("long")
+                .alias(f"n_{lang}")
+                for lang in langs
+            ),
+        )
+    )
+    total = F.col("pages").cast("double")
+    dev = None
+    for lang in langs:
+        term = F.abs(
+            F.col(f"n_{lang}").cast("double") / total - F.lit(baseline[lang])
+        )
+        dev = term if dev is None else dev + term
+    n_other = F.col("pages") - sum(F.col(f"n_{lang}") for lang in langs)
+    dev = dev + F.abs(n_other.cast("double") / total - F.lit(other_share))
+    tvd = round6(dev / F.lit(2.0))
+    return agg.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "pages",
+        *(f"n_{lang}" for lang in langs),
+        tvd.alias("tvd"),
+        (tvd >= F.lit(threshold)).alias("drifted"),
+    )
+
+
 def recent_dedup(pages: DataFrame, watermark: str = "24 hours") -> DataFrame:
     """Streaming content dedup with BOUNDED state:
     ``dropDuplicatesWithinWatermark`` on the content hash — a recrawl

@@ -71,6 +71,54 @@ def cosine_topk(
     )
 
 
+def embedding_stats(
+    emb: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """(label, n_vecs, null_vecs, dim_min, dim_max, min_norm,
+    mean_norm, max_norm, zero_vecs): per-label vector-hygiene census
+    over an embedding table — the admission gate an ANN/semantic-dedup
+    stage runs BEFORE indexing: ragged dimensions (dim_min ≠ dim_max)
+    break every dot product downstream, zero vectors make cosine
+    undefined, NULL vectors crash UDF batches, and a drifting norm
+    distribution flags an encoder/version mix.
+
+    Float contract: per-vector norms use the SAME aggregate-lambda
+    dot/norm expressions as cosine_topk against the oracle's
+    pre-doubled list_transform form (the proven-green ann_cosine
+    pairing); min/max of identical doubles are identical, the mean's
+    sum-order noise is absorbed by round6. sqrt is exactly rounded in
+    IEEE 754, so it never adds divergence.
+
+    Scale shape: one scan, per-row column expressions, then a
+    map-side-combined groupBy(label) whose output is one row per
+    label — no shuffle of vector payloads, no Python stage."""
+    is_null = F.col(vec_col).isNull()
+    base = emb.select(
+        F.col(label_col).alias("label"),
+        is_null.cast("long").alias("is_null"),
+        F.when(~is_null, _norm(vec_col)).alias("nrm"),
+        F.when(~is_null, F.size(F.col(vec_col)).cast("long")).alias("dim"),
+    )
+    return (
+        base.groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.sum("is_null").cast("long").alias("null_vecs"),
+            F.min("dim").alias("dim_min"),
+            F.max("dim").alias("dim_max"),
+            round6(F.min("nrm")).alias("min_norm"),
+            round6(F.avg("nrm")).alias("mean_norm"),
+            round6(F.max("nrm")).alias("max_norm"),
+            # when(==0.0).otherwise(0): a NULL norm counts as 0, never
+            # as NULL (an all-NULL label must report 0, not NULL)
+            F.sum(
+                F.when(F.col("nrm") == 0.0, F.lit(1)).otherwise(F.lit(0))
+            ).cast("long").alias("zero_vecs"),
+        )
+        .orderBy("label")
+    )
+
+
 def lsh_planes(n_planes: int = 16, dim: int = 64, seed: int = 42) -> np.ndarray:
     """±1 (Rademacher) hyperplanes derived from md5(seed:plane:dim).
 

@@ -703,6 +703,51 @@ def token_entropy(
     )
 
 
+def doc_freq_spectrum(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    toks_col: str | None = None,
+) -> DataFrame:
+    """(df, n_terms, n_tokens): the document-frequency SPECTRUM — for
+    each df value, how many distinct terms appear in exactly that many
+    documents, and their total corpus occurrences. The WIMBD-style
+    corpus census that sizes every downstream decision: the df=1 mass
+    is the hapax/noise pool (OCR junk, ids, typos), the high-df tail
+    is the stopword/boilerplate band a line-dedup or df-cap must
+    handle, and the curve's shape calibrates dedup thresholds
+    (jaccard_pairs' max_shingle_df, url_filter's broadcast guards).
+
+    All-integer outputs — exact under any aggregation order, no float
+    contract at all.
+
+    Scale shape: explode → (term, doc) roll-up → per-term roll-up →
+    spectrum roll-up, ALL map-side-combined hash aggregations (shuffle
+    volume falls at each stage: tokens → term×doc → terms → distinct
+    df values); no window, no Python stage."""
+    tok_expr = (
+        F.col(toks_col) if toks_col is not None else tokens_array(df, text_col)
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), tok_expr.alias("toks"))
+    per_doc = (
+        base.select("doc_id", F.explode("toks").alias("w"))
+        .groupBy("w", "doc_id")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    per_term = per_doc.groupBy("w").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("c").cast("long").alias("tf"),
+    )
+    return (
+        per_term.groupBy("df")
+        .agg(
+            F.count("*").cast("long").alias("n_terms"),
+            F.sum("tf").cast("long").alias("n_tokens"),
+        )
+        .orderBy("df")
+    )
+
+
 def source_divergence(
     df: DataFrame,
     id_col: str = "doc_id",

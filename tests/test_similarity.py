@@ -154,3 +154,37 @@ class TestCentroidSimilarity:
         )
         assert set(got) == {(1, 2)}
         assert got[(1, 2)]["n_a"] == 1  # the NULL vector never counted
+
+
+class TestEmbeddingStats:
+    def test_known_norms_and_null_handling(self, spark):
+        from alix_spark.textops.similarity import embedding_stats
+
+        df = spark.createDataFrame(
+            [
+                (1, [3.0, 4.0], 1),
+                (2, [0.0, 0.0], 1),
+                (3, None, 2),
+                (4, [1.0], 2),
+            ],
+            "vec_id long, embedding array<float>, label int",
+        )
+        rows = {r.label: r for r in embedding_stats(df).collect()}
+        l1 = rows[1]
+        assert (l1.n_vecs, l1.null_vecs, l1.dim_min, l1.dim_max) == (2, 0, 2, 2)
+        assert (l1.min_norm, l1.mean_norm, l1.max_norm) == (0.0, 2.5, 5.0)
+        assert l1.zero_vecs == 1
+        l2 = rows[2]
+        # the NULL vector is counted but contributes no dim/norm
+        assert (l2.n_vecs, l2.null_vecs, l2.dim_min, l2.dim_max) == (2, 1, 1, 1)
+        assert l2.zero_vecs == 0 and l2.mean_norm == 1.0
+
+    def test_ragged_dims_surface(self, spark):
+        from alix_spark.textops.similarity import embedding_stats
+
+        df = spark.createDataFrame(
+            [(1, [1.0], 7), (2, [1.0, 0.0], 7)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        r = embedding_stats(df).collect()[0]
+        assert (r.dim_min, r.dim_max) == (1, 2)

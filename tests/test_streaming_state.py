@@ -226,3 +226,59 @@ def test_recent_dedup_bounds_state_to_watermark(spark, tmp_path):
     # NULL-payload pages carry no content: BOTH pass through un-deduped
     assert "https://n/1" in urls and "https://n/2" in urls
     assert len(urls) == 7
+
+
+def test_lang_drift_flags_a_mix_shift(spark, tmp_path):
+    """TVD between a finalized window's language shares and the design
+    baseline; a window matching the baseline stays quiet, a flooded
+    window trips the threshold. NULL lang counts as OTHER mass."""
+    src = str(tmp_path / "src")
+    # window 1 (10:00): 2 fr + 2 en — exactly the 50/50 baseline
+    _write_drop(spark, [
+        ("https://d/1", "2024-01-01 10:10:00", b"x", "fr"),
+        ("https://d/2", "2024-01-01 10:20:00", b"x", "en"),
+        ("https://d/3", "2024-01-01 10:30:00", b"x", "fr"),
+        ("https://d/4", "2024-01-01 10:40:00", b"x", "en"),
+    ], os.path.join(src, "drop1"))
+    # window 2 (11:00): all-fr flood + one NULL lang (OTHER mass)
+    _write_drop(spark, [
+        ("https://d/5", "2024-01-01 11:10:00", b"x", "fr"),
+        ("https://d/6", "2024-01-01 11:20:00", b"x", "fr"),
+        ("https://d/7", "2024-01-01 11:30:00", b"x", "fr"),
+        ("https://d/8", "2024-01-01 11:40:00", b"x", None),
+    ], os.path.join(src, "drop2"))
+    # advance the watermark so both windows finalize (keep-alive pin)
+    _write_drop(spark, [
+        ("https://d/9", "2024-01-01 15:05:00", b"x", "fr"),
+    ], os.path.join(src, "drop3"))
+    _write_drop(spark, [
+        ("https://d/10", "2024-01-01 15:06:00", b"x", "fr"),
+    ], os.path.join(src, "drop4"))
+
+    out = _run_stream(
+        spark, src + "/*",
+        lambda s: monitor.lang_drift(
+            s, {"fr": 0.5, "en": 0.5}, window="1 hour", watermark="2 hours"
+        ),
+        "lang_drift_sink",
+    ).collect()
+    by_start = {str(r["window_start"]): r for r in out}
+    calm = by_start["2024-01-01 10:00:00"]
+    assert (calm["pages"], calm["n_fr"], calm["n_en"]) == (4, 2, 2)
+    assert calm["tvd"] == 0.0 and calm["drifted"] is False
+    hot = by_start["2024-01-01 11:00:00"]
+    # shares (0.75, 0, 0.25-other) vs (0.5, 0.5, 0): TVD = 0.5
+    assert (hot["n_fr"], hot["n_en"]) == (3, 0)
+    assert hot["tvd"] == 0.5 and hot["drifted"] is True
+
+
+def test_lang_drift_validates_baseline(spark):
+    import pytest
+
+    df = spark.createDataFrame([], SCHEMA)
+    with pytest.raises(ValueError):
+        monitor.lang_drift(df, {})
+    with pytest.raises(ValueError):
+        monitor.lang_drift(df, {"fr": -0.1})
+    with pytest.raises(ValueError):
+        monitor.lang_drift(df, {"fr": 0.7, "en": 0.6})

@@ -1846,3 +1846,33 @@ class TestTokenizerFertility:
         )
         for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
             assert marker not in plan
+
+
+class TestDocFreqSpectrum:
+    def test_known_spectrum(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "a c"), (3, "a")], "doc_id long, text string"
+        )
+        rows = {r.df: r for r in textstats.doc_freq_spectrum(df).collect()}
+        # b and c each live in one doc; a lives in all three
+        assert (rows[1].n_terms, rows[1].n_tokens) == (2, 2)
+        assert (rows[3].n_terms, rows[3].n_tokens) == (1, 3)
+
+    def test_within_doc_repeats_count_once_for_df(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a a b"), (2, "a"), (3, None)], "doc_id long, text string"
+        )
+        rows = {r.df: r for r in textstats.doc_freq_spectrum(df).collect()}
+        assert (rows[2].n_terms, rows[2].n_tokens) == (1, 3)
+        assert (rows[1].n_terms, rows[1].n_tokens) == (1, 1)
+
+    def test_no_python_stage(self, spark):
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        plan = (
+            textstats.doc_freq_spectrum(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in plan
