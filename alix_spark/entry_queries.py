@@ -4490,11 +4490,14 @@ SELECT doc_id,
 FROM t LEFT JOIN a USING (doc_id) ORDER BY doc_id
 """
 
-    # JSD with every ln on an INTEGER input: mixture prob m_t =
-    # (a·B + b·A)/(2·A·B) — integer numerator over constant integer
-    # denominator — so H(m) = ln D − (Σ n·ln n)/D; only Σ-order noise
-    # crosses engines, absorbed by round6 (the token_entropy contract)
-    _sd_mix = "ln(CAST(2 * ta * tb AS DOUBLE)) - xs / CAST(2 * ta * tb AS DOUBLE)"
+    # JSD with every ln on an INTEGER-VALUED input: mixture prob m_t =
+    # (a·B + b·A)/(2·A·B) — numerator over constant denominator — so
+    # H(m) = ln D − (Σ n·ln n)/D; only Σ-order noise crosses engines,
+    # absorbed by round6 (the token_entropy contract). Cross products
+    # are DOUBLE on both sides (exact below 2^53, overflow-proof at
+    # corpus scale — review batch 26), same operation order as Spark.
+    _sd_d = "2.0 * CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)"
+    _sd_mix = f"ln({_sd_d}) - xs / ({_sd_d})"
     sqls["source_divergence"] = f"""
 WITH t AS (
   SELECT source AS src,
@@ -4535,8 +4538,10 @@ x AS (
   SELECT g.sa, g.sb, ea.n_i AS ta, eb.n_i AS tb,
          ea.hh AS h_a, eb.hh AS h_b,
          CAST(count(*) AS BIGINT) AS n_terms,
-         sum(CAST(g.ca * eb.n_i + g.cb * ea.n_i AS DOUBLE)
-             * ln(CAST(g.ca * eb.n_i + g.cb * ea.n_i AS DOUBLE))) AS xs
+         sum((CAST(g.ca AS DOUBLE) * CAST(eb.n_i AS DOUBLE)
+              + CAST(g.cb AS DOUBLE) * CAST(ea.n_i AS DOUBLE))
+             * ln(CAST(g.ca AS DOUBLE) * CAST(eb.n_i AS DOUBLE)
+                  + CAST(g.cb AS DOUBLE) * CAST(ea.n_i AS DOUBLE))) AS xs
   FROM g JOIN e ea ON g.sa = ea.src JOIN e eb ON g.sb = eb.src
   GROUP BY 1, 2, 3, 4, 5, 6
 )

@@ -562,11 +562,17 @@ def dedup_canonical(
 
     from alix_spark.textops.textstats import quality_scores
 
-    pairs = jaccard_pairs(
-        df, threshold=threshold, id_col=id_col, text_col=text_col, n=n
-    )
+    # tokenize ONCE: both the shingle stage and the quality stage read
+    # the same lazily-pinned toks column (the training_shard
+    # one-tokenize pattern, review batch 15/26)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        tokens_array(df, text_col).alias("toks"),
+    ).localCheckpoint(eager=False)
+    pairs = jaccard_pairs(base, threshold=threshold, n=n, toks_col="toks")
     groups = dup_groups(pairs)
-    quality = quality_scores(df, id_col=id_col, text_col=text_col).select(
+    quality = quality_scores(base, toks_col="toks").select(
         "doc_id", "quality"
     )
     # lazy pin: members feeds BOTH the keeper window (whose

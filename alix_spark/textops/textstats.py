@@ -132,21 +132,37 @@ def quality_scores(
     )
 
 
+def ws_tokens_expr(text_col: str) -> F.Column:
+    """Whitespace-word count Column — THE one definition of a
+    whitespace token, shared by :func:`token_counts` (per doc) and
+    :func:`tokenizer_fertility` (per-language census) so the two can
+    never drift."""
+    return F.size(
+        F.filter(F.split(F.col(text_col), "\\s+"), lambda x: x != F.lit(""))
+    ).cast("long")
+
+
+def bpe_pieces_expr(text_col: str) -> F.Column:
+    """BPE-ish piece count Column (alnum runs + lone non-alnum
+    non-space chars — the subword upper-bound proxy) — the one
+    definition shared by :func:`token_counts` and
+    :func:`tokenizer_fertility`."""
+    return F.size(
+        F.expr(
+            f"regexp_extract_all(lower(`{text_col}`), "
+            "'[a-z0-9]+|[^a-z0-9\\\\s]', 0)"
+        )
+    ).cast("long")
+
+
 def token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, ws_tokens, bpe_ish_tokens): whitespace token count and a
     BPE-ish piece count (alnum runs + individual non-alnum non-space
     chars — an upper bound proxy for subword token count)."""
     return df.select(
         F.col(id_col).alias("doc_id"),
-        F.size(F.filter(F.split(F.col(text_col), "\\s+"), lambda x: x != F.lit("")))
-        .cast("long")
-        .alias("ws_tokens"),
-        F.size(F.expr(
-            f"regexp_extract_all(lower(`{text_col}`), "
-            "'[a-z0-9]+|[^a-z0-9\\\\s]', 0)"
-        ))
-        .cast("long")
-        .alias("bpe_ish_tokens"),
+        ws_tokens_expr(text_col).alias("ws_tokens"),
+        bpe_pieces_expr(text_col).alias("bpe_ish_tokens"),
     )
 
 
@@ -750,7 +766,6 @@ def doc_freq_spectrum(
 
 def source_divergence(
     df: DataFrame,
-    id_col: str = "doc_id",
     text_col: str = "text",
     group_col: str = "source",
     toks_col: str | None = None,
@@ -772,6 +787,12 @@ def source_divergence(
     ``H(p) = ln A − (Σ a·ln a)/A``: the only cross-engine float
     divergence left is Σ-order noise, absorbed by the final round6
     (the zipf/token_entropy precedent). JSD = H(m) − (H(p)+H(q))/2.
+    The cross products ``a·B`` and ``2·A·B`` are computed in DOUBLE on
+    both engines (identical IEEE ops on identical inputs): below 2^53
+    they are exact — bit-identical to integer math — and at
+    pretraining scale (1e10+-token sources, where int64 products would
+    overflow and ANSI mode would kill the job) they degrade to ~1-ulp
+    rounding instead of crashing (review batch 26).
 
     Scale shape: the per-(source, term) count table is built once with
     map-side combine and lazily pinned (three consumers); the pair
@@ -807,9 +828,16 @@ def source_divergence(
         )
     srcs = sorted(r.src for r in srows)
     spark = df.sparkSession
+    # pair-skeleton schema derived from the actual group column type —
+    # a hardcoded string schema would crash on int labels (batch 26)
+    from pyspark.sql.types import StructField, StructType
+
+    gtype = df.schema[group_col].dataType
     pairs = spark.createDataFrame(
         [(a, b) for i, a in enumerate(srcs) for b in srcs[i + 1 :]],
-        schema="sa string, sb string",
+        schema=StructType(
+            [StructField("sa", gtype), StructField("sb", gtype)]
+        ),
     )
     a_side = counts.join(F.broadcast(pairs), counts["src"] == pairs["sa"]).select(
         "sa", "sb", "w", F.col("c").alias("ca"), F.lit(0).cast("long").alias("cb")
@@ -831,17 +859,22 @@ def source_divergence(
     hb = h.select(
         F.col("src").alias("sb"), F.col("n_i").alias("tb"), F.col("hh").alias("h_b")
     )
-    n_t = F.col("ca") * F.col("tb") + F.col("cb") * F.col("ta")
+    # cross products in DOUBLE (exact below 2^53, overflow-proof at
+    # 1e10+-token sources where int64 products would ANSI-crash)
+    n_t = (
+        F.col("ca").cast("double") * F.col("tb").cast("double")
+        + F.col("cb").cast("double") * F.col("ta").cast("double")
+    )
     per_pair = (
         union_counts.join(F.broadcast(ha), "sa")
         .join(F.broadcast(hb), "sb")
         .groupBy("sa", "sb", "ta", "tb", "h_a", "h_b")
         .agg(
             F.count("*").cast("long").alias("n_terms"),
-            F.sum(n_t.cast("double") * F.log(n_t.cast("double"))).alias("xs"),
+            F.sum(n_t * F.log(n_t)).alias("xs"),
         )
     )
-    d = (F.lit(2) * F.col("ta") * F.col("tb")).cast("double")
+    d = F.lit(2.0) * F.col("ta").cast("double") * F.col("tb").cast("double")
     h_mix = F.log(d) - F.col("xs") / d
     return per_pair.select(
         F.col("sa").alias("source_a"),
@@ -856,7 +889,6 @@ def source_divergence(
 
 def tokenizer_fertility(
     df: DataFrame,
-    id_col: str = "doc_id",
     text_col: str = "text",
     lang_col: str = "lang",
 ) -> DataFrame:
@@ -889,14 +921,8 @@ def tokenizer_fertility(
     )
     per_doc = base.select(
         "lang",
-        F.size(
-            F.filter(F.split(F.col("text"), "\\s+"), lambda x: x != F.lit(""))
-        ).cast("long").alias("ws"),
-        F.size(
-            F.expr(
-                "regexp_extract_all(lower(`text`), '[a-z0-9]+|[^a-z0-9\\\\s]', 0)"
-            )
-        ).cast("long").alias("pieces"),
+        ws_tokens_expr("text").alias("ws"),
+        bpe_pieces_expr("text").alias("pieces"),
         F.length("text").cast("long").alias("chars"),
     )
     sums = per_doc.groupBy("lang").agg(

@@ -1775,6 +1775,16 @@ class TestSourceDivergence:
         # s3 has no tokens, NULL source has no identity: one pair only
         assert [(r.source_a, r.source_b) for r in rows] == [("s1", "s2")]
 
+    def test_int_group_column(self, spark):
+        # the pair skeleton derives its schema from the group column
+        # type — int labels must work, not just strings (batch 26)
+        df = spark.createDataFrame(
+            [(1, "a b", 7), (2, "c d", 9)],
+            "doc_id long, text string, source int",
+        )
+        row = textstats.source_divergence(df).collect()[0]
+        assert (row.source_a, row.source_b) == (7, 9)
+
     def test_max_groups_guard(self, spark):
         df = spark.createDataFrame(
             [(i, "a", f"s{i}") for i in range(3)],
