@@ -290,3 +290,45 @@ def test_refinedweb_lines_no_shuffle_no_python(spark):
     assert "hashpartitioning" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_source_divergence_broadcasts_the_pair_skeleton(spark):
+    """The pair fan-out must be broadcast HASH joins against the tiny
+    (sa, sb) skeleton — an OR-condition or cross formulation would go
+    BroadcastNestedLoopJoin and re-scan the counts table per pair."""
+    from alix_spark.textops import textstats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(textstats.source_divergence(docs))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 4  # 2 skeleton + ha + hb
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+
+def test_embedding_stats_single_scan_no_python(spark):
+    """One scan + map-side-combined groupBy(label): no join, no Python
+    stage, no shuffle of vector payloads (the agg ships only the
+    per-label partials)."""
+    from alix_spark.textops.similarity import embedding_stats
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(embedding_stats(emb))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "Join"):
+        assert marker not in plan
+    # partial + final aggregation pairs (label agg), orderBy exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_doc_freq_spectrum_all_hash_aggs(spark):
+    """The three roll-ups (term x doc -> term -> df) must all be hash
+    aggregations with map-side partials — no window, no sort-based agg
+    over the corpus, no Python."""
+    from alix_spark.textops import textstats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(textstats.doc_freq_spectrum(docs))
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "Window"):
+        assert marker not in plan
+    assert plan.count("HashAggregate") >= 6  # 3 roll-ups x partial/final
