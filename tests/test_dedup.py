@@ -409,3 +409,33 @@ class TestDedupCanonical:
         }
         assert set(rows) == {"a", "b"}
         assert rows["a"].keep is True and rows["b"].keeper_id == "a"
+
+
+def test_dedup_canonical_keeper_invariants(spark, hot_corpus):
+    """Exactly one keeper per group; the keeper's quality is the group
+    maximum; every member points at its group's keeper; invariant
+    under input repartitioning."""
+    from alix_spark.textops import dedup as dd
+
+    out = dd.dedup_canonical(hot_corpus, threshold=0.2).collect()
+    assert out, "hot_corpus must produce at least one dup cluster"
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r.group_id, []).append(r)
+    for members in by_group.values():
+        keepers = [m for m in members if m.keep]
+        assert len(keepers) == 1
+        k = keepers[0]
+        assert all(m.keeper_id == k.doc_id for m in members)
+        assert all(m.quality <= k.quality for m in members)
+        # tie-break: no higher-or-equal quality with a smaller id
+        assert all(
+            (m.quality, -m.doc_id) <= (k.quality, -k.doc_id) for m in members
+        )
+    b = [
+        tuple(r)
+        for r in dd.dedup_canonical(
+            hot_corpus.repartition(5), threshold=0.2
+        ).collect()
+    ]
+    assert sorted(tuple(r) for r in out) == sorted(b)

@@ -173,3 +173,51 @@ def test_wand_rank_identical_random(world):
     want = sorted(r6, key=lambda d: (-r6[d], d))[:k]
     got = wand_shard_topk(cursors, k, avgdl, mode=mode)
     assert got == [(d, r6[d]) for d in want]
+
+
+# ------------------------------------------- JSD integer decomposition
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=30),
+    st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=30),
+    st.integers(min_value=0, max_value=20),
+)
+@settings(max_examples=200, deadline=None)
+def test_jsd_integer_decomposition_matches_probability_form(ca, cb, overlap):
+    """source_divergence's ln-on-integers decomposition (H = ln T −
+    Σ c·ln c / T; H(m) = ln 2AB − Σ(aB + bA)·ln(aB + bA) / 2AB) must
+    equal the textbook probability-space JSD on arbitrary count
+    vectors, and stay inside [0, ln 2]."""
+    # vocabularies with a controlled shared prefix
+    a = {f"s{i}": c for i, c in enumerate(ca[: overlap])}
+    a.update({f"a{i}": c for i, c in enumerate(ca[overlap:])})
+    b = {f"s{i}": c for i, c in enumerate(cb[: overlap])}
+    b.update({f"b{i}": c for i, c in enumerate(cb[overlap:])})
+    ta, tb = sum(a.values()), sum(b.values())
+
+    # engine decomposition (every ln on an integer-valued input)
+    def h_dec(counts, t):
+        if len(counts) == 1:
+            return 0.0
+        return math.log(t) - sum(c * math.log(c) for c in counts.values()) / t
+
+    d = 2.0 * ta * tb
+    xs = 0.0
+    for w in set(a) | set(b):
+        n = a.get(w, 0) * tb + b.get(w, 0) * ta
+        xs += n * math.log(n)
+    h_mix = math.log(d) - xs / d
+    jsd_dec = h_mix - (h_dec(a, ta) + h_dec(b, tb)) / 2.0
+
+    # textbook probability-space form
+    p = {w: c / ta for w, c in a.items()}
+    q = {w: c / tb for w, c in b.items()}
+    m = {w: (p.get(w, 0.0) + q.get(w, 0.0)) / 2.0 for w in set(p) | set(q)}
+
+    def h(dist):
+        return -sum(v * math.log(v) for v in dist.values() if v > 0)
+
+    jsd_ref = h(m) - (h(p) + h(q)) / 2.0
+    assert abs(jsd_dec - jsd_ref) < 1e-9
+    assert -1e-9 <= jsd_dec <= math.log(2) + 1e-9

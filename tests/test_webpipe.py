@@ -1886,3 +1886,50 @@ class TestDocFreqSpectrum:
         )
         for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
             assert marker not in plan
+
+
+class TestCensusInvariance:
+    """Partitioning/totals invariants for the census ops — the result
+    must not depend on the input split (the pack_shards precedent)."""
+
+    def test_source_divergence_partitioning_invariance(self, spark):
+        rows = [
+            (i, f"w{i % 7} w{i % 3} common text", f"s{i % 4}")
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        a = [tuple(r) for r in textstats.source_divergence(df).collect()]
+        b = [
+            tuple(r)
+            for r in textstats.source_divergence(df.repartition(13)).collect()
+        ]
+        assert a == b and len(a) == 6  # C(4,2) pairs
+
+    def test_doc_freq_spectrum_totals(self, spark):
+        rows = [(i, f"w{i % 7} w{i % 3} common") for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        spec = textstats.doc_freq_spectrum(df).collect()
+        toks = [t for _, txt in rows for t in txt.split()]
+        # token mass and vocabulary must reconcile exactly
+        assert sum(r.n_tokens for r in spec) == len(toks)
+        assert sum(r.n_terms for r in spec) == len(set(toks))
+        b = [
+            tuple(r)
+            for r in textstats.doc_freq_spectrum(df.repartition(11)).collect()
+        ]
+        assert [tuple(r) for r in spec] == b
+
+    def test_tokenizer_fertility_partitioning_invariance(self, spark):
+        rows = [
+            (i, f"word{i} and-some pieces {i}", ["en", "fr"][i % 2])
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        a = [tuple(r) for r in textstats.tokenizer_fertility(df).collect()]
+        b = [
+            tuple(r)
+            for r in textstats.tokenizer_fertility(df.repartition(7)).collect()
+        ]
+        assert a == b and len(a) == 2
