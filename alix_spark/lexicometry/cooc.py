@@ -16,19 +16,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# above this many pivot occurrences the hits side is no longer "tiny":
-# broadcasting it would ship a stop-word-grade match set to every
-# executor — fall back to a shuffle band-join and let AQE plan it
-MAX_BROADCAST_HITS = 2_000_000
-
-
 def _hits_side(tok: DataFrame, pivot: str):
-    """Pivot occurrences, broadcast only while genuinely small."""
+    """Pivot occurrences, broadcast only while genuinely small — a
+    stop-word-grade pivot falls back to the shuffle band-join. ONE
+    count-guard policy repo-wide (util.maybe_broadcast), not a local
+    copy that could drift from it (review batch 27)."""
+    from alix_spark.util import maybe_broadcast
+
     hits = tok.filter(F.col("term") == pivot).select(
         F.col("doc_id").alias("h_doc"), F.col("pos").alias("h_pos")
     )
-    n = hits.count()
-    return F.broadcast(hits) if n <= MAX_BROADCAST_HITS else hits
+    return maybe_broadcast(hits)
 
 
 def cooc_counts(
@@ -263,8 +261,9 @@ def cooc_profile_scored(
             F.col("entry_radius").cast("long").alias("entry_radius"),
             F.col("entry_rank").cast("long").alias("entry_rank"),
         )
+        # fscore is not in the projection: the analyzer re-adds it for
+        # the Sort and strips it again itself (no .drop needed)
         .orderBy(F.desc("fscore"), F.asc("term"), F.asc("radius"))
-        .drop("fscore")
     )
 
 

@@ -136,7 +136,10 @@ def keyness(
     scalar counts; the scorer is a pure column expression — one shuffle.
     """
     tagged = tok.join(
-        F.broadcast(focus_docs.select("doc_id").distinct().withColumn("is_focus", F.lit(1))),
+        # focus is an arbitrary corpus-filter result (unbounded): no
+        # unconditional broadcast hint — AQE decides from runtime size
+        # (review batch 27)
+        focus_docs.select("doc_id").distinct().withColumn("is_focus", F.lit(1)),
         "doc_id",
         "left",
     ).withColumn("is_focus", F.coalesce("is_focus", F.lit(0)))

@@ -481,7 +481,15 @@ def partition_keyness(
         .groupBy("term")
         .agg(F.count("*").alias("ftd"))
     )
-    focus_docs_n = doc_parts.filter(F.col("part") == focus_part).count()
+    # the coverage denominator as a LAZY in-plan 1-row aggregate +
+    # broadcast crossJoin — an eager .count() here would run a Spark
+    # job at construction time and then re-execute the same subplan
+    # inside the main plan (the corpus-family/theme nfd discipline;
+    # review batch 27)
+    focus_docs_nd = (
+        doc_parts.filter(F.col("part") == focus_part)
+        .agg(F.count("*").cast("double").alias("focus_docs_n"))
+    )
 
     # every (term, non-focus part) cell, including zero cells for parts
     # where the term is absent (cross of focus terms × valid parts)
@@ -523,12 +531,13 @@ def partition_keyness(
         raise KeyError(scorer)
 
     coverage = F.pow(
-        F.col("ftd").cast("double") / F.lit(float(focus_docs_n)),
+        F.col("ftd").cast("double") / F.col("focus_docs_n"),
         F.lit(dispersion),
     )
     return (
         agg.join(focus_term_docs, "term")
         .filter(F.col("ftd") >= min_focus_term_docs)
+        .crossJoin(F.broadcast(focus_docs_nd))
         .select("term", round6(F.col("raw") * coverage).alias("score"))
         .orderBy(F.desc("score"), F.asc("term"))
         .limit(top)

@@ -140,7 +140,11 @@ def suggest_population(
     else:
         pred = folded.contains(qf)
     return (
-        tok.join(F.broadcast(pop_docs.select("doc_id")), "doc_id")
+        # .distinct(): the population is a filter result, and a
+        # repeated doc_id (e.g. from a fanning join upstream) would
+        # double-count that doc's tokens into cf — the same dedup
+        # discipline as keyness/theme/partition (review batch 27)
+        tok.join(F.broadcast(pop_docs.select("doc_id").distinct()), "doc_id")
         .filter(pred)
         .groupBy("term")
         .agg(F.count("*").alias("cf"))

@@ -30,7 +30,11 @@ def contingency(
 ) -> tuple[list[str], list[str], np.ndarray]:
     """Distributed (term × part) count matrix for the most frequent
     terms. Returns (terms, parts, observed)."""
-    t = tok.join(F.broadcast(doc_parts), "doc_id")
+    from alix_spark.util import maybe_broadcast
+
+    # per-doc label table grows with the corpus: count-guarded, the
+    # partition.py:458 precedent (review batch 27)
+    t = tok.join(maybe_broadcast(doc_parts), "doc_id")
     top = (
         t.groupBy("term").agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), F.asc("term")).limit(top_terms)
@@ -223,6 +227,11 @@ def embedding_export(
     ContingencySvd.java:571). Returns pandas (term, v0..v{dim-1}),
     rows unit-normalized (downstream readers rank by dot product)."""
     terms, _parts, obs = contingency(tok, doc_parts, top_terms)
+    if obs.size == 0 or not terms:
+        # same empty-input contract as ca_map (review batch 27): no
+        # matched rows/parts → an empty export, not an
+        # argmax-of-empty crash inside _stable_signs
+        return pd.DataFrame({"term": [], **{f"v{j}": [] for j in range(dim)}})
     exp = ipf_expectation(obs)
     res = residuals(obs, exp, assoc)
     u, s = _residual_svd(res, dim)

@@ -63,8 +63,14 @@ def theme_weights(
         ),
         F.lit(idf_exp),
     )
+    # tstats is the VOCABULARY — unbounded at web scale, so no
+    # unconditional broadcast hint (OOM class named in
+    # util.maybe_broadcast), and no eager count-guard either (tstats
+    # usually shares the un-pinned postings aggregate, so a count
+    # would re-run it as a separate job): AQE picks broadcast-vs-
+    # shuffle from the aggregated runtime size (review batch 27)
     ranked = (
-        acc.join(F.broadcast(tstats.select("term", "df")), "term")
+        acc.join(tstats.select("term", "df"), "term")
         .select("term", "df", round6(idf * F.col("acc")).alias("score"))
         .orderBy(F.desc("score"), F.asc("term"))
     )
@@ -95,6 +101,21 @@ def theme_weights_focus(
     and drive rest_df negative, like keyness.py's .distinct()
     discipline), and restricted to ids the corpus actually contains so
     n_focus_docs matches the marginals."""
+    # fail at entry with the actual requirement, not deep in Spark
+    # analysis with an unresolved-column error (review batch 27): the
+    # factor contrast is the only mode reading cf / corpus_tokens,
+    # which the other stats frames may legitimately omit
+    if mode == "factor":
+        if "cf" not in tstats.columns:
+            raise ValueError(
+                "theme_weights_focus(mode='factor') requires a 'cf' "
+                "column in tstats (corpus term frequency)"
+            )
+        if "corpus_tokens" not in cstats.columns:
+            raise ValueError(
+                "theme_weights_focus(mode='factor') requires a "
+                "'corpus_tokens' column in cstats"
+            )
     focus = focus_docs.select("doc_id").distinct().join(
         dstats.select("doc_id"), "doc_id", "left_semi"
     )
@@ -105,7 +126,9 @@ def theme_weights_focus(
         post.join(dstats.select("doc_id", "dl"), "doc_id")
         .crossJoin(F.broadcast(cstats.select(*c_cols)))
         .join(
-            F.broadcast(focus.withColumn("isf", F.lit(1))),
+            # focus is an arbitrary filter result (unbounded): no
+            # unconditional hint — AQE decides from runtime size
+            focus.withColumn("isf", F.lit(1)),
             "doc_id",
             "left",
         )
@@ -129,8 +152,9 @@ def theme_weights_focus(
         aggs.append(F.first("corpus_tokens").alias("corpus_tokens"))
     per_term = marked.groupBy("term").agg(*aggs)
     t_cols = ["term", "df"] + (["cf"] if "cf" in tstats.columns else [])
+    # vocabulary side: AQE-decided, same rationale as theme_weights
     joined = per_term.join(
-        F.broadcast(tstats.select(*t_cols)), "term"
+        tstats.select(*t_cols), "term"
     ).crossJoin(F.broadcast(nfd))
     if mode == "irdf":
         rest_docs = F.col("n") - F.col("n_focus_docs")
@@ -216,7 +240,7 @@ def doc_term_weights(
     )
     return (
         post.join(dstats.select("doc_id", "dl"), "doc_id")
-        .join(F.broadcast(tstats.select("term", "df")), "term")
+        .join(tstats.select("term", "df"), "term")  # vocabulary: AQE-decided
         .crossJoin(F.broadcast(cstats.select("corpus_docs", "avgdl")))
         .select(
             "term", "doc_id", "tf",

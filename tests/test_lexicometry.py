@@ -771,3 +771,45 @@ def test_ca_map_empty_parts_returns_empty(spark):
     no_parts = spark.createDataFrame([], "doc_id long, part string")
     out = ca_map(tok, no_parts, top_terms=10)
     assert len(out) == 0 and "term" in out.columns
+
+
+def test_embedding_export_empty_input(spark):
+    # same empty-input contract as ca_map (review batch 27): no
+    # matched parts -> empty export, not an argmax-of-empty crash
+    tok = spark.createDataFrame(
+        [(1, 0, "a")], "doc_id long, pos int, term string"
+    )
+    no_parts = spark.createDataFrame([], "doc_id long, part string")
+    out = svd.embedding_export(tok, no_parts, top_terms=10, dim=4)
+    assert len(out) == 0 and "term" in out.columns
+
+
+def test_theme_factor_validates_required_stats(spark, data):
+    _docs, tok = data
+    post = simple.postings(tok)
+    dstats = simple.doc_stats(tok).select("doc_id", "dl")
+    tstats = simple.term_stats(tok)
+    cstats = simple.corpus_stats(tok)
+    focus = dstats.select("doc_id").limit(1)
+    with pytest.raises(ValueError, match="cf"):
+        theme.theme_weights_focus(
+            post, dstats, tstats.drop("cf"), cstats, focus, mode="factor"
+        )
+    with pytest.raises(ValueError, match="corpus_tokens"):
+        theme.theme_weights_focus(
+            post, dstats, tstats, cstats.drop("corpus_tokens"), focus,
+            mode="factor",
+        )
+
+
+def test_suggest_population_duplicate_ids_do_not_double_count(spark):
+    tok = spark.createDataFrame(
+        [(1, "alpha"), (1, "alpha"), (2, "alto"), (2, "alpha")],
+        "doc_id long, term string",
+    )
+    pop_once = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    pop_dup = spark.createDataFrame([(1,), (1,), (2,)], "doc_id long")
+    a = [tuple(r) for r in suggest.suggest_population(tok, pop_once, "al").collect()]
+    b = [tuple(r) for r in suggest.suggest_population(tok, pop_dup, "al").collect()]
+    assert a == b
+    assert dict(a)["alpha"] == 3
