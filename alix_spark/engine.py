@@ -516,6 +516,22 @@ class AlixEngine:
                     self._theme_weights = tw
         return self._theme_weights
 
+    def close(self) -> None:
+        """Release this handle's Spark-side caches (the persisted
+        theme-weights vocabulary). Dataset persist entries live in
+        Spark's CacheManager, NOT in driver GC — a long-lived serving
+        process that drops superseded handles without close() leaks
+        one full-vocabulary cache per republish (review batch 28).
+        Idempotent; the handle stays usable (weights recompute on next
+        use)."""
+        with self._tw_lock:
+            tw, self._theme_weights = self._theme_weights, None
+        if tw is not None:
+            try:
+                tw.unpersist()
+            except Exception:
+                pass  # session already stopped: nothing left to free
+
     def suggest(self, q: str, top: int = 20, population=None) -> DataFrame:
         """Folded prefix/infix completion. With ``population`` (a
         predicate over the corpus), completions rank by the CURRENT

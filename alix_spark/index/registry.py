@@ -90,15 +90,21 @@ class IndexRegistry:
                     changes[name] = "load_failed"
                     continue
                 changes[name] = "reloaded" if name in self._engines else "loaded"
+                old = self._engines.get(name)
                 self._engines[name] = engine
                 self._tokens[name] = token
+                if old is not None:
+                    # release the superseded handle's persisted caches
+                    # — every republish would otherwise leak one
+                    # vocabulary-sized cache entry (review batch 28)
+                    old.close()
         now = time.time()
         for name in list(self._engines):
             if name in seen:
                 continue
             first_missing = self._missing_since.setdefault(name, now)
             if now - first_missing >= self.unload_grace_s:
-                del self._engines[name]
+                self._engines.pop(name).close()
                 self._tokens.pop(name, None)
                 del self._missing_since[name]
                 changes[name] = "unloaded"

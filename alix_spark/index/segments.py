@@ -249,11 +249,17 @@ def build_index(
     if resume:
         for s in range(n_shards):
             if os.path.exists(_manifest_path(index_dir, s)):
+                _check_resume_manifest(index_dir, s, n_shards)
                 done.add(s)
     todo = [s for s in range(n_shards) if s not in done]
 
+    # pmod, not %: Spark's % takes the dividend's sign, so a negative
+    # (e.g. hash-derived) doc_id would land in a negative shard that
+    # the isin(todo) filter silently DROPS — while the packed path's
+    # numpy % is nonnegative and indexes it (review batch 28; the term
+    # hash below already uses pmod for the same reason)
     tok = tok.withColumn(
-        "shard", (F.col("doc_id") % F.lit(n_shards)).cast("int")
+        "shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int")
     )
     # the token table feeds 4 downstream jobs (doc/term stats, corpus
     # scalars, postings encode) — persist it or the whole upstream
@@ -262,135 +268,147 @@ def build_index(
     from pyspark.storagelevel import StorageLevel
 
     tok = tok.persist(StorageLevel.MEMORY_AND_DISK)
-
-    dstats, tstats = _stats(tok)
-    # the small per-doc / per-term aggregates each feed several
-    # downstream jobs (corpus scalars, dl channel, sidecar writes,
-    # term_id ranks) — persist them so the 10^9-row token table is
-    # scanned once per aggregate, not once per consumer
-    dstats = dstats.persist(StorageLevel.MEMORY_AND_DISK)
-    tstats = tstats.persist(StorageLevel.MEMORY_AND_DISK)
-    # corpus scalars via a 1-row agg — never collect the full dl column
-    # to the driver (at 10^12 docs that is a driver OOM)
-    crow = dstats.agg(
-        F.count("*").alias("docs"), F.sum("dl").alias("tokens")
-    ).collect()[0]
-    if not crow["docs"]:
-        raise ValueError(
-            "refusing to build an index from an empty token table "
-            "(build into a staging dir via begin_publish so an empty "
-            "input can never clobber a live index)"
-        )
-    corpus = {
-        "corpus_docs": int(crow["docs"]),
-        "corpus_tokens": int(crow["tokens"]),
-    }
-    avgdl = corpus["corpus_tokens"] / corpus["corpus_docs"]
-
-    if todo:
-        # Salted encode grouping: (shard, term-hash bucket) bounds every
-        # group at ~corpus/(n_shards·SALT_BUCKETS) postings even for the
-        # hottest Zipf-head term, and keeps the applyInPandas group count
-        # fixed instead of one-group-per-term (north rule: salted
-        # repartitioning on term-hash).
-        #
-        # Single-shuffle encode: RAW tokens shuffle once on the salted
-        # key; the (term, doc) roll-up happens inside the bucket with a
-        # C-level pandas groupby. Doc lengths reach the encoder by one
-        # of two paths, switched on corpus size:
-        #   · ≤ dl_broadcast_max docs — a broadcast python dict (no
-        #     extra shuffle, the fast path for every sandbox corpus);
-        #   · above it — a shuffle join of the skinny (doc_id, dl) table
-        #     onto the token stream before the encode groupBy, so the
-        #     driver never materializes the dl map (10^12-doc path).
-        # Both paths produce bit-identical blocks (asserted in tests).
-        dl_join = corpus["corpus_docs"] > dl_broadcast_max
-        dl_bc = None
-        if not dl_join:
-            dl_bc = spark.sparkContext.broadcast(
-                {r["doc_id"]: r["dl"]
-                 for r in dstats.select("doc_id", "dl").collect()}
-            )
-
-        salted = tok.filter(F.col("shard").isin(todo)).withColumn(
-            "tbucket", F.pmod(F.xxhash64("term"), F.lit(SALT_BUCKETS)).cast("int")
-        )
-        if dl_join:
-            salted = salted.join(dstats.select("doc_id", "dl"), "doc_id")
-
-        def encode(_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-            rows: list[tuple] = []
-            dl = dl_bc.value if dl_bc is not None else None
-            pdf = pdf.sort_values("pos", kind="stable")
-            for (shard, term), g in pdf.groupby(["shard", "term"], sort=False):
-                docs_u, first_idx, inv, tfs = np.unique(
-                    g["doc_id"].to_numpy(np.int64),
-                    return_index=True, return_inverse=True,
-                    return_counts=True,
-                )
-                pos_flat = None
-                if with_positions:
-                    # positions grouped by doc (stable doc order), each
-                    # doc's positions already ascending from the sort
-                    order = np.argsort(inv, kind="stable")
-                    pos_flat = g["pos"].to_numpy(np.int64)[order]
-                if dl is not None:
-                    dls = np.array([dl[d] for d in docs_u], dtype=np.int64)
-                else:
-                    dls = g["dl"].to_numpy(np.int64)[first_idx]
-                rows.extend(
-                    _encode_term_group(
-                        int(shard), term,
-                        docs_u,
-                        tfs.astype(np.int64),
-                        dls,
-                        avgdl,
-                        positions=pos_flat,
-                    )
-                )
-            return pd.DataFrame(
-                rows,
-                columns=[
-                    "shard", "term", "block_id", "n", "max_doc",
-                    "max_tf", "block_ub", "doc_bytes", "tf_bytes",
-                    "dl_bytes", "pos_bytes",
-                ],
-            )
-
-        n_write = max(len(todo), spark.sparkContext.defaultParallelism)
-
-    side_t, side_err = _start_sidecar_thread(
-        spark, index_dir, dstats, tstats, corpus, n_shards
-    )
+    dstats = tstats = dl_bc = None
     try:
+
+        dstats, tstats = _stats(tok)
+        # the small per-doc / per-term aggregates each feed several
+        # downstream jobs (corpus scalars, dl channel, sidecar writes,
+        # term_id ranks) — persist them so the 10^9-row token table is
+        # scanned once per aggregate, not once per consumer
+        dstats = dstats.persist(StorageLevel.MEMORY_AND_DISK)
+        tstats = tstats.persist(StorageLevel.MEMORY_AND_DISK)
+        # corpus scalars via a 1-row agg — never collect the full dl column
+        # to the driver (at 10^12 docs that is a driver OOM)
+        crow = dstats.agg(
+            F.count("*").alias("docs"), F.sum("dl").alias("tokens")
+        ).collect()[0]
+        if not crow["docs"]:
+            raise ValueError(
+                "refusing to build an index from an empty token table "
+                "(build into a staging dir via begin_publish so an empty "
+                "input can never clobber a live index)"
+            )
+        corpus = {
+            "corpus_docs": int(crow["docs"]),
+            "corpus_tokens": int(crow["tokens"]),
+        }
+        avgdl = corpus["corpus_tokens"] / corpus["corpus_docs"]
+
         if todo:
-            encoded = salted.groupBy("shard", "tbucket").applyInPandas(
-                encode, schema=ENC_SCHEMA
+            # Salted encode grouping: (shard, term-hash bucket) bounds every
+            # group at ~corpus/(n_shards·SALT_BUCKETS) postings even for the
+            # hottest Zipf-head term, and keeps the applyInPandas group count
+            # fixed instead of one-group-per-term (north rule: salted
+            # repartitioning on term-hash).
+            #
+            # Single-shuffle encode: RAW tokens shuffle once on the salted
+            # key; the (term, doc) roll-up happens inside the bucket with a
+            # C-level pandas groupby. Doc lengths reach the encoder by one
+            # of two paths, switched on corpus size:
+            #   · ≤ dl_broadcast_max docs — a broadcast python dict (no
+            #     extra shuffle, the fast path for every sandbox corpus);
+            #   · above it — a shuffle join of the skinny (doc_id, dl) table
+            #     onto the token stream before the encode groupBy, so the
+            #     driver never materializes the dl map (10^12-doc path).
+            # Both paths produce bit-identical blocks (asserted in tests).
+            dl_join = corpus["corpus_docs"] > dl_broadcast_max
+            dl_bc = None
+            if not dl_join:
+                dl_bc = spark.sparkContext.broadcast(
+                    {r["doc_id"]: r["dl"]
+                     for r in dstats.select("doc_id", "dl").collect()}
+                )
+
+            salted = tok.filter(F.col("shard").isin(todo)).withColumn(
+                "tbucket", F.pmod(F.xxhash64("term"), F.lit(SALT_BUCKETS)).cast("int")
             )
-            _write_postings_and_manifests(
-                spark, encoded, index_dir, todo, n_shards, n_write
-            )
+            if dl_join:
+                salted = salted.join(dstats.select("doc_id", "dl"), "doc_id")
+
+            def encode(_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+                rows: list[tuple] = []
+                dl = dl_bc.value if dl_bc is not None else None
+                pdf = pdf.sort_values("pos", kind="stable")
+                for (shard, term), g in pdf.groupby(["shard", "term"], sort=False):
+                    docs_u, first_idx, inv, tfs = np.unique(
+                        g["doc_id"].to_numpy(np.int64),
+                        return_index=True, return_inverse=True,
+                        return_counts=True,
+                    )
+                    pos_flat = None
+                    if with_positions:
+                        # positions grouped by doc (stable doc order), each
+                        # doc's positions already ascending from the sort
+                        order = np.argsort(inv, kind="stable")
+                        pos_flat = g["pos"].to_numpy(np.int64)[order]
+                    if dl is not None:
+                        dls = np.array([dl[d] for d in docs_u], dtype=np.int64)
+                    else:
+                        dls = g["dl"].to_numpy(np.int64)[first_idx]
+                    rows.extend(
+                        _encode_term_group(
+                            int(shard), term,
+                            docs_u,
+                            tfs.astype(np.int64),
+                            dls,
+                            avgdl,
+                            positions=pos_flat,
+                        )
+                    )
+                return pd.DataFrame(
+                    rows,
+                    columns=[
+                        "shard", "term", "block_id", "n", "max_doc",
+                        "max_tf", "block_ub", "doc_bytes", "tf_bytes",
+                        "dl_bytes", "pos_bytes",
+                    ],
+                )
+
+        side_t, side_err = _start_sidecar_thread(
+            spark, index_dir, dstats, tstats, corpus, n_shards
+        )
+        try:
+            if todo:
+                encoded = salted.groupBy("shard", "tbucket").applyInPandas(
+                    encode, schema=ENC_SCHEMA
+                )
+                _write_postings_and_manifests(
+                    spark, encoded, index_dir, todo, n_shards
+                )
+        finally:
+            # join even on a failed postings write: an orphaned writer
+            # thread would race a caller's cleanup/retry inside index_dir
+            side_t.join()
+        if side_err:
+            raise side_err[0]
+        meta = {
+            "corpus_docs": int(corpus["corpus_docs"]),
+            "corpus_tokens": int(corpus["corpus_tokens"]),
+            "avgdl": avgdl,
+            "n_shards": n_shards,
+            "built_shards": len(done) + len(todo),
+            "resumed_from": sorted(done),
+            "publish_token": _publish_token(),
+        }
+        with open(os.path.join(index_dir, "corpus.json"), "w") as f:
+            json.dump(meta, f)
+        return meta
     finally:
-        # join even on a failed postings write: an orphaned writer
-        # thread would race a caller's cleanup/retry inside index_dir
-        side_t.join()
-    if side_err:
-        raise side_err[0]
-    meta = {
-        "corpus_docs": int(corpus["corpus_docs"]),
-        "corpus_tokens": int(corpus["corpus_tokens"]),
-        "avgdl": avgdl,
-        "n_shards": n_shards,
-        "built_shards": len(done) + len(todo),
-        "resumed_from": sorted(done),
-        "publish_token": _publish_token(),
-    }
-    with open(os.path.join(index_dir, "corpus.json"), "w") as f:
-        json.dump(meta, f)
-    tok.unpersist()
-    dstats.unpersist()
-    tstats.unpersist()
-    return meta
+        # release caches on EVERY exit — a failed build in a
+        # long-lived session must not pin the token table, and
+        # the dl broadcast must be freed too (review batch 28)
+        for _h in (tok, dstats, tstats):
+            if _h is not None:
+                try:
+                    _h.unpersist()
+                except Exception:
+                    pass
+        if dl_bc is not None:
+            try:
+                dl_bc.destroy()
+            except Exception:
+                pass
 
 
 def _write_postings_and_manifests(
@@ -399,7 +417,6 @@ def _write_postings_and_manifests(
     index_dir: str,
     todo: list[int],
     n_shards: int,
-    n_write: int,
 ) -> None:
     """Dynamic-partition overwrite the postings table and write
     per-shard manifests.
@@ -411,9 +428,7 @@ def _write_postings_and_manifests(
     here (the r03 shape) re-shuffled every encoded byte — the full
     compressed index — a second time purely for file-count control;
     at 100 TB that second pass IS the write bottleneck, and it was
-    ~40% of the non-chain tail in the 8→32 scaling probe
-    (``n_write`` is kept in the signature for the resume path's
-    call-compatibility; it no longer drives a shuffle)."""
+    ~40% of the non-chain tail in the 8→32 scaling probe."""
     import time as _time
     # Resume: dynamic partition overwrite replaces exactly the shards
     # being rebuilt — a half-written shard from a crashed run is
@@ -516,7 +531,9 @@ def _write_stats_sidecars(
 
     d_parts = _size_parts(corpus["corpus_docs"])
     dstats.withColumn(
-        "shard", (F.col("doc_id") % F.lit(n_shards)).cast("int")
+        # pmod: must agree with the build's shard assignment for
+        # negative doc_ids (review batch 28)
+        "shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int")
     ).repartition(d_parts).write.mode("overwrite").parquet(
         os.path.join(index_dir, "doc_stats")
     )
@@ -609,6 +626,12 @@ def _bucketize_arrays(
     """One batch of packed per-doc arrays → bucketized rows (the
     :func:`bucketized_tokens` kernel, shared with the fused
     analyze+bucketize operator so both paths are bit-identical)."""
+    # NULL arrays (an outer join / foreign writer) normalize to empty:
+    # the exploded build path simply has no rows for such a doc, and
+    # this path must agree instead of TypeError-ing the whole batch
+    # (review batch 28)
+    terms_lists = [t if t is not None else [] for t in terms_lists]
+    poss_lists = [p if p is not None else [] for p in poss_lists]
     lens = np.fromiter(
         (len(t) for t in terms_lists), np.int64, count=len(terms_lists)
     )
@@ -826,8 +849,12 @@ def build_index_packed(
     if resume:
         for s in range(n_shards):
             if os.path.exists(_manifest_path(index_dir, s)):
+                _check_resume_manifest(index_dir, s, n_shards)
                 done.add(s)
     todo = [s for s in range(n_shards) if s not in done]
+    # stale-timing guard: a fully-resumed build (todo empty) must not
+    # report the PREVIOUS build's write timings (review batch 28)
+    _LAST_WRITE_TIMINGS.clear()
 
     import time as _time
 
@@ -838,93 +865,100 @@ def build_index_packed(
     # one chain run feeds stats + encode: persist the BUCKETIZED table
     # (array rows — far cheaper to materialize than the exploded one;
     # at 100 TB: a staging Iceberg table instead of executor memory)
-    buck = (
-        packed if bucketized
-        else bucketized_tokens(packed, n_shards, id_col=id_col)
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-
-    # doc stats: dl/width ride on every bucket row — first()/max() with
-    # map-side partial agg, ~SALT_BUCKETS rows per doc in, 1 out
-    dstats = buck.groupBy("doc_id").agg(
-        F.first("dl").alias("dl"), F.max("width").alias("width")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    crow = dstats.agg(
-        F.count("*").alias("docs"), F.sum("dl").alias("tokens")
-    ).collect()[0]
-    if not crow["docs"]:
-        raise ValueError(
-            "refusing to build an index from an empty token table "
-            "(build into a staging dir via begin_publish so an empty "
-            "input can never clobber a live index)"
-        )
-    corpus = {
-        "corpus_docs": int(crow["docs"]),
-        "corpus_tokens": int(crow["tokens"]),
-    }
-    avgdl = corpus["corpus_tokens"] / corpus["corpus_docs"]
-    t1 = _t()
-
-    # term stats: each (doc, term) appears exactly once across bucket
-    # rows, so df = count and cf = sum(tf) — no countDistinct expand
-    tstats = (
-        buck.select(F.expr("inline(arrays_zip(terms, tfs))"))
-        .groupBy(F.col("terms").alias("term"))
-        .agg(F.count("*").alias("df"), F.sum("tfs").cast("long").alias("cf"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-
-    t2 = _t()
-    # measured: sidecars were ~2.5 s of the ~10 s non-chain tail at 32
-    # cores when run sequentially after the encode
-    side_t, _sidecar_err = _start_sidecar_thread(
-        spark, index_dir, dstats, tstats, corpus, n_shards
-    )
+    buck = dstats = tstats = None
     try:
-        if todo:
-            def encode(_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-                return _encode_packed_group(pdf, avgdl, with_positions)
+        buck = (
+            packed if bucketized
+            else bucketized_tokens(packed, n_shards, id_col=id_col)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
 
-            n_write = max(len(todo), spark.sparkContext.defaultParallelism)
-            encoded = (
-                buck.filter(F.col("shard").isin(todo))
-                .groupBy("shard", "tbucket")
-                .applyInPandas(encode, schema=ENC_SCHEMA)
+        # doc stats: dl/width ride on every bucket row — first()/max() with
+        # map-side partial agg, ~SALT_BUCKETS rows per doc in, 1 out
+        dstats = buck.groupBy("doc_id").agg(
+            F.first("dl").alias("dl"), F.max("width").alias("width")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        crow = dstats.agg(
+            F.count("*").alias("docs"), F.sum("dl").alias("tokens")
+        ).collect()[0]
+        if not crow["docs"]:
+            raise ValueError(
+                "refusing to build an index from an empty token table "
+                "(build into a staging dir via begin_publish so an empty "
+                "input can never clobber a live index)"
             )
-            _write_postings_and_manifests(
-                spark, encoded, index_dir, todo, n_shards, n_write
-            )
-        t3 = _t()
-    finally:
-        # join even on a failed postings write: an orphaned writer
-        # thread would race a caller's cleanup/retry inside index_dir
-        side_t.join()
+        corpus = {
+            "corpus_docs": int(crow["docs"]),
+            "corpus_tokens": int(crow["tokens"]),
+        }
+        avgdl = corpus["corpus_tokens"] / corpus["corpus_docs"]
+        t1 = _t()
 
-    if _sidecar_err:
-        raise _sidecar_err[0]
-    t4 = _t()
-    if stage_timings is not None:
-        stage_timings.update(
-            chain_bucketize_dstats_s=round(t1 - t0, 3),
-            encode_write_manifest_s=round(t3 - t2, 3),
-            # sidecars run CONCURRENTLY with the encode stage; this is
-            # only their overhang past the postings write
-            sidecar_overhang_s=round(t4 - t3, 3),
-            **_LAST_WRITE_TIMINGS,
+        # term stats: each (doc, term) appears exactly once across bucket
+        # rows, so df = count and cf = sum(tf) — no countDistinct expand
+        tstats = (
+            buck.select(F.expr("inline(arrays_zip(terms, tfs))"))
+            .groupBy(F.col("terms").alias("term"))
+            .agg(F.count("*").alias("df"), F.sum("tfs").cast("long").alias("cf"))
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+
+        t2 = _t()
+        # measured: sidecars were ~2.5 s of the ~10 s non-chain tail at 32
+        # cores when run sequentially after the encode
+        side_t, _sidecar_err = _start_sidecar_thread(
+            spark, index_dir, dstats, tstats, corpus, n_shards
         )
-    meta = {
-        "corpus_docs": int(corpus["corpus_docs"]),
-        "corpus_tokens": int(corpus["corpus_tokens"]),
-        "avgdl": avgdl,
-        "n_shards": n_shards,
-        "built_shards": len(done) + len(todo),
-        "resumed_from": sorted(done),
-        "publish_token": _publish_token(),
-    }
-    with open(os.path.join(index_dir, "corpus.json"), "w") as f:
-        json.dump(meta, f)
-    buck.unpersist()
-    dstats.unpersist()
-    tstats.unpersist()
-    return meta
+        try:
+            if todo:
+                def encode(_key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+                    return _encode_packed_group(pdf, avgdl, with_positions)
+
+                encoded = (
+                    buck.filter(F.col("shard").isin(todo))
+                    .groupBy("shard", "tbucket")
+                    .applyInPandas(encode, schema=ENC_SCHEMA)
+                )
+                _write_postings_and_manifests(
+                    spark, encoded, index_dir, todo, n_shards
+                )
+            t3 = _t()
+        finally:
+            # join even on a failed postings write: an orphaned writer
+            # thread would race a caller's cleanup/retry inside index_dir
+            side_t.join()
+
+        if _sidecar_err:
+            raise _sidecar_err[0]
+        t4 = _t()
+        if stage_timings is not None:
+            stage_timings.update(
+                chain_bucketize_dstats_s=round(t1 - t0, 3),
+                encode_write_manifest_s=round(t3 - t2, 3),
+                # sidecars run CONCURRENTLY with the encode stage; this is
+                # only their overhang past the postings write
+                sidecar_overhang_s=round(t4 - t3, 3),
+                **_LAST_WRITE_TIMINGS,
+            )
+        meta = {
+            "corpus_docs": int(corpus["corpus_docs"]),
+            "corpus_tokens": int(corpus["corpus_tokens"]),
+            "avgdl": avgdl,
+            "n_shards": n_shards,
+            "built_shards": len(done) + len(todo),
+            "resumed_from": sorted(done),
+            "publish_token": _publish_token(),
+        }
+        with open(os.path.join(index_dir, "corpus.json"), "w") as f:
+            json.dump(meta, f)
+        return meta
+    finally:
+        # release caches on EVERY exit — a failed build must not
+        # pin the bucketized table (review batch 28)
+        for _h in (buck, dstats, tstats):
+            if _h is not None:
+                try:
+                    _h.unpersist()
+                except Exception:
+                    pass
 
 
 # ------------------------------------------------- serving-side decode
@@ -1024,6 +1058,24 @@ def decoded_rail(spark: SparkSession, index_dir: str) -> DataFrame:
 
 def _manifest_path(index_dir: str, shard: int) -> str:
     return os.path.join(index_dir, "manifest", f"shard_{shard}.json")
+
+
+def _check_resume_manifest(index_dir: str, shard: int, n_shards: int) -> None:
+    """A resumable manifest must come from a build with the SAME
+    sharding and codec: resuming a 16-shard tree with n_shards=8 would
+    mark every shard done and silently publish HALF the corpus, and a
+    prior-format tree would mix codec layouts under one meta (review
+    batch 28 — the manifests record n_shards/format for exactly this
+    check)."""
+    with open(_manifest_path(index_dir, shard)) as f:
+        m = json.load(f)
+    if m.get("n_shards") != n_shards or m.get("format") != FORMAT_VERSION:
+        raise ValueError(
+            f"resume: shard {shard} manifest is from an incompatible "
+            f"build (n_shards={m.get('n_shards')}, "
+            f"format={m.get('format')!r}; this build: {n_shards}, "
+            f"{FORMAT_VERSION!r}) — rebuild with resume=False"
+        )
 
 
 def read_meta(index_dir: str) -> dict:
@@ -1145,7 +1197,14 @@ def gc_versions(
             continue
         full = os.path.join(vdir, name)
         if name.startswith(".tmp-"):
-            if now - os.path.getmtime(full) >= stale_staging_s:
+            try:
+                mtime = os.path.getmtime(full)
+            except OSError:
+                # commit_publish renamed the staging dir between the
+                # listdir and this stat (review batch 28): it is a
+                # live version now, not an abandoned build — skip
+                continue
+            if now - mtime >= stale_staging_s:
                 shutil.rmtree(full, ignore_errors=True)
                 removed.append(name)
             continue
@@ -1176,6 +1235,11 @@ def publish_marker(index_dir: str) -> str | None:
         return None
     try:
         tok = read_meta(live).get("publish_token")
+        # the mtime fallback must sit INSIDE the guard: an in-place
+        # rebuild can rmtree corpus.json between the exists() probe
+        # and this stat, and serving-path callers (suggest vocab,
+        # wand cache keys) treat None as a cache miss, not a 500
+        # (review batch 28)
+        return tok if tok else f"mtime:{os.path.getmtime(marker)!r}"
     except (OSError, json.JSONDecodeError):
         return None
-    return tok if tok else f"mtime:{os.path.getmtime(marker)!r}"

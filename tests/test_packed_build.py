@@ -165,3 +165,72 @@ def test_packed_resume_skips_done_shards(spark, tmp_path):
     )
     assert meta2["resumed_from"] == [0, 1, 3]
     assert os.path.exists(segments._manifest_path(idx, 2))
+
+
+def test_negative_doc_ids_index_identically(spark, tmp_path):
+    """pmod sharding: hash-derived NEGATIVE doc_ids must land in a
+    valid shard and index in BOTH build paths (review batch 28 — the
+    exploded path's % silently dropped them)."""
+    tok = spark.createDataFrame(
+        [(-5, 0, "neg"), (-5, 1, "word"), (3, 0, "pos"), (3, 1, "word")],
+        "doc_id long, pos int, term string",
+    )
+    exp_dir = str(tmp_path / "exp")
+    segments.build_index(spark, tok, exp_dir, n_shards=N_SHARDS)
+    meta = segments.read_meta(exp_dir)
+    assert meta["corpus_docs"] == 2
+    post = spark.read.parquet(os.path.join(exp_dir, "postings"))
+    # the negative doc's private term is present, in a nonnegative shard
+    neg = post.filter(F.col("term") == "neg").collect()
+    assert len(neg) == 1 and neg[0]["shard"] == (-5) % N_SHARDS
+    ds = spark.read.parquet(os.path.join(exp_dir, "doc_stats")).collect()
+    assert {r["doc_id"]: r["shard"] for r in ds} == {
+        -5: (-5) % N_SHARDS, 3: 3 % N_SHARDS
+    }
+
+    packed = tok.groupBy("doc_id").agg(
+        F.collect_list("term").alias("terms"),
+        F.collect_list("pos").alias("poss"),
+    )
+    pk_dir = str(tmp_path / "pk")
+    segments.build_index_packed(spark, packed, pk_dir, n_shards=N_SHARDS)
+    a = {
+        (r["shard"], r["term"]): (r["n"], bytes(r["doc_bytes"]))
+        for r in post.collect()
+    }
+    b = {
+        (r["shard"], r["term"]): (r["n"], bytes(r["doc_bytes"]))
+        for r in spark.read.parquet(os.path.join(pk_dir, "postings")).collect()
+    }
+    assert a == b
+
+
+def test_resume_rejects_incompatible_manifests(spark, tmp_path):
+    """A resume with a different n_shards (or codec format) must raise,
+    not silently mark foreign shards done and publish a partial corpus
+    (review batch 28)."""
+    tok = spark.createDataFrame(
+        [(i, 0, f"w{i}") for i in range(8)], "doc_id long, pos int, term string"
+    )
+    idx = str(tmp_path / "ix")
+    segments.build_index(spark, tok, idx, n_shards=4)
+    with pytest.raises(ValueError, match="incompatible"):
+        segments.build_index(spark, tok, idx, n_shards=2, resume=True)
+    # a format bump likewise refuses to resume over the old tree
+    mpath = segments._manifest_path(idx, 0)
+    m = json.load(open(mpath))
+    m["format"] = "delta-varint-v0"
+    json.dump(m, open(mpath, "w"))
+    with pytest.raises(ValueError, match="incompatible"):
+        segments.build_index(spark, tok, idx, n_shards=4, resume=True)
+
+
+def test_bucketize_tolerates_null_arrays():
+    """NULL terms/poss arrays normalize to empty docs instead of
+    TypeError-ing the Arrow batch (review batch 28)."""
+    import numpy as np
+
+    out = segments._bucketize_arrays(
+        np.array([1, 2]), [None, ["a"]], [None, [0]], 4, 4
+    )
+    assert out is not None and set(out["doc_id"]) == {2}

@@ -231,3 +231,44 @@ def test_registry_unload_grace(spark, tmp_path):
     reg.unload_grace_s = 0.0
     assert reg.poll() == {"a": "unloaded"}
     assert reg.names() == []
+
+
+def test_reload_and_unload_close_superseded_engines(spark, tmp_path, monkeypatch):
+    """Republish and unload must close() the superseded handle —
+    every republish would otherwise leak one persisted vocabulary
+    cache in a long-lived serving process (review batch 28)."""
+    import json
+
+    root = str(tmp_path / "indexes")
+    os.makedirs(root)
+    _build_small(spark, os.path.join(root, "demo"), "alpha")
+    reg = IndexRegistry(spark, root, unload_grace_s=0.0)
+    reg.poll()
+    eng1 = reg.get("demo")
+    closed = []
+    monkeypatch.setattr(
+        AlixEngine, "close", lambda self: closed.append(id(self))
+    )
+    marker = os.path.join(root, "demo", "corpus.json")
+    with open(marker) as f:
+        meta = json.load(f)
+    meta["publish_token"] = meta["publish_token"] + "-r2"
+    with open(marker, "w") as f:
+        json.dump(meta, f)
+    assert reg.poll() == {"demo": "reloaded"}
+    assert closed == [id(eng1)]
+    eng2 = reg.get("demo")
+    shutil.rmtree(os.path.join(root, "demo"))
+    assert reg.poll() == {"demo": "unloaded"}
+    assert closed == [id(eng1), id(eng2)]
+
+
+def test_engine_close_is_idempotent_and_recomputes(spark, tmp_path):
+    idx = str(tmp_path / "ix")
+    _build_small(spark, idx, "beta")
+    eng = AlixEngine(spark, idx)
+    w1 = eng.theme_weights().collect()
+    eng.close()
+    eng.close()  # idempotent
+    w2 = eng.theme_weights().collect()  # recomputes after release
+    assert sorted(map(tuple, w1)) == sorted(map(tuple, w2))
