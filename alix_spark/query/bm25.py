@@ -99,7 +99,9 @@ def bm25_oracle_sql(
     """DuckDB SQL computing the identical BM25 top-k (same float ops,
     same rounding, same tie-break) — the rank-identity oracle."""
     terms = sorted(set(terms))
-    term_list = ", ".join(f"'{t}'" for t in terms)
+    # escape quotes: an apostrophe-bearing term (aujourd'hui) must
+    # render as valid SQL, not a syntax error (review batch 29)
+    term_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
     having = f"HAVING count(DISTINCT term) = {len(terms)}" if mode == "and" else ""
     return f"""
 WITH toks AS (

@@ -75,14 +75,22 @@ def more_like_this(
         .filter(F.col("df") >= min_doc_freq)
         .crossJoin(F.broadcast(cstats.select("corpus_docs")))
         .withColumn(
+            # round6 BEFORE the ranking window: the selection of the
+            # top max_query_terms terms is a cross-engine comparison,
+            # and JVM vs libm ln can differ in the last ulp — an
+            # unrounded key could flip the term-set boundary and
+            # diverge the whole retrieval (review batch 29; the
+            # zipf/sampling_weights precedent)
             "interest",
-            F.col("stf")
-            * (
-                F.log(
-                    (F.col("corpus_docs") + F.lit(1.0))
-                    / (F.col("df") + F.lit(1.0))
+            round6(
+                F.col("stf")
+                * (
+                    F.log(
+                        (F.col("corpus_docs") + F.lit(1.0))
+                        / (F.col("df") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
                 )
-                + F.lit(1.0)
             ),
         )
     )
@@ -154,7 +162,7 @@ ranked AS (
   SELECT src_id, term, df,
          row_number() OVER (
            PARTITION BY src_id
-           ORDER BY stf * (ln((c.n + 1.0) / (df + 1.0)) + 1.0) DESC,
+           ORDER BY {sql_round6("stf * (ln((c.n + 1.0) / (df + 1.0)) + 1.0)")} DESC,
                     term ASC) AS rk
   FROM st, cstats c
 ),

@@ -102,8 +102,15 @@ def parse(q: str) -> list[Clause]:
             # punctuation would be stripped by the analyzer on a bare
             # term, so strip it from the pattern too — but NOT '?',
             # which is a wildcard metacharacter: stripping it rewrote
-            # 'livre?' to a bare exact term (ADVICE r3)
-            clauses.append(WildcardClause(tok.rstrip(".,;:!")))
+            # 'livre?' to a bare exact term (ADVICE r3). A token of
+            # ONLY metacharacters (a lone '?' — standard French
+            # spacing before punctuation — or '*') is punctuation the
+            # analyzer would drop, NOT a wildcard: expanding it would
+            # narrow the whole AND query to docs holding some
+            # 1-char/any term (review batch 29)
+            pat = tok.rstrip(".,;:!")
+            if pat.strip("*?"):
+                clauses.append(WildcardClause(pat))
         else:
             terms = _analyze_words(tok)
             for t in terms:

@@ -122,7 +122,9 @@ def alt_oracle_sql(
 ) -> str:
     """DuckDB SQL computing the identical alternate-similarity top-k."""
     terms = sorted(set(terms))
-    term_list = ", ".join(f"'{t}'" for t in terms)
+    # escape quotes: an apostrophe-bearing term (aujourd'hui) must
+    # render as valid SQL, not a syntax error (review batch 29)
+    term_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
     having = f"HAVING count(DISTINCT term) = {len(terms)}" if mode == "and" else ""
     return f"""
 WITH toks AS (

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from alix_spark.index.segments import (
     decode_block, read_meta, seg_cumsum, varint_decode,
 )
-from alix_spark.query.bm25 import B, K1
+from alix_spark.query.bm25 import B, K1, score_expr
 from alix_spark.util import ensure_py_files, round6
 
 _SENTINEL = 1 << 62
@@ -145,6 +145,10 @@ def wand_shard_topk(
     even if its raw score is the lower one (reference TopArray.java
     tie rule, applied post-rounding by the driver contract).
     """
+    if k <= 0:
+        # reachable from the SQL UDTF surface (alix_bm25(..., 0)):
+        # an empty result, not an IndexError on heap[0] (batch 29)
+        return []
     heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of kept
     n_terms = len(cursors)
 
@@ -465,6 +469,26 @@ def _phrase_match_docs(
             cur[t] = bounds_i[di]
             end[t] = bounds_i[di + 1]
             plists.append(poss_i)
+        # slots with IDENTICAL alternatives share one posting list:
+        # force their cursors onto DISTINCT positions, or a single
+        # occurrence satisfies two slots — 'chat chat' unordered must
+        # need two occurrences, the Lucene SpanNear non-overlap rule
+        # (review batch 29)
+        slot_groups: dict[tuple, list[int]] = {}
+        for t_idx, slot in enumerate(terms):
+            slot_groups.setdefault(_slot_alts(slot), []).append(t_idx)
+        dup_pairs = [
+            (g[i - 1], g[i])
+            for g in slot_groups.values()
+            if len(g) > 1
+            for i in range(1, len(g))
+        ]
+
+        def _separate():
+            for prev, nxt in dup_pairs:
+                np.maximum(cur[nxt], cur[prev] + 1, out=cur[nxt])
+
+        _separate()
         per_doc = np.zeros(common.size, dtype=np.int64)
         act = np.flatnonzero((cur < end).all(axis=0))
         while act.size:
@@ -478,6 +502,8 @@ def _phrase_match_docs(
                 # first-minimum term advances — argmin's first-match
                 # rule is exactly the scalar walk's vals.index(min)
                 cur[vals[:, ~hit].argmin(axis=0), miss_docs] += 1
+            if dup_pairs:
+                _separate()
             act = act[(cur[:, act] < end[:, act]).all(axis=0)]
 
     # dl per doc from term0's postings
@@ -542,14 +568,17 @@ def phrase_topk(
         run_shard, schema="doc_id long, tf long, dl long"
     ).localCheckpoint(eager=False)
     dfc = matches.agg(F.count("*").alias("df"))
-    withdf = matches.crossJoin(F.broadcast(dfc))
-    idf = F.log(
-        F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    # ONE BM25 formula home (bm25.score_expr) — a re-inlined copy here
+    # could silently drift from the golden formula (review batch 29);
+    # the scalar stats ride in as literal columns, bit-identical to
+    # the previous inline expression
+    withdf = (
+        matches.crossJoin(F.broadcast(dfc))
+        .withColumn("corpus_docs", F.lit(float(n_docs)))
+        .withColumn("avgdl", F.lit(avgdl))
     )
-    norm = F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.lit(avgdl))
     scored = withdf.select(
-        "doc_id",
-        round6(idf * (F.col("tf") * F.lit(K1 + 1.0)) / (F.col("tf") + norm)).alias("score"),
+        "doc_id", round6(score_expr()).alias("score")
     )
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
@@ -566,6 +595,12 @@ _LOCAL_CACHE_MAX = 16
 # serving threads (ThreadingHTTPServer) share this cache: guard the
 # get/insert/move_to_end/evict sequence (ADVICE r3)
 _LOCAL_CACHE_LOCK = threading.Lock()
+# per-(index, publish-token) load locks: the multi-second cold
+# dataset open (directory listing + parquet metadata over a large
+# sharded tree) must not run under the GLOBAL lock, or a republish of
+# one index stalls every serving thread for every index (review
+# batch 29 — the folded_vocab pattern)
+_DATASET_LOAD_LOCKS: dict = {}
 
 
 def query_local(
@@ -634,16 +669,35 @@ def _datasets(index_dir: str):
     key = _seg.publish_marker(index_dir) or os.path.getmtime(marker)
     with _LOCAL_CACHE_LOCK:
         hit = _LOCAL_CACHE.get(index_dir)
-        if hit is None or hit[0] != key:
-            tstats = ds.dataset(os.path.join(live, "term_stats"))
-            post = ds.dataset(
-                os.path.join(live, "postings"), partitioning="hive"
-            )
+        if hit is not None and hit[0] == key:
+            _LOCAL_CACHE.move_to_end(index_dir)
+            return hit[1], hit[2]
+        load_lock = _DATASET_LOAD_LOCKS.setdefault(
+            (index_dir, key), threading.Lock()
+        )
+    # cold open OUTSIDE the global lock, UNDER the per-(index, token)
+    # lock: a republish's thundering herd opens once, cache hits for
+    # other indexes never block
+    with load_lock:
+        with _LOCAL_CACHE_LOCK:
+            hit = _LOCAL_CACHE.get(index_dir)
+            if hit is not None and hit[0] == key:
+                _LOCAL_CACHE.move_to_end(index_dir)
+                return hit[1], hit[2]
+        tstats = ds.dataset(os.path.join(live, "term_stats"))
+        post = ds.dataset(
+            os.path.join(live, "postings"), partitioning="hive"
+        )
+        with _LOCAL_CACHE_LOCK:
             _LOCAL_CACHE[index_dir] = (key, tstats, post)
-        _LOCAL_CACHE.move_to_end(index_dir)
-        while len(_LOCAL_CACHE) > _LOCAL_CACHE_MAX:
-            _LOCAL_CACHE.popitem(last=False)
-        return _LOCAL_CACHE[index_dir][1], _LOCAL_CACHE[index_dir][2]
+            _LOCAL_CACHE.move_to_end(index_dir)
+            while len(_LOCAL_CACHE) > _LOCAL_CACHE_MAX:
+                _LOCAL_CACHE.popitem(last=False)
+            # retire load locks for evicted/superseded tokens
+            live_keys = {(d, v[0]) for d, v in _LOCAL_CACHE.items()}
+            for kk in [k2 for k2 in _DATASET_LOAD_LOCKS if k2 not in live_keys]:
+                del _DATASET_LOAD_LOCKS[kk]
+        return tstats, post
 
 
 def term_stats_dataset(index_dir: str):
@@ -793,11 +847,27 @@ def query_local_mixed(index_dir: str, clauses, k: int = 10) -> list[tuple[int, f
     if not need or not clauses:
         return []
     dfmap = _term_dfs(index_dir, sorted(need))
-    blocks = _load_blocks(
-        index_dir, sorted(need),
-        positions=any(isinstance(c, parser.PhraseClause) for c in clauses),
+    # the positions channel (~1 byte/token, the largest column) is
+    # fetched for the PHRASE terms only — a mixed query's pure terms
+    # must keep the positions-on-demand guarantee (review batch 29)
+    phrase_terms: set[str] = set()
+    for c in clauses:
+        if isinstance(c, parser.PhraseClause):
+            phrase_terms.update(_flat_terms(c.terms))
+    plain = sorted(need - phrase_terms)
+    blocks_pos = (
+        _load_blocks(index_dir, sorted(phrase_terms), positions=True)
+        if phrase_terms
+        else None
     )
-    by_term = {t: g for t, g in blocks.groupby("term", sort=False)}
+    by_term = {}
+    for bdf in (
+        blocks_pos,
+        _load_blocks(index_dir, plain, positions=False) if plain else None,
+    ):
+        if bdf is not None:
+            for t, g in bdf.groupby("term", sort=False):
+                by_term[t] = g
 
     def idf_of(t: str) -> float:
         d = dfmap.get(t, 0)
@@ -817,7 +887,7 @@ def query_local_mixed(index_dir: str, clauses, k: int = 10) -> list[tuple[int, f
                 for d, v in _term_score_map(g, idf_of(t), avgdl).items():
                     m[d] = m.get(d, 0.0) + v
         elif isinstance(c, parser.PhraseClause):
-            sub = blocks[blocks["term"].isin(_flat_terms(c.terms))]
+            sub = blocks_pos[blocks_pos["term"].isin(_flat_terms(c.terms))]
             m = _phrase_score_map(sub, c.terms, c.slop, c.ordered, n_docs, avgdl)
         else:
             m = {}

@@ -415,3 +415,67 @@ class TestMoreLikeThis:
             min_term_freq=2, min_doc_freq=2, max_query_terms=1, k=5,
         ).collect()
         assert [r["doc_id"] for r in out] == [1]
+
+
+def test_unordered_duplicate_term_needs_distinct_positions(spark, tmp_path):
+    """'chat chat' unordered must need TWO occurrences — one position
+    may not satisfy both slots (Lucene SpanNear non-overlap; review
+    batch 29)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "chat solo filler words here"),       # one occurrence
+            (2, "chat chat adjacent pair"),           # two, adjacent
+            (3, "chat one two chat far apart pair"),  # two, distance 3
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "dupix")
+    segments.build_index(spark, simple.tokens(docs), idx, n_shards=2)
+    blocks = wand._load_blocks(idx, ["chat"], positions=True)
+    got = {
+        d: tf
+        for d, tf, _dl in wand.phrase_shard_matches(
+            blocks, ["chat", "chat"], slop=0, ordered=False
+        )
+    }
+    # width = 1: doc 1 (single) no match; doc 2 adjacent matches;
+    # doc 3's occurrences are 3 apart > width -> no match
+    assert got == {2: 1}
+    wide = {
+        d: tf
+        for d, tf, _dl in wand.phrase_shard_matches(
+            blocks, ["chat", "chat"], slop=2, ordered=False
+        )
+    }
+    assert wide == {2: 1, 3: 1}
+
+
+def test_wand_topk_nonpositive_k_returns_empty(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(1, "hash join"), (2, "hash")], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "k0ix")
+    segments.build_index(spark, simple.tokens(docs), idx, n_shards=1)
+    assert wand.query_local(idx, ["hash"], k=0) == []
+    assert wand.query_local(idx, ["hash", "join"], k=0, mode="and") == []
+
+
+def test_lone_wildcard_metachar_token_is_dropped():
+    """'pourquoi ?' must not become a match-any-1-char MUST clause
+    narrowing the whole query (review batch 29); real wildcards and
+    the trailing-'?' pattern keep working."""
+    cl = parser.parse("pourquoi ?")
+    assert [type(c).__name__ for c in cl] == ["TermClause"]
+    cl2 = parser.parse("livre?")
+    assert [type(c).__name__ for c in cl2] == ["WildcardClause"]
+    assert cl2[0].pattern == "livre?"
+    assert parser.parse("* ?") == []
+
+
+def test_oracle_term_lists_escape_quotes():
+    from alix_spark.query import bm25, similarities
+
+    sql = bm25.bm25_oracle_sql(["aujourd'hui"], k=5, mode="or")
+    assert "'aujourd''hui'" in sql
+    sql2 = similarities.alt_oracle_sql(["aujourd'hui"], sim="g", k=5)
+    assert "'aujourd''hui'" in sql2
