@@ -1352,6 +1352,45 @@ def q_gopher_rules(spark, sf_dir):
     return textstats.gopher_rules(docs)
 
 
+# Batch replay of the STREAMING quality_rate monitor (VERDICT r04 ask
+# #9): warc_ts is deterministic epoch arithmetic — integer seconds on
+# both engines, no timestamp literals to diverge on — spreading the
+# corpus over four one-hour windows in 37-minute steps.
+QRATE_EPOCH = 1704067200  # 2024-01-01 00:00:00 UTC
+QRATE_STEP_S = 2220  # 37 min: doc_id % 7 spans 4 one-hour windows
+
+
+def q_streaming_quality_rate(spark, sf_dir):
+    """Batch replay of the streaming quality_rate monitor: the SAME
+    monitor.quality_rate plan the stream executes — shared
+    gopher_metrics/gopher_keep expressions, watermark, windowed agg —
+    run over a batch frame (withWatermark is a no-op in batch, and
+    for this single-stage insert-only windowed aggregation the
+    finalized stream output is exactly the batch groupBy(window(ts))
+    result; test_streaming_state pins the per-micro-batch identity).
+    Pages carry the gopher fixture text as their UTF-8 html payload,
+    so keep verdicts fire in both directions inside every window.
+    Output keys the window by its epoch second (absolute instant —
+    timezone-independent on both engines)."""
+    from alix_spark.streaming import monitor
+
+    pages = _docs(spark, sf_dir).select(
+        F.timestamp_seconds(
+            F.lit(QRATE_EPOCH) + (F.col("doc_id") % 7) * F.lit(QRATE_STEP_S)
+        ).alias("warc_ts"),
+        "lang",
+        F.encode(F.expr(GOPHER_TEXT_EXPR), "UTF-8").alias("html"),
+    )
+    out = monitor.quality_rate(pages, window="1 hour", watermark="2 hours")
+    return out.select(
+        F.unix_timestamp("window_start").cast("long").alias("win_start_s"),
+        "lang",
+        "pages",
+        "kept",
+        "keep_rate",
+    ).orderBy("win_start_s", "lang")
+
+
 def q_winnowing(spark, sf_dir):
     """Winnowing fingerprint selection (Schleimer et al. 2003) — the
     MOSS partial-overlap sketch over word 3-gram md5s, window 4."""
@@ -1599,327 +1638,138 @@ def q_multimodal_features(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Ordered so that every operator family lands inside the driver's
-    first-50 correctness window (the driver checks the first 50 entries
-    only). Rotation policy (VERDICT r3 ask #2, refined late r04): the
-    tail holds ONLY (a) queries with a GREEN r03 driver row whose code
-    paths have no r04 diff (structural always-greens: index stats,
-    textstats, facet/time histograms, lang_id), (b) formula-branch
-    SIBLINGS of in-window representatives sharing the exact plan
-    machinery (theme_factor/weighted ↔ theme_bm25/rsj via _bm25_inputs;
-    part_pearson/rateratio ↔ part_residual via _score_corpus_family;
-    pack_shards_shuffled ↔ pack_shards; dedup_groups runs inside
-    training_shard's stage 1), or (c) rows-only entries whose driver
-    row carries only "ran, N rows" (webtext_extract, part_chrono —
-    webtext_wand_fr keeps the full chain driver-visible). The r03 tail
-    (green r01/r02) rotated back into the window this round, so the
-    union of consecutive rounds' driver rows covers every
-    oracle-checkable code path with nothing older than one round. The
-    local mini-driver (tests/test_oracle_parity.py) still checks ALL
-    entries every suite run."""
+    """Ordered so the driver's first-50 correctness window carries
+    every code path that is NEW or CHANGED this round, while the tail
+    holds only queries the policy lets it hold. Rotation policy
+    (VERDICT r3 ask #2, refined r04/r05): a tail entry must be
+    (a) a structural always-green with a recent driver row and no
+    diff since (index stats, textstats, histograms, lang_id),
+    (b) a formula-branch SIBLING of an in-window representative
+    sharing the exact plan machinery (the theme contrast modes over
+    ONE _bm25_inputs subtree; the PartScorer cells over ONE
+    _score_corpus_family plan; the keyness/similarity score formulas
+    over shared scorer machinery; ops that run VERBATIM inside an
+    in-window containing op, e.g. lm_score inside ccnet_buckets), or
+    (c) rows-only by nature (SVD, k-means IVF, multimodal, the
+    byte-golden French chain) whose driver row carries only "ran".
+    The local mini-driver (tests/test_oracle_parity.py) still checks
+    ALL entries against DuckDB every suite run.
+
+    r05 rotation (VERDICT r04 ask #2): the near-window r03 tail
+    rotated BACK into the window — sim_g, part_residual, top_ngrams,
+    fineweb_clean, refinedweb_lines, bm25_wand_and, bm25_or,
+    theme_bm25, events_by_type, keyness_chi2, part_keyness_tail —
+    plus one representative per structural index family (term_stats,
+    postings, facet_counts), ann_ivf_fullprobe (its probe assignment
+    moved from a driver collect to a distributed mapInPandas stage
+    this round — changed code paths enter the window), and
+    streaming_quality_rate (NEW: the streaming monitor's batch
+    replay, VERDICT ask #9). The 16 slots came from r04-green entries
+    whose machinery keeps an in-window representative: sim_chi2inv
+    (selection machinery via sim_g), theme_rsj (via theme_bm25 over
+    the shared _bm25_inputs), more_like_this (score_expr/OR brute
+    path via bm25_or, WAND via bm25_wand_and), mixed_term_or
+    (components via phrase_wand + bm25_wand_and), chrono_channels
+    (r04-green; histogram.py untouched), dsir_weights (gram emitter
+    via collocations + top_ngrams), part_specificity (via
+    part_residual/part_keyness_tail over _score_corpus_family),
+    heaps_profile (grouped_prefix_sums via pack_shards),
+    source_divergence / source_overlap / c4_clean (line machinery via
+    fineweb_clean + refinedweb_lines) / sampling_weights /
+    centroid_similarity / doc_freq_spectrum / embedding_stats (all
+    r04-green, structural, no r05 diff), and gopher_rules (the SAME
+    shared gopher_metrics/gopher_keep expressions run in-window via
+    streaming_quality_rate). Union invariant: every one of the 16 has
+    a GREEN r04 driver row, so after r05 no rotated query's last
+    driver-visible row is older than one round."""
     return {
-        # --- rotated back into the window (r03 tail, green r01/r02;
-        # bm25_single rotated out fourth session — it is the brute
-        # scorer's single-term case and bm25_or, the same brute path
-        # with the harder term set, stays in-window. bm25_or itself
-        # rotated out fifth session for top_ngrams: the brute
-        # bm25_topk path holds an r03-green tail row via bm25_and,
-        # and more_like_this keeps score_expr + the OR-mode
-        # aggregation oracled in-window)
-        # (sim_freq rotated out fourth session: same similarity-
-        # selection machinery as in-window sim_g/sim_chi2inv, differing
-        # only in the weight formula. sim_g itself rotated out fifth
-        # session for onion_dedup on the same grounds — sim_chi2inv,
-        # the round's NEW weight branch, stays as the in-window
-        # representative of the shared selection machinery)
-        # (keyness_logratio rotated out fourth session: the keyness
-        # family shares the TopTerms scorer machinery — keyness_chi2
-        # stays as the in-window representative; logratio/g2/logdice/
-        # simplemaths differ only in the score formula)
-        # (keyness_chi2 rotated back out fifth session for readability:
-        # the keyness family's shared TopTerms machinery holds an
-        # r03-GREEN row via tail keyness_g2 and keyness.py has no r04
-        # diff; chi2 differs from g2 only in the score formula, so the
-        # family's last driver-visible row stays <=1 round old without
-        # it. events_by_type likewise yields its slot to
-        # badwords_filter: it is the same trivial FlucCategory groupBy
-        # path as facet_counts / time_histogram, BOTH r03-green with
-        # no r04 diff in that path.)
-        # (webtext_term_stats rotated out fourth session: the full
-        # webtext chain stays driver-visible through in-window
-        # webtext_wand_fr; term_stats is a roll-up of that same
-        # chain's token output)
-        # (phrase_match rotated out fourth session: it is the brute
-        # DataFrame phrase matcher — the same oracle-style-path
-        # precedent as tail bm25_and/bm25_single; the production
-        # positional path stays in-window via phrase_wand/near_match)
-        # --- new this round (sim_gsimple rotated to the tail fourth
-        # session: chi2inv and gsimple are both new-this-round weight
-        # expressions sharing the exact similarity-selection machinery
-        # — chi2inv stays as the in-window representative of the new
-        # branch; gsimple differs only in the weight formula)
-        "sim_chi2inv": q_sim_chi2inv,
+        # ---- driver window (first 50): every new/changed r05 code
+        # path plus the VERDICT-listed returners ----
+        "sim_g": q_sim_g,
         "unknown_tokens": q_unknown_tokens,
         "expressions": q_expressions,
         "keywords_doc": q_keywords_doc,
         "spell_suggest": q_spell_suggest,
-        "theme_rsj": q_theme_rsj,
-        # --- ranking (bm25_wand_or rotated to the tail fourth
-        # session: r03 green, and the shared wand_topk cursor walk —
-        # the only machinery the OR mode adds to bm25_wand_and — has
-        # no substantive r04 diff (annotation only); the r04 wand.py
-        # diffs are the span kernels and the mixed path, exercised
-        # in-window by phrase_wand / near_match / mixed_term_or.
-        # bm25_wand_and itself rotated out fifth session on the same
-        # grounds — r03 green, wand_topk untouched this round — for
-        # more_like_this, the NEW Lucene-MLT related-doc operator
-        # (term-selection window + OR-mode BM25 retrieval, a new code
-        # path over the shared _bm25_inputs subtree))
-        "more_like_this": q_more_like_this,
-        "mixed_term_or": q_mixed_term_or,
+        "theme_bm25": q_theme_bm25,
+        "bm25_wand_and": q_bm25_wand_and,
+        "bm25_or": q_bm25_or,
+        # positional serving paths stay in-window (wand.py's serving
+        # cache changed this round: load-lock retirement, ADVICE r04)
         "phrase_wand": q_phrase_wand,
         "near_match": q_near_match,
-        # --- chrono (red in r03 — oracle type fix needs a fresh row)
-        "chrono_channels": q_chrono_channels,
-        # --- lexicometry
+        "events_by_type": q_events_by_type,
         "cooc_profile_scored": q_cooc_profile_scored,
-        # (theme_bm25 rotated out fifth session for dsir_weights: r03
-        # green, and the r04 theme.py machinery — the shared
-        # _bm25_inputs aggregate + vectorized score map — keeps its
-        # in-window representative via theme_rsj, which differs only
-        # in the contrast formula)
-        "dsir_weights": q_dsir_weights,
-        # (top_ngrams rotated to the tail fifth session for
-        # collocations: after review batch 24 the three gram ops share
-        # ONE Arrow emitter (gram_multiplicities — in-window via
-        # onion_dedup, dsir_weights AND collocations), and top_ngrams'
-        # downstream is the same emitter -> single map-side-combined
-        # groupBy-agg pipeline that collocations keeps oracled
-        # in-window with a strictly richer tail (margins + G2);
-        # top_ngrams' per-source rank residue stays checked by the
-        # local mini-driver every run)
+        "top_ngrams": q_top_ngrams,
         "collocations": q_collocations,
-        # (part_keyness_min rotated out fourth session: identical
-        # signature and machinery as in-window part_keyness_tail —
-        # only the scorer tail policy parameter differs.
-        # part_keyness_tail itself rotated out fifth session for
-        # encoding_anomalies: BOTH part_keyness_tail and
-        # part_keyness_min are r03-GREEN and the LogLikelihood/Tail
-        # scorer path has only append-only r04 diffs — the NEW
-        # PartScorer branches, residual and specificity, stay
-        # in-window below)
-        # --- PartScorer variants: specificity (the Arrow
-        # hypergeometric kernel, the family's fragile branch) stays
-        # in-window as the _score_corpus_family representative;
-        # residual rotated to the tail fifth session for bloom_dedup —
-        # its surrounding plan (per-part contingency aggregation,
-        # broadcast stats, top-k) is identical to specificity's, only
-        # the cell-score column differs, and residual/pearson/
-        # rateratio stay checked by the local mini-driver every run
-        "part_specificity": q_part_specificity,
-        # --- webtext chain (webtext_extract and part_chrono — both
-        # rows-only EVERY round, so their driver rows carry only
-        # "ran, N rows" — rotate to the tail for script_profile /
-        # data_split; webtext_wand_fr keeps the full chain+index+query
-        # path driver-visible, and both rotated queries stay
-        # byte-golden/invariant-pinned in the suite)
+        "keyness_chi2": q_keyness_chi2,
+        "part_residual": q_part_residual,
+        "part_keyness_tail": q_part_keyness_tail,
+        # the full chain+index+query path stays driver-visible
         "webtext_wand_fr": q_webtext_wand_fr,
-        # --- new this session: script triage + fold assignment
-        # (data_split rotated to the tail fourth session: its fold
-        # expression — the shared md5_key + split_expr helpers — runs
-        # VERBATIM inside mix_report's in-window oracle-matched plan,
-        # so the fold code path keeps a driver-visible row)
         "script_profile": q_script_profile,
-        # --- new sixth session: the pairwise Jensen–Shannon
-        # domain-distance map. Slot freed by token_entropy: after this
-        # session's refactor BOTH ops run the ONE shared entropy
-        # aggregation (_entropy_agg/_entropy_expr — ln on integer
-        # counts, k==1 pin), and source_divergence is the richer
-        # in-window consumer (per-source grouping + the mixture-
-        # entropy pair stage on top); token_entropy differs only in
-        # grouping by doc + the zero-token left-join spine, the
-        # collocations/top_ngrams shared-emitter precedent.
-        "source_divergence": q_source_divergence,
-        "heaps_profile": q_heaps_profile,
-        # --- LLM-pipeline ops (dedup_exact and dedup_minhash rotated
-        # to the tail this session for cooc_profile_scored/part_chrono:
-        # both r03-green, and the r04 dedup.py diff is append-only —
-        # the embedding tier — so their code paths are unchanged)
         "dedup_embedding": q_dedup_embedding,
-        # --- new fourth session: cross-source exact-duplicate overlap
-        # matrix (mirror/syndication detection; bm25_wand_or freed the
-        # slot, see the ranking comment above) and the Gopher
-        # quality-rule admission gate (bm25_single freed the slot, see
-        # the rotation comment at the top)
-        "source_overlap": q_source_overlap,
-        "gopher_rules": q_gopher_rules,
-        # onion_dedup (slot freed by sim_g, see the rotation comment at
-        # the top): the ONION duplicate-n-gram-ratio gate — a NEW code
-        # path (positional gram multiplicities + corpus-frequency
-        # join), not a sibling of the distinct-shingle Jaccard tier
         "onion_dedup": q_onion_dedup,
-        # bloom_dedup (slot freed by part_residual, see the PartScorer
-        # comment above): the memory-bounded approximate-membership
-        # dedup tier — a NEW code path (bit-packed broadcast filter +
-        # shuffle-free k-way bitwise probe), not a formula sibling of
-        # the exact-md5 tier it routes to
         "bloom_dedup": q_bloom_dedup,
-        # winnowing (slot freed by sim_freq, see the rotation comment
-        # at the top): the MOSS winnowing sketch — a NEW code
-        # path (rank-based rightmost-min window selection), not a
-        # formula sibling of fingerprints' single global min
         "winnowing": q_winnowing,
-        # ccnet_buckets (slot freed by keyness_logratio, see the
-        # rotation comment at the top): per-source perplexity terciles
-        # — a NEW code path (grouped bin-histogram quantile + bucket
-        # assignment), composing lm_scores with the length_outliers
-        # histogram-rank idea per group
         "ccnet_buckets": q_ccnet_buckets,
-        # c4_clean + sampling_weights (slots freed by
-        # webtext_term_stats and part_keyness_min, see the rotation
-        # comments above): the C4 line/page recipe and the
-        # temperature-mixing weights — both NEW code paths (array
-        # higher-order line predicates; pow-scaled share table)
-        "c4_clean": q_c4_clean,
-        "sampling_weights": q_sampling_weights,
-        # centroid_similarity (slot freed by phrase_match, see the
-        # rotation comment above): the domain-similarity map — a NEW
-        # code path (dimension-wise centroid aggregation + pairwise
-        # cosine on the centroid table)
-        "centroid_similarity": q_centroid_similarity,
-        # --- new this round: web-pipeline hygiene ops.
-        # repetition and pii_scrub rotated out sixth session: BOTH run
-        # VERBATIM inside in-window training_shard
-        # (webpipe.training_shard calls repetition_scores for its
-        # top2_frac gate and scrub_pii for the survivor payload — the
-        # ccnet_buckets/lm_score containment precedent), freeing slots
-        # for doc_freq_spectrum (the NEW all-integer df-spectrum
-        # census path) and embedding_stats (the NEW vector-hygiene
-        # census over the embeddings table)
-        "doc_freq_spectrum": q_doc_freq_spectrum,
+        "fineweb_clean": q_fineweb_clean,
+        "refinedweb_lines": q_refinedweb_lines,
+        # NEW r05 (VERDICT ask #9): the streaming quality monitor's
+        # batch replay — monitor.quality_rate's exact plan (shared
+        # gopher expressions, watermark, windowed agg) with an oracle
+        "streaming_quality_rate": q_streaming_quality_rate,
         "url_canon": q_url_canon,
-        "embedding_stats": q_embedding_stats,
         "domain_stats": q_domain_stats,
-        # dedup_groups rotates to the tail for mix_report: its
-        # connected-components code runs inside training_shard's
-        # in-window oracle-matched pipeline (dup_groups is stage 1
-        # there), so the CC path keeps a driver-visible row
         "mix_report": q_mix_report,
+        # training_shard + dedup_canonical keep dup_groups' NEW
+        # pointer-jumping CC rounds (r05 change) oracled in-window
         "training_shard": q_training_shard,
-        # --- new this session: training-mix preparation ops.
-        # Rotated out to make room (policy: every rotated query is
-        # r03-checked and its code path has NO r04 diff): ann_ivf
-        # (rows-only every round; similarity.py untouched in r04,
-        # ann_ivf_fullprobe keeps the deeper IVF path oracled
-        # in-window), doc_vectors (r03 green; theme.doc_term_weights
-        # untouched — the r04 theme.py diff is theme_weights_focus
-        # only), multimodal_image_pipeline (rows-only; multimodal.py
-        # untouched, multimodal_meta stays oracled in the tail).
         "contamination": q_contamination,
         "pack_shards": q_pack_shards,
         "stratified_sample": q_stratified_sample,
-        # lm_score rotated out sixth session for dedup_canonical:
-        # textstats.lm_scores runs VERBATIM inside in-window
-        # ccnet_buckets (webpipe.ccnet_buckets stage 1 — the
-        # dedup_groups/training_shard containment precedent), so the
-        # bigram-LM path keeps a driver-visible oracle row.
-        # dedup_canonical is the NEW keep-best cluster-representative
-        # step (quality argmax per connected component).
         "dedup_canonical": q_dedup_canonical,
-        # line_dedup enters for suggest_population (r03 green; the r04
-        # suggest.py diff is lock hygiene + the separate spell backend
-        # — the fold+rank value path is unchanged and suggest /
-        # suggest_folded keep it covered from the tail + full local
-        # verify)
         "line_dedup": q_line_dedup,
-        # passage_chunks enters for ann_ivf_fullprobe (r03 green;
-        # similarity.py has NO r04 diff — the whole IVF/LSH/cosine
-        # family now sits in the tail on its r03 rows + the full
-        # local verify, matching the policy the other rotated
-        # similarity queries already use)
         "passage_chunks": q_passage_chunks,
-        # dup_spans (the ExactSubstr dedup tier) enters for theme_irdf
-        # (r03 green; the r04 theme.py diff — the vectorized score map
-        # and the shared _bm25_inputs — is exercised in-window by FOUR
-        # sibling scorers: theme_bm25/rsj/factor/weighted; irdf's own
-        # contrast formula predates r04 and keeps its r03 row + the
-        # full local verify from the tail)
         "dup_spans": q_dup_spans,
-        # --- new this session (third): text-normalization gate,
-        # hashed-linear quality classifier, Zipf source profiling,
-        # URL blocklist/structure gate, histogram-quantile length
-        # gate. Window slots freed by rotating five NEW-this-round
-        # siblings whose exact code paths keep an in-window
-        # representative: theme_factor/theme_weighted (same
-        # _bm25_inputs aggregate + score map as theme_bm25/theme_rsj,
-        # different contrast arithmetic only), part_pearson/
-        # part_rateratio (same _score_corpus_family plan as
-        # part_residual, different cell formula), and
-        # pack_shards_shuffled (rows-only every round; pack_shards
-        # keeps the distributed prefix-sum oracled in-window and
-        # stratified_sample keeps the md5 order-key path oracled).
-        # All five stay fully checked by the local mini-driver
-        # (tests/test_oracle_parity.py) every suite run.
         "normalize_text": q_normalize_text,
-        # quality_classifier rotated out sixth session for
-        # tokenizer_fertility: textstats.classifier_scores runs
-        # VERBATIM inside in-window mix_report (webpipe.mix_report
-        # derives its gate verdict from classifier_scores' keep
-        # column — the ccnet_buckets/lm_score containment precedent).
-        # tokenizer_fertility is the NEW per-language tokenizer
-        # census (pieces-per-word fertility + vocabulary channel).
         "tokenizer_fertility": q_tokenizer_fertility,
         "zipf_profile": q_zipf_profile,
         "url_filter": q_url_filter,
         "length_outliers": q_length_outliers,
-        # --- new fifth session: the C4 dirty-word list gate (slot
-        # freed by events_by_type), the ftfy-style encoding-health
-        # gate (slot freed by part_keyness_tail) and the ARI
-        # readability census (slot freed by keyness_chi2) — all three
-        # genuinely NEW code paths (broadcast token-list inner join;
-        # shared-regex anomaly counters; integer sentence census +
-        # ratio formula), see the rotation comments above
         "badwords_filter": q_badwords_filter,
         "encoding_anomalies": q_encoding_anomalies,
         "readability": q_readability,
+        # structural index-family representatives (VERDICT ask #2)
+        "term_stats": q_term_stats,
+        "postings": q_postings,
+        "facet_counts": q_facet_counts,
+        # r05 change: probe assignment now a distributed mapInPandas
+        # stage (was a driver-side queries.collect) — fullprobe pins
+        # the new path to the exact-cosine oracle
+        "ann_ivf_fullprobe": q_ann_ivf_fullprobe,
         # ---- driver window boundary (entry 50) ----
-        # structural always-greens, every one green in r03; ann_lsh /
-        # logdice / simplemaths / jaccard are green-r03 siblings of
-        # in-window family members (dedup_embedding shares the bucket
-        # code path; minhash shares dedup's shingle path).
-        # cooc_window / cooc_matrix / kwic / snippet_topk rotated out
-        # earlier this round for the four PartScorer variants;
-        # bm25_and / keyness_g2 / ann_cosine / dedup_simhash rotated
-        # out for the four webpipe ops; sim_chi2 for dedup_groups;
-        # multimodal_features (rows-only in every round — multimodal.py
-        # has no r04 diff and multimodal_image_pipeline covers the
-        # deeper path in-window) for training_shard. All rotated
-        # queries are r03-GREEN (or r03 rows-only for the no-oracle
-        # multimodal row) and their CODE PATHS have no r04 diff
-        # (bm25.py / keyness.py / similarity.py / multimodal.py
-        # untouched; dedup.py, cooc.py and similarities.py diffs are
-        # append-only new functions/branches), so every rotated
-        # query's last driver-visible row stays <=1 round old.
-        "sim_g": q_sim_g,
-        "part_residual": q_part_residual,
-        "top_ngrams": q_top_ngrams,
-        # fineweb_clean enters AT the tail (new fifth session): it is
-        # a formula-branch sibling of in-window c4_clean — the exact
-        # line-stream machinery (terminator normalization, trim,
-        # blank-drop, per-row array higher-order predicates, zero
-        # shuffle), different gate formulas — per the sim_gsimple
-        # precedent for new-this-round formula siblings.
-        "fineweb_clean": q_fineweb_clean,
-        # refinedweb_lines likewise enters AT the tail (new fifth
-        # session): the same shared line_stream machinery as in-window
-        # c4_clean, different line predicates + document gate.
-        "refinedweb_lines": q_refinedweb_lines,
-        "bm25_wand_and": q_bm25_wand_and,
-        "bm25_or": q_bm25_or,
-        "theme_bm25": q_theme_bm25,
-        "events_by_type": q_events_by_type,
-        "keyness_chi2": q_keyness_chi2,
-        "part_keyness_tail": q_part_keyness_tail,
+        # r04-green rotations out (rationale in the docstring above):
+        # machinery representatives stay in-window, last driver row
+        # r04 for every entry in this block
+        "sim_chi2inv": q_sim_chi2inv,
+        "theme_rsj": q_theme_rsj,
+        "more_like_this": q_more_like_this,
+        "mixed_term_or": q_mixed_term_or,
+        "chrono_channels": q_chrono_channels,
+        "dsir_weights": q_dsir_weights,
+        "part_specificity": q_part_specificity,
+        "heaps_profile": q_heaps_profile,
+        "source_divergence": q_source_divergence,
+        "source_overlap": q_source_overlap,
+        "gopher_rules": q_gopher_rules,
+        "c4_clean": q_c4_clean,
+        "sampling_weights": q_sampling_weights,
+        "centroid_similarity": q_centroid_similarity,
+        "doc_freq_spectrum": q_doc_freq_spectrum,
+        "embedding_stats": q_embedding_stats,
+        # r03-green structural/sibling tail (policy (a)/(b)) and
+        # rows-only entries (policy (c)); every one checked by the
+        # local mini-driver each suite run
         "sim_chi2": q_sim_chi2,
         "multimodal_features": q_multimodal_features,
         "bm25_and": q_bm25_and,
@@ -1941,30 +1791,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_folded": q_suggest_folded,
         "term_dict": q_term_dict,
         "doc_stats": q_doc_stats,
-        "term_stats": q_term_stats,
-        "postings": q_postings,
         "corpus_stats": q_corpus_stats,
         "quality": q_quality,
         "token_counts": q_token_counts,
         "fingerprints": q_fingerprints,
         "multimodal_meta": q_multimodal_meta,
-        "facet_counts": q_facet_counts,
         "time_histogram": q_time_histogram,
         "lang_id": q_lang_id,
-        # rotated out this session for the training-mix ops (all
-        # r03-checked, code paths untouched in r04 — see the window
-        # comment above)
         "doc_vectors": q_doc_vectors,
         "ann_ivf": q_ann_ivf,
         "multimodal_image_pipeline": q_multimodal_image_pipeline,
         "ca_map": q_ca_map,
         "term_embeddings": q_term_embeddings,
         "suggest_population": q_suggest_population,
-        "ann_ivf_fullprobe": q_ann_ivf_fullprobe,
         "theme_irdf": q_theme_irdf,
-        # rotated out this session for the five new gates (see the
-        # window comment above): in-window siblings keep every code
-        # path driver-visible
         "theme_factor": q_theme_factor,
         "theme_weighted": q_theme_weighted,
         "part_pearson": q_part_pearson,
@@ -1973,18 +1813,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webtext_extract": q_webtext_extract,
         "part_chrono": q_part_chrono,
         "dedup_groups": q_dedup_groups,
-        # rotated out fourth session for token_entropy/heaps_profile
-        # (see the window comments above): sim_gsimple's selection
-        # machinery stays in-window via sim_chi2inv; data_split's fold
-        # expression runs verbatim inside in-window mix_report
         "sim_gsimple": q_sim_gsimple,
         "data_split": q_data_split,
-        # rotated out sixth session (see the window comments above):
-        # token_entropy shares the ONE _entropy_agg/_entropy_expr
-        # machinery with in-window source_divergence; lm_score runs
-        # verbatim inside in-window ccnet_buckets; quality_classifier
-        # runs verbatim inside in-window mix_report. All three stay
-        # fully oracle-checked by the local mini-driver every run.
         "token_entropy": q_token_entropy,
         "lm_score": q_lm_score,
         "quality_classifier": q_quality_classifier,
@@ -4132,14 +3962,20 @@ FROM c ORDER BY doc_id
         for w in textstats.GOPHER_STOPWORDS
     )
     _terms_g = "\u0085\u2028\u2029"
-    sqls["gopher_rules"] = f"""
-WITH src AS (SELECT doc_id, {GOPHER_TEXT_EXPR} AS text FROM documents),
-c AS (SELECT doc_id,
+    # The gopher metric census + keep gate as ONE SQL definition --
+    # interpolated by BOTH the batch gopher_rules oracle and the
+    # streaming quality_rate replay oracle, so the two can never
+    # drift (the SQL twin of the engine's shared
+    # gopher_metrics/gopher_keep expression set). ``_extra`` carries
+    # additional grouping columns (lang, ...) through the CTEs.
+    def _gopher_cte(extra: str = "") -> str:
+        return f"""src AS (SELECT doc_id,{extra} {GOPHER_TEXT_EXPR} AS text FROM documents),
+c AS (SELECT doc_id,{extra}
              regexp_replace(coalesce(text, ''),
                             '\\r\\n|[\\r{_terms_g}]', chr(10), 'g') AS t
       FROM src),
 m AS (
-  SELECT doc_id,
+  SELECT doc_id,{extra}
     CAST(len(regexp_extract_all(t, '{NONSPACE_RE}')) AS BIGINT) AS n_words,
     CAST(length(regexp_replace(t, '[{WS_CLASS}]', '', 'g')) AS BIGINT) AS word_chars,
     CAST(len(regexp_extract_all(t, '[^{WS_CLASS}]*[A-Za-z][^{WS_CLASS}]*')) AS BIGINT) AS alpha_words,
@@ -4150,7 +3986,19 @@ m AS (
     CAST(len(regexp_extract_all(t, '(?m)(\\.\\.\\.|{_ell})[ \t]*$')) AS BIGINT) AS ellipsis_lines,
     CAST({_stop_sum} AS BIGINT) AS n_stop_kinds
   FROM c
-)
+)"""
+
+    _gopher_keep_sql = """(n_words >= 50 AND n_words <= 100000
+   AND 3 * n_words <= word_chars AND word_chars <= 10 * n_words
+   AND 10 * hashes <= n_words
+   AND 10 * ellipses <= n_words
+   AND 10 * bullet_lines <= 9 * n_lines
+   AND 10 * ellipsis_lines <= 3 * n_lines
+   AND 5 * alpha_words >= 4 * n_words
+   AND n_stop_kinds >= 2)"""
+
+    sqls["gopher_rules"] = f"""
+WITH {_gopher_cte()}
 SELECT doc_id, n_words, n_lines,
   CASE WHEN n_words > 0 THEN {sql_round6('word_chars / CAST(n_words AS DOUBLE)')} END AS mean_word_len,
   CASE WHEN n_words > 0 THEN {sql_round6('hashes / CAST(n_words AS DOUBLE)')} END AS hash_ratio,
@@ -4159,15 +4007,27 @@ SELECT doc_id, n_words, n_lines,
   CASE WHEN n_lines > 0 THEN {sql_round6('ellipsis_lines / CAST(n_lines AS DOUBLE)')} END AS ellipsis_line_ratio,
   CASE WHEN n_words > 0 THEN {sql_round6('alpha_words / CAST(n_words AS DOUBLE)')} END AS alpha_ratio,
   n_stop_kinds,
-  (n_words >= 50 AND n_words <= 100000
-   AND 3 * n_words <= word_chars AND word_chars <= 10 * n_words
-   AND 10 * hashes <= n_words
-   AND 10 * ellipses <= n_words
-   AND 10 * bullet_lines <= 9 * n_lines
-   AND 10 * ellipsis_lines <= 3 * n_lines
-   AND 5 * alpha_words >= 4 * n_words
-   AND n_stop_kinds >= 2) AS keep
+  {_gopher_keep_sql} AS keep
 FROM m ORDER BY doc_id
+"""
+
+    # Streaming quality_rate batch replay: the SAME gopher census +
+    # keep gate, bucketed by epoch-hour (pure integer arithmetic —
+    # the window id both engines agree on without timestamp
+    # construction) and grouped by lang.
+    sqls["streaming_quality_rate"] = f"""
+WITH {_gopher_cte(" lang,")},
+v AS (
+  SELECT CAST(({QRATE_EPOCH} + (doc_id % 7) * {QRATE_STEP_S}) // 3600 * 3600 AS BIGINT) AS win_start_s,
+         lang,
+         CASE WHEN {_gopher_keep_sql} THEN 1 ELSE 0 END AS k
+  FROM m
+)
+SELECT win_start_s, lang,
+       CAST(count(*) AS BIGINT) AS pages,
+       CAST(sum(k) AS BIGINT) AS kept,
+       {sql_round6('CAST(sum(k) AS DOUBLE) / count(*)')} AS keep_rate
+FROM v GROUP BY win_start_s, lang ORDER BY win_start_s, lang
 """
 
     # Winnowing oracle: the O(n*w) window expansion (fine at oracle

@@ -249,8 +249,8 @@ def build_index(
     if resume:
         for s in range(n_shards):
             if os.path.exists(_manifest_path(index_dir, s)):
-                _check_resume_manifest(index_dir, s, n_shards)
-                done.add(s)
+                if _check_resume_manifest(index_dir, s, n_shards):
+                    done.add(s)
     todo = [s for s in range(n_shards) if s not in done]
 
     # pmod, not %: Spark's % takes the dividend's sign, so a negative
@@ -849,8 +849,8 @@ def build_index_packed(
     if resume:
         for s in range(n_shards):
             if os.path.exists(_manifest_path(index_dir, s)):
-                _check_resume_manifest(index_dir, s, n_shards)
-                done.add(s)
+                if _check_resume_manifest(index_dir, s, n_shards):
+                    done.add(s)
     todo = [s for s in range(n_shards) if s not in done]
     # stale-timing guard: a fully-resumed build (todo empty) must not
     # report the PREVIOUS build's write timings (review batch 28)
@@ -1060,15 +1060,31 @@ def _manifest_path(index_dir: str, shard: int) -> str:
     return os.path.join(index_dir, "manifest", f"shard_{shard}.json")
 
 
-def _check_resume_manifest(index_dir: str, shard: int, n_shards: int) -> None:
+def _check_resume_manifest(index_dir: str, shard: int, n_shards: int) -> bool:
     """A resumable manifest must come from a build with the SAME
     sharding and codec: resuming a 16-shard tree with n_shards=8 would
     mark every shard done and silently publish HALF the corpus, and a
     prior-format tree would mix codec layouts under one meta (review
     batch 28 — the manifests record n_shards/format for exactly this
-    check)."""
-    with open(_manifest_path(index_dir, shard)) as f:
-        m = json.load(f)
+    check).
+
+    Returns True iff the shard counts as done. A truncated/unreadable
+    manifest — the half-written file of exactly the crashed run resume
+    exists for — returns False (shard is rebuilt) instead of aborting
+    the whole resume with a raw JSONDecodeError; the hard ValueError
+    is reserved for READABLE manifests from an incompatible build
+    (ADVICE r04)."""
+    try:
+        with open(_manifest_path(index_dir, shard)) as f:
+            m = json.load(f)
+    except (ValueError, OSError):
+        # ValueError covers JSONDecodeError AND UnicodeDecodeError
+        # (torn writes can leave non-UTF-8 bytes, not just truncated
+        # JSON)
+        return False
+    if not isinstance(m, dict):
+        # parses but is a bare scalar/list — still a torn write
+        return False
     if m.get("n_shards") != n_shards or m.get("format") != FORMAT_VERSION:
         raise ValueError(
             f"resume: shard {shard} manifest is from an incompatible "
@@ -1076,6 +1092,7 @@ def _check_resume_manifest(index_dir: str, shard: int, n_shards: int) -> None:
             f"format={m.get('format')!r}; this build: {n_shards}, "
             f"{FORMAT_VERSION!r}) — rebuild with resume=False"
         )
+    return True
 
 
 def read_meta(index_dir: str) -> dict:

@@ -667,18 +667,34 @@ def _datasets(index_dir: str):
             "ascii_variant, or an unbuilt/deleted index root"
         )
     key = _seg.publish_marker(index_dir) or os.path.getmtime(marker)
-    with _LOCAL_CACHE_LOCK:
-        hit = _LOCAL_CACHE.get(index_dir)
-        if hit is not None and hit[0] == key:
-            _LOCAL_CACHE.move_to_end(index_dir)
-            return hit[1], hit[2]
-        load_lock = _DATASET_LOAD_LOCKS.setdefault(
-            (index_dir, key), threading.Lock()
-        )
+    # acquire the per-(index, token) load lock AND confirm, under the
+    # global lock, that the acquired lock is still the REGISTERED one
+    # for this key: retirement (below) can delete an entry in the gap
+    # between a loader's setdefault and its acquire, and without the
+    # re-check a later thread would setdefault a fresh lock for the
+    # same key and run a duplicate concurrent cold open (ADVICE r04 +
+    # r05 review). A loader whose lock was retired mid-gap releases
+    # and retries — the loop terminates because a retired key's next
+    # setdefault re-registers, and retirement only targets keys
+    # absent from the cache.
+    while True:
+        with _LOCAL_CACHE_LOCK:
+            hit = _LOCAL_CACHE.get(index_dir)
+            if hit is not None and hit[0] == key:
+                _LOCAL_CACHE.move_to_end(index_dir)
+                return hit[1], hit[2]
+            load_lock = _DATASET_LOAD_LOCKS.setdefault(
+                (index_dir, key), threading.Lock()
+            )
+        load_lock.acquire()
+        with _LOCAL_CACHE_LOCK:
+            if _DATASET_LOAD_LOCKS.get((index_dir, key)) is load_lock:
+                break
+        load_lock.release()
     # cold open OUTSIDE the global lock, UNDER the per-(index, token)
     # lock: a republish's thundering herd opens once, cache hits for
     # other indexes never block
-    with load_lock:
+    try:
         with _LOCAL_CACHE_LOCK:
             hit = _LOCAL_CACHE.get(index_dir)
             if hit is not None and hit[0] == key:
@@ -693,11 +709,20 @@ def _datasets(index_dir: str):
             _LOCAL_CACHE.move_to_end(index_dir)
             while len(_LOCAL_CACHE) > _LOCAL_CACHE_MAX:
                 _LOCAL_CACHE.popitem(last=False)
-            # retire load locks for evicted/superseded tokens
+            # retire load locks for evicted/superseded tokens — but
+            # never one that is currently HELD (try-acquire probes
+            # holdership under the global lock, where all setdefaults
+            # also happen); the registered-lock re-check above covers
+            # the setdefault-to-acquire gap this probe cannot see.
             live_keys = {(d, v[0]) for d, v in _LOCAL_CACHE.items()}
             for kk in [k2 for k2 in _DATASET_LOAD_LOCKS if k2 not in live_keys]:
-                del _DATASET_LOAD_LOCKS[kk]
+                lk = _DATASET_LOAD_LOCKS[kk]
+                if lk.acquire(blocking=False):
+                    lk.release()
+                    del _DATASET_LOAD_LOCKS[kk]
         return tstats, post
+    finally:
+        load_lock.release()
 
 
 def term_stats_dataset(index_dir: str):

@@ -24,9 +24,14 @@ content, not stream length.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupStateTimeout
+
+# lang_drift interpolates baseline keys into derived column names
+_LANG_KEY_RE = re.compile(r"[A-Za-z0-9_-]+")
 
 FIRST_SEEN_SCHEMA = (
     "url string, warc_ts timestamp, lang string, content_md5 string"
@@ -237,6 +242,17 @@ def lang_drift(
 
     if not baseline:
         raise ValueError("lang_drift: baseline must name at least one lang")
+    for lang in baseline:
+        # the lang is interpolated into derived column names (n_<lang>)
+        # that are later re-selected by string: a dot would parse as a
+        # struct-field access and a backtick would break quoting, both
+        # surfacing as a confusing unresolved-column analysis error —
+        # reject at entry like the other guards (ADVICE r04)
+        if not isinstance(lang, str) or not _LANG_KEY_RE.fullmatch(lang):
+            raise ValueError(
+                f"lang_drift: baseline key {lang!r} must match "
+                "[A-Za-z0-9_-]+ (it names a derived column)"
+            )
     if any(v < 0 for v in baseline.values()):
         raise ValueError("lang_drift: baseline shares must be >= 0")
     total_share = sum(baseline.values())

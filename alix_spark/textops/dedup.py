@@ -480,15 +480,24 @@ def dup_groups(
     decision: transitive near-dups (A~B, B~C, A!~C) must land in ONE
     group or the pipeline keeps two of the three copies.
 
-    Scale shape: distributed min-label propagation — labels start at
-    the node id and each round every node takes the min of its own and
-    its neighbors' labels, converging in O(component diameter) rounds
-    (dup clusters are cliques/short chains, 2-3 rounds in practice;
-    for adversarially long paths GraphX-style large/small-star halves
-    the rounds but the per-round plan is the same join+agg). Each
-    round is ONE shuffle join + ONE aggregation over the edge list;
-    lineage is cut per round with an eager localCheckpoint so the plan
-    and the convergence check never re-execute prior rounds."""
+    Scale shape: distributed min-label propagation with per-round
+    POINTER JUMPING — labels start at the node id; each round every
+    node takes the min of its own and its neighbors' labels, then
+    shortcuts through its label's label (``label ← label(label)``,
+    the Shiloach-Vishkin / large-star round-halving move: label
+    chains halve in depth each round while propagation extends reach,
+    so an adversarial D-hop path converges in O(log D) rounds, not
+    O(D) — a 100-hop chain lands well inside max_iter=25 instead of
+    raising; dup clusters are cliques/short chains, 2-3 rounds in
+    practice). The edge-side work per round is unchanged — ONE
+    shuffle join + ONE aggregation over the edge list; the shortcut
+    is a self-join on the lazily-pinned (node, label) candidate
+    table, which is ≤ the node count and far smaller than the edges. The jump is safe because
+    labels are monotone non-increasing and every label value IS a
+    node id in the same component, so label(label) exists and is ≤
+    label. Lineage is cut per round with an eager localCheckpoint so
+    the plan and the convergence check never re-execute prior
+    rounds."""
     e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     edges = (
         e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -505,13 +514,30 @@ def dup_groups(
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
-        new = (
+        # lazily pinned (localCheckpoint eager=False): cand sits on
+        # BOTH sides of the jump self-join below — the pin computes
+        # the edge join + agg once and shares the partitions, instead
+        # of trusting ReusedExchange to dedup the doubled subtree
+        cand = (
             labels.join(nbr, labels["node"] == nbr["src"], "left")
             .select(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        # pointer jump: label ← label(label). Left join + coalesce
+        # only as belt-and-braces — every label is a live node id.
+        ptr = cand.select(
+            F.col("node").alias("pnode"), F.col("label").alias("plabel")
+        )
+        new = (
+            cand.join(ptr, cand["label"] == ptr["pnode"], "left")
+            .select(
+                "node",
+                F.coalesce(F.col("plabel"), F.col("label")).alias("label"),
             )
             .localCheckpoint(eager=True)
         )

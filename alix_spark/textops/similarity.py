@@ -299,27 +299,52 @@ def ann_ivf_topk(
     cent = ivf_centroids(emb, n_lists=n_lists, dim=dim, seed=seed)
     assign = ivf_assign(emb, cent)
 
-    # query → probed lists (small, driver-side)
-    q_rows = queries.collect()
-    probes = []
-    for r in q_rows:
-        qv = np.asarray(r["q_vec"], dtype=np.float64)
-        qv = qv / max(np.linalg.norm(qv), 1e-12)
-        top_lists = np.argsort(-(cent @ qv))[:nprobe]
-        for li in top_lists:
-            probes.append((r["q_id"], int(li)))
-    spark = emb.sparkSession
-    # q_id keeps the queries table's own id type (string term keys,
-    # long vec ids, …) — only list_id is fixed
-    q_id_type = queries.schema["q_id"].dataType.simpleString()
-    probe_df = spark.createDataFrame(
-        probes, f"q_id {q_id_type}, list_id long"
+    # query → probed lists, computed DISTRIBUTED: the tiny centroid
+    # matrix (n_lists × dim) ships to the executors as a closure and
+    # each Arrow batch of queries emits its nprobe (q_id, list_id)
+    # rows — the queries table is never collect()ed driver-side, so
+    # an unbounded query set (e.g. the corpus joined to itself for
+    # all-pairs ANN) streams through like any other DataFrame
+    # (VERDICT r04 ask #5; probe selection is the same
+    # argsort(-(cent @ q)) expression the old driver loop used, so
+    # results are bit-identical).
+    ensure_py_files(emb.sparkSession)
+
+    def _probe_gen(it):
+        for pdf in it:
+            qids: list = []
+            lids: list = []
+            for qid, qv in zip(pdf["q_id"], pdf["q_vec"]):
+                v = np.asarray(qv, dtype=np.float64)
+                v = v / max(np.linalg.norm(v), 1e-12)
+                for li in np.argsort(-(cent @ v))[:nprobe]:
+                    qids.append(qid)
+                    lids.append(int(li))
+            yield pd.DataFrame(
+                {"q_id": qids, "list_id": np.asarray(lids, dtype=np.int64)}
+            )
+
+    probe_schema = T.StructType(
+        [
+            T.StructField("q_id", queries.schema["q_id"].dataType),
+            T.StructField("list_id", T.LongType()),
+        ]
+    )
+    probe_df = queries.select("q_id", "q_vec").mapInPandas(
+        _probe_gen, probe_schema
     )
 
+    # NO broadcast hints on the probe/query sides: both are
+    # data-dependent (probe_df is an un-pinned mapInPandas over
+    # queries — an eager count-guarded hint would re-run the probe
+    # generation as an extra job, the pattern review batch 27
+    # removed), so AQE picks broadcast-vs-shuffle from runtime sizes:
+    # bounded query sets still get the broadcast plan, an unbounded
+    # one degrades to a shuffle join instead of OOMing every executor
     cand = (
         emb.join(assign, "vec_id")
-        .join(F.broadcast(probe_df), "list_id")
-        .join(F.broadcast(queries), "q_id")
+        .join(probe_df, "list_id")
+        .join(queries, "q_id")
         .filter(  # string compare: see cosine_topk's self-exclusion note
             F.col("vec_id").cast("string") != F.col("q_id").cast("string")
         )

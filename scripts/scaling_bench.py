@@ -96,8 +96,15 @@ def run_levels(
         for r in range(repeats):
             for cores in levels:
                 ix = os.path.join(work, f"ix_{cores}_{r}")
+                # 1-min load BEFORE launching the leg: our own prior
+                # leg has exited, so a value far above its decay
+                # envelope marks EXTERNAL consumers in this window
+                # (the driver-auditable weather signature, VERDICT r04
+                # ask #1)
+                load1 = os.getloadavg()[0]
                 m = run_build(f"local[{cores}]", zpath, n_docs, ix, doc_scale)
                 m["cores"] = cores
+                m["loadavg1_pre"] = round(load1, 2)
                 runs.append(m)
                 shutil.rmtree(ix, ignore_errors=True)
     finally:

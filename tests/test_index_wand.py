@@ -299,6 +299,34 @@ def test_index_resume_rebuilds_missing_shard(spark, built_index):
     assert before == after
 
 
+def test_index_resume_rebuilds_corrupt_manifest_shard(spark, built_index):
+    """A truncated/half-written manifest — the crashed-run artifact
+    resume exists for — must count as shard-not-done and be rebuilt,
+    not abort the whole resume with a raw JSONDecodeError (ADVICE
+    r04). A READABLE manifest from an incompatible build still raises."""
+    import json as _json
+
+    import pytest
+
+    idx, tok = built_index
+    with open(segments._manifest_path(idx, 1), "w") as f:
+        f.write('{"n_shards": 4, "form')  # truncated mid-write
+    meta = segments.build_index(spark, tok, idx, n_shards=4, resume=True)
+    assert meta["resumed_from"] == [0, 2, 3]
+    # readable-but-incompatible must still fail loudly
+    with open(segments._manifest_path(idx, 1)) as f:
+        m = _json.load(f)
+    m["n_shards"] = 8
+    with open(segments._manifest_path(idx, 1), "w") as f:
+        _json.dump(m, f)
+    with pytest.raises(ValueError, match="incompatible"):
+        segments.build_index(spark, tok, idx, n_shards=4, resume=True)
+    # restore for any later test sharing the fixture
+    m["n_shards"] = 4
+    with open(segments._manifest_path(idx, 1), "w") as f:
+        _json.dump(m, f)
+
+
 def test_wand_on_analyzed_french_corpus(spark, tmp_path):
     """End-to-end on the webtext corpus: html → analysis chain →
     compressed index → WAND, vs brute force over the same tokens."""

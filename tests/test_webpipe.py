@@ -234,6 +234,23 @@ class TestDupGroups:
         pairs = spark.createDataFrame([], "doc_a long, doc_b long")
         assert dup_groups(pairs).count() == 0
 
+    def test_adversarial_100_hop_path_converges(self, spark):
+        """Pointer jumping (label ← label(label)) gives O(log D)
+        convergence: a 100-hop path graph — diameter far beyond
+        max_iter=25 under plain min-propagation — must converge
+        instead of raising (VERDICT r04 ask #6). Run with a reversed,
+        shuffled edge ordering so the result can't depend on input
+        order."""
+        import random
+
+        from alix_spark.textops.dedup import dup_groups
+
+        edges = [(i + 1, i) for i in range(100)]  # reversed direction
+        random.Random(7).shuffle(edges)
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {r["doc_id"]: r["group_id"] for r in dup_groups(pairs).collect()}
+        assert got == {i: 0 for i in range(101)}
+
 
 class TestContamination:
     def test_overlap_counts(self, spark):
@@ -1614,6 +1631,45 @@ class TestCollocations:
         b = textstats.collocations(df.repartition(11), min_count=2, top=50).collect()
         assert [tuple(r) for r in a] == [tuple(r) for r in b]
 
+    def test_hand_computed_literal_anchor(self, spark):
+        """Independent VALUE anchor for the G2 formula (VERDICT r04
+        ask #3): the contract oracle interpolates the engine's own G2
+        expression and test_matches_reference_formula re-derives it in
+        python, so a wrong shared FORMULA would pass all three. These
+        expected scores were computed BY HAND from Dunning (1993) —
+        2·Σ k·ln(k/E) over the 2×2 adjacency contingency, 6-dp
+        floor-rounded — and pinned as literals; any mutation of the
+        cell terms, expectations, or sign rule fails them.
+
+        Corpus 'a b a b c b': pairs (a,b)×2 (b,a) (b,c) (c,b), n=5.
+        (a,b): k=(2,0,1,2), E=(1.2,0.8,1.8,1.2)
+             → G2 = 4·ln(5/3) + 2·ln(5/9) + 4·ln(5/3) = 2.9110316…
+        (round6 is floor(x·1e6 + 0.5), i.e. half-up at 6 dp)."""
+        out = textstats.collocations(
+            self._df(spark, ["a b a b c b"]), min_count=1, top=10
+        ).collect()
+        got = {(r.w1, r.w2): r for r in out}
+        r = got[("a", "b")]
+        assert (r.c12, r.c1, r.c2) == (2, 2, 3)
+        assert r.score == 2.911032
+        assert got[("b", "a")].score == 2.231436
+        assert got[("b", "c")].score == 2.231436
+        assert got[("c", "b")].score == 1.184939
+        # ordering: score desc, then (w1, w2) asc on the tie
+        assert [(r.w1, r.w2) for r in out] == [
+            ("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")
+        ]
+        # sign rule anchor: (u,v) occurs ONCE while u leads 4 of 13
+        # pairs and v closes 4 of 13 — k11/c1 = 1/4 < c2/n = 4/13, so
+        # the pair is repulsed: hand value −0.0923498… → −0.092350
+        out2 = textstats.collocations(
+            self._df(spark, ["x v y v z v u w u w u w u v"]),
+            min_count=1, top=100,
+        ).collect()
+        r_uv = {(r.w1, r.w2): r for r in out2}[("u", "v")]
+        assert (r_uv.c12, r_uv.c1, r_uv.c2) == (1, 4, 4)
+        assert r_uv.score == -0.09235
+
 
 class TestFinewebClean:
     def test_each_gate_fires_in_isolation(self, spark):
@@ -1714,6 +1770,44 @@ class TestRefinedwebLines:
         )
         r = webpipe.refinedweb_lines(docs).collect()[0]
         assert r.removed_lines == 1  # only the all-caps headline
+
+    def test_hand_computed_literal_anchor(self, spark):
+        """Independent VALUE anchor for the letter-class formula
+        (VERDICT r04 ask #3): the contract oracle interpolates the
+        SAME RW_UPPER_CLASS/RW_LOWER_CLASS constants the engine uses,
+        so a wrong shared CLASS (e.g. Latin-1 ranges including the
+        \\u00d7 multiplication / \\u00f7 division signs) would pass
+        both sides. Every expected number below was counted BY HAND
+        from the RefinedWeb §4.2 rules and pinned as a literal.
+
+        Lines and hand counts (upper/lower letters):
+          'HELLO World'        6/4  → mainly-upper, REMOVED (11 ch)
+          'hello there world'  0/15 → kept          (17 ch)
+          '1234 !!'            0/0  → no letters, REMOVED (7 ch)
+          '3 likes'            counter,  REMOVED (7 ch)
+          'singleword'         no space, REMOVED (10 ch)
+          'A \\u00f7x'         1/1  → 1 > 1 false, KEPT (4 ch)
+                               (if \\u00f7 wrongly counted as an
+                               uppercase letter: 2 > 1 → removed,
+                               so this line discriminates the class)
+        n_lines=6 removed=4 removed_chars=35 total_chars=56;
+        100·35 > 5·56 → page dropped; clean_md5 = md5 of the two
+        kept lines joined by newline."""
+        import hashlib
+
+        text = (
+            "HELLO World\nhello there world\n1234 !!\n3 likes\n"
+            "singleword\nA \u00f7x"
+        )
+        r = webpipe.refinedweb_lines(
+            spark.createDataFrame([(0, text)], "doc_id long, text string")
+        ).collect()[0]
+        assert (
+            r.n_lines, r.removed_lines, r.removed_chars,
+            r.total_chars, r.keep,
+        ) == (6, 4, 35, 56, False)
+        kept = "hello there world\nA \u00f7x"
+        assert r.clean_md5 == hashlib.md5(kept.encode("utf-8")).hexdigest()
 
 
 class TestSourceDivergence:
