@@ -1409,6 +1409,25 @@ def q_sampling_weights(spark, sf_dir):
     return webpipe.sampling_weights(_docs(spark, sf_dir))
 
 
+# UniMax fixture knobs: epochs=1 with 80% of the corpus as budget puts
+# the cap/uniform boundary INSIDE the language list at both test SFs
+# (small langs capped at one epoch, the English head split uniform),
+# so both branches of the water-filling verdict are exercised.
+UNIMAX_EPOCHS = 1
+UNIMAX_FRAC = 0.8
+
+
+def q_unimax_sampling(spark, sf_dir):
+    """UniMax budget-capped language sampling (Chung et al. 2023):
+    epoch-capped small languages, uniform split of the remaining
+    budget across the head."""
+    return webpipe.unimax_sampling(
+        _docs(spark, sf_dir),
+        epochs=UNIMAX_EPOCHS,
+        budget_frac=UNIMAX_FRAC,
+    )
+
+
 def q_centroid_similarity(spark, sf_dir):
     """Domain-similarity map: per-label embedding centroids + pairwise
     cosine over the label pairs."""
@@ -1719,7 +1738,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gopher expressions, watermark, windowed agg) with an oracle
         "streaming_quality_rate": q_streaming_quality_rate,
         "url_canon": q_url_canon,
-        "domain_stats": q_domain_stats,
+        # NEW r05: UniMax budget-capped language sampling — a new code
+        # path (windowed prefix-AND water-filling on the language
+        # table). Slot freed by domain_stats: r04-green, a plain
+        # groupBy-host aggregate whose machinery (host parse_url +
+        # map-side-combined agg) runs in-window via url_canon /
+        # mix_report; no r05 diff in its code path.
+        "unimax_sampling": q_unimax_sampling,
         "mix_report": q_mix_report,
         # training_shard + dedup_canonical keep dup_groups' NEW
         # pointer-jumping CC rounds (r05 change) oracled in-window
@@ -1767,6 +1792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_similarity": q_centroid_similarity,
         "doc_freq_spectrum": q_doc_freq_spectrum,
         "embedding_stats": q_embedding_stats,
+        "domain_stats": q_domain_stats,
         # r03-green structural/sibling tail (policy (a)/(b)) and
         # rows-only entries (policy (c)); every one checked by the
         # local mini-driver each suite run
@@ -4146,6 +4172,67 @@ SELECT source, n_docs, n_tokens,
        {sql_round6('n_tokens / tot')} AS p_raw,
        {sql_round6('pow(CAST(n_tokens AS DOUBLE), 0.3) / wtot')} AS weight
 FROM s, t ORDER BY source
+"""
+
+    # UniMax oracle: the same closed water-filling form as the engine
+    # — ascending (n_tokens, lang) order, all-BIGINT cross-multiplied
+    # cap condition, windowed prefix-AND for cappedness, fill level /
+    # total as ratios of integers. The only floats are tau, alloc and
+    # weight, each a single ratio round6'd identically on both sides.
+    sqls["unimax_sampling"] = f"""
+WITH s AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(coalesce(sum(len(regexp_extract_all(text, '{NONSPACE_RE}'))), 0)
+              AS BIGINT) AS n_tokens
+  FROM documents WHERE lang IS NOT NULL GROUP BY lang
+),
+b AS (
+  SELECT greatest(CAST(1 AS BIGINT),
+                  CAST(floor({UNIMAX_FRAC} * CAST(sum(n_tokens) AS DOUBLE))
+                       AS BIGINT)) AS budget
+  FROM s
+),
+w AS (
+  SELECT lang, n_docs, n_tokens,
+         CAST({UNIMAX_EPOCHS} AS BIGINT) * n_tokens AS cap,
+         sum(CAST({UNIMAX_EPOCHS} AS BIGINT) * n_tokens)
+           OVER (ORDER BY n_tokens, lang
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         CAST(row_number() OVER (ORDER BY n_tokens, lang) AS BIGINT) AS i,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM s
+),
+c AS (
+  SELECT w.*, budget,
+         CASE WHEN cap * (n - i + 1) <= budget - (cum - cap)
+              THEN 1 ELSE 0 END AS cond
+  FROM w, b
+),
+p AS (
+  SELECT *, min(cond) OVER (ORDER BY n_tokens, lang
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS capped_i
+  FROM c
+),
+k AS (
+  SELECT CAST(sum(capped_i) AS BIGINT) AS k,
+         CAST(coalesce(max(CASE WHEN capped_i = 1 THEN cum END), 0) AS BIGINT) AS cumk,
+         max(n) AS nn, max(budget) AS bb
+  FROM p
+),
+f AS (
+  SELECT p.*,
+         CASE WHEN k < nn
+              THEN CAST(bb - cumk AS DOUBLE) / CAST(nn - k AS DOUBLE) END AS tau,
+         CASE WHEN k < nn THEN CAST(bb AS DOUBLE)
+              ELSE CAST(cumk AS DOUBLE) END AS total
+  FROM p, k
+)
+SELECT lang, n_docs, n_tokens,
+       capped_i = 1 AS capped,
+       {sql_round6('CASE WHEN capped_i = 1 THEN CAST(cap AS DOUBLE) ELSE tau END')} AS alloc,
+       {sql_round6('(CASE WHEN capped_i = 1 THEN CAST(cap AS DOUBLE) ELSE tau END) / total')} AS weight
+FROM f ORDER BY lang
 """
 
     # Centroid means are round6'd BEFORE the pair products (both

@@ -52,6 +52,10 @@ from alix_spark.util import dense_ranks, ensure_py_files
 
 BLOCK = 128
 SALT_BUCKETS = 16
+# manifest metrics ride on the write job via df.observe() up to this
+# many rebuilt shards (3 conditional-sum aggregates per shard); wider
+# builds fall back to a distinct-free postings re-read
+_OBSERVE_SHARD_CAP = 128
 FORMAT_VERSION = "delta-varint-v3"  # v3: direct-from-encode postings file layout (no write repartition); v2: positions channel, merged term_stats+dict
 
 
@@ -437,6 +441,34 @@ def _write_postings_and_manifests(
     # directory-rename publish, TeiIngester.java:37-40). A fresh build
     # (all shards) skips the dynamic-commit bookkeeping.
     _tw = _time.perf_counter()
+    # Per-shard manifest metrics ride on the WRITE job itself via
+    # df.observe() — the r04 probe showed the old re-read-the-postings
+    # stats job costing ~1 s of pure job constants per build and
+    # anti-scaling with cores (manifest_s 0.94→1.32 s at 8→32); at
+    # 100 TB it re-scanned index metadata columns for numbers the
+    # write already streamed past. Every metric is a plain conditional
+    # sum, observable without a distinct: each (shard, term) is
+    # encoded by exactly ONE (shard, tbucket) task (tbucket is a
+    # term-hash, not a random salt), so it emits exactly one
+    # block_id=0 row — n_terms = Σ[block_id=0]. Capped at
+    # _OBSERVE_SHARD_CAP shards (3 aggregates per shard); a wider
+    # build falls back to the re-read, itself now distinct-free.
+    obs = None
+    if 0 < len(todo) <= _OBSERVE_SHARD_CAP:
+        from pyspark.sql import Observation
+
+        aggs = []
+        for s in todo:
+            c = F.col("shard") == F.lit(s)
+            aggs += [
+                F.sum(
+                    F.when(c & (F.col("block_id") == 0), 1).otherwise(0)
+                ).alias(f"t_{s}"),
+                F.sum(F.when(c, F.col("n")).otherwise(0)).alias(f"p_{s}"),
+                F.sum(F.when(c, 1).otherwise(0)).alias(f"b_{s}"),
+            ]
+        obs = Observation()
+        encoded = encoded.observe(obs, *aggs)
     w = encoded.write.mode("overwrite")
     if len(todo) < n_shards:
         w = w.option("partitionOverwriteMode", "dynamic")
@@ -444,22 +476,37 @@ def _write_postings_and_manifests(
     _tm = _time.perf_counter()
 
     # per-shard manifests: lineage + metrics (resumable restarts)
-    seg_stats = (
-        spark.read.parquet(os.path.join(index_dir, "postings"))
-        .filter(F.col("shard").isin(todo))
-        .groupBy("shard")
-        .agg(
-            F.countDistinct("term").alias("n_terms"),
-            F.sum("n").alias("n_postings"),
-            F.count("*").alias("n_blocks"),
+    if obs is not None:
+        vals = obs.get
+        stats_by_shard = {
+            s: {
+                "n_terms": int(vals[f"t_{s}"] or 0),
+                "n_postings": int(vals[f"p_{s}"] or 0),
+                "n_blocks": int(vals[f"b_{s}"] or 0),
+            }
+            for s in todo
+            if vals[f"b_{s}"]
+        }
+    else:
+        seg_stats = (
+            spark.read.parquet(os.path.join(index_dir, "postings"))
+            .filter(F.col("shard").isin(todo))
+            .groupBy("shard")
+            .agg(
+                # one block_id=0 row per (shard, term) — see above
+                F.sum(
+                    F.when(F.col("block_id") == 0, 1).otherwise(0)
+                ).alias("n_terms"),
+                F.sum("n").alias("n_postings"),
+                F.count("*").alias("n_blocks"),
+            )
+            .collect()
         )
-        .collect()
-    )
+        stats_by_shard = {r["shard"]: r for r in seg_stats}
     # EVERY todo shard gets a manifest — a shard that happened to get
     # no postings (tiny corpus, doc_id gaps) is still DONE; without
     # its (zero-row) manifest, resume=True would treat it as lost
     # work forever and re-run the full encode scan on every restart
-    stats_by_shard = {r["shard"]: r for r in seg_stats}
     for s in todo:
         r = stats_by_shard.get(s)
         with open(_manifest_path(index_dir, s), "w") as f:

@@ -1011,6 +1011,155 @@ def sampling_weights(
     )
 
 
+def unimax_sampling(
+    docs: DataFrame,
+    epochs: int = 4,
+    budget_tokens: int | None = None,
+    budget_frac: float | None = None,
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """(lang, n_docs, n_tokens, capped, alloc, weight): UniMax
+    budget-capped language sampling (Chung et al. 2023, "UniMax:
+    Fairer and More Effective Language Sampling for Large-Scale
+    Multilingual Pretraining") — the successor to temperature mixing
+    (:func:`sampling_weights`): given a total training-token budget B
+    and a repeat cap of ``epochs`` N, walk languages SMALLEST first;
+    a language whose full N-epoch supply (N·c_l) fits inside the
+    current uniform share of the remaining budget is allocated all of
+    it ("capped"), every remaining (larger) language splits the
+    leftover budget equally. No head language is oversampled past N
+    epochs and no tail language is drowned — the paper's fix for
+    temperature mixing's over/under-sampling at both ends.
+
+    The sequential greedy has a closed water-filling form, which both
+    engines compute with identical window arithmetic (this is the
+    oracle-parity trick — no recursive CTE needed): order languages
+    by (n_tokens, lang) ascending; language i is capped iff its cap
+    fits its step's uniform share, ``N·c_i · (n−i+1) ≤ B − cum_{i−1}``
+    (all-BIGINT cross-multiplied — no float in any verdict), and
+    because the uniform share is invariant once a language overflows
+    it (b/r = (b − b/r)/(r−1)) while caps only grow, cappedness is a
+    PREFIX of that order — a windowed prefix-AND. The fill level
+    ``tau = (B − cum_k)/(n − k)`` and the total allocation (exactly B
+    when any language is uncapped, else the all-caps sum) are ratios
+    of integers, so ``alloc`` and ``weight`` are bit-identical across
+    engines after round6. Budget is either ``budget_tokens`` (the
+    real-world call) or ``budget_frac`` of the corpus's total tokens,
+    computed IN-PLAN by a 1-row aggregate (no eager count job) and
+    floored to ≥1.
+
+    Scale shape: ONE map-side-combined corpus aggregation to (lang,
+    n_docs, n_tokens) — token counts are regexp_count column
+    expressions (the sampling_weights precedent); everything after
+    runs on the language table (≤ a few hundred rows), where the
+    un-partitioned window and broadcast 1-row joins are free. NULL
+    ``group_col`` docs have no language and are excluded; NULL text
+    counts 0 tokens."""
+    from pyspark.sql import Window
+
+    if (budget_tokens is None) == (budget_frac is None):
+        raise ValueError(
+            "unimax_sampling: exactly one of budget_tokens / "
+            "budget_frac must be given"
+        )
+    if not (isinstance(epochs, int) and epochs >= 1):
+        raise ValueError("unimax_sampling: epochs must be an int >= 1")
+    if budget_tokens is not None and budget_tokens < 1:
+        raise ValueError("unimax_sampling: budget_tokens must be >= 1")
+    if budget_frac is not None and not budget_frac > 0:
+        raise ValueError("unimax_sampling: budget_frac must be > 0")
+
+    s = (
+        docs.filter(F.col(group_col).isNotNull())
+        .select(
+            F.col(group_col).alias("lang"),
+            F.coalesce(
+                F.regexp_count(F.col(text_col), F.lit(util.NONSPACE_RE)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("toks"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("toks").cast("long").alias("n_tokens"),
+        )
+    )
+    if budget_tokens is not None:
+        btab = s.sparkSession.range(1).select(
+            F.lit(int(budget_tokens)).cast("long").alias("budget")
+        )
+    else:
+        btab = s.agg(
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.floor(
+                    F.lit(float(budget_frac))
+                    * F.sum("n_tokens").cast("double")
+                ).cast("long"),
+            ).alias("budget")
+        )
+
+    order = [F.col("n_tokens").asc(), F.col("lang").asc()]
+    w_pre = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cap = (F.lit(int(epochs)).cast("long") * F.col("n_tokens")).alias("cap")
+    w = s.select("lang", "n_docs", "n_tokens", cap).select(
+        "*",
+        F.sum("cap").over(w_pre).alias("cum"),
+        F.row_number().over(Window.orderBy(*order)).alias("i"),
+        F.count("*").over(w_all).cast("long").alias("n"),
+    )
+    c = w.crossJoin(F.broadcast(btab)).select(
+        "*",
+        F.when(
+            F.col("cap") * (F.col("n") - F.col("i") + F.lit(1))
+            <= F.col("budget") - (F.col("cum") - F.col("cap")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("cond"),
+    )
+    p = c.select("*", F.min("cond").over(w_pre).alias("capped_i"))
+    k = p.agg(
+        F.sum("capped_i").cast("long").alias("k"),
+        F.coalesce(
+            F.max(F.when(F.col("capped_i") == 1, F.col("cum"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("cumk"),
+        F.max("n").cast("long").alias("nn"),
+        F.max("budget").cast("long").alias("bb"),
+    )
+    tau = F.when(
+        F.col("k") < F.col("nn"),
+        (F.col("bb") - F.col("cumk")).cast("double")
+        / (F.col("nn") - F.col("k")).cast("double"),
+    )
+    total = F.when(
+        F.col("k") < F.col("nn"), F.col("bb").cast("double")
+    ).otherwise(F.col("cumk").cast("double"))
+    alloc = F.when(
+        F.col("capped_i") == 1, F.col("cap").cast("double")
+    ).otherwise(tau)
+    return (
+        p.crossJoin(F.broadcast(k))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            (F.col("capped_i") == 1).alias("capped"),
+            round6(alloc).alias("alloc"),
+            round6(alloc / total).alias("weight"),
+        )
+        .orderBy("lang")
+    )
+
+
 def line_stream(text_col: str):
     """(t, lines): the ONE definition of a page's cleaned line stream,
     shared by c4_clean and fineweb_clean (review batch 25 — the two

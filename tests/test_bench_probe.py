@@ -51,3 +51,40 @@ def test_scaling_probe_reports_both_pairs(monkeypatch):
             expected_eff / 0.9, 4
         )
         assert blk["all_runs"], "raw runs must ship with the summary"
+
+    # serving p50 ships for BOTH legs (the pyarrow path is
+    # Spark-parallelism-independent, so N-vs-4N is a weather A/B)
+    assert out["serving_p50_ms_N"] == 50.0
+    assert out["serving_p50_ms_4N"] == 50.0
+
+
+def test_stage_attribution_tables():
+    """Per-stage scaling attribution (VERDICT r04 ask #1): stage
+    timings take the interleaved per-stage min, efficiency is
+    T_N/(4·T_4N) per stage, and the vs-ceiling ratio divides by the
+    window's measured ceiling. Stages missing from one leg are
+    dropped from the ratio tables, not crashed on."""
+    import bench
+
+    runs = [
+        {"cores": 8, "build_sec": 100.0,
+         "stages": {"chain": 80.0, "encode": 15.0, "sidecar": 2.0}},
+        {"cores": 8, "build_sec": 110.0,
+         "stages": {"chain": 90.0, "encode": 14.0, "sidecar": 3.0}},
+        {"cores": 32, "build_sec": 30.0,
+         "stages": {"chain": 24.0, "encode": 5.0}},
+        {"cores": 32, "build_sec": 32.0,
+         "stages": {"chain": 25.0, "encode": 4.0}},
+    ]
+    t = bench._stage_efficiency(runs, 8, ceiling_eff=0.8)
+    assert t["stages_sec_N"] == {"chain": 80.0, "encode": 14.0, "sidecar": 2.0}
+    assert t["stages_sec_4N"] == {"chain": 24.0, "encode": 4.0}
+    # chain: 80 / (4*24) = 0.8333; encode: 14 / (4*4) = 0.875
+    assert t["stage_efficiency"] == {"chain": 0.8333, "encode": 0.875}
+    assert t["stage_efficiency_vs_ceiling"] == {
+        "chain": round(0.8333333333333334 / 0.8, 4),
+        "encode": round(0.875 / 0.8, 4),
+    }
+    # sidecar exists only on the N leg: present in the timing table,
+    # absent from the ratios
+    assert "sidecar" not in t["stage_efficiency"]

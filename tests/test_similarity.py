@@ -74,6 +74,32 @@ def test_lsh_recall_vs_exact(emb, queries):
     assert sum(recalls) / len(recalls) >= 0.1
 
 
+def test_lsh_multiprobe_recall_dominates_single_bucket(emb, queries):
+    """Multi-Probe LSH (Lv et al. 2007): probing Hamming-adjacent
+    buckets must never lose candidates (the m=0 bucket is in every
+    probe set) and on this near-uniform corpus — hyperplane LSH's
+    worst case — it must lift recall materially above the
+    single-bucket floor."""
+    exact = _hits(similarity.cosine_topk(emb, queries, k=10))
+
+    def recall(m):
+        approx = _hits(
+            similarity.ann_lsh_topk(emb, queries, k=10, n_planes=4, multiprobe=m)
+        )
+        return sum(
+            len(set(approx.get(q, [])) & set(exact[q])) / 10 for q in exact
+        ) / len(exact)
+
+    r0, r1, r2 = recall(0), recall(1), recall(2)
+    assert r0 <= r1 <= r2
+    assert r2 >= 0.5  # m=2 at 4 planes probes 11 of 16 buckets
+
+
+def test_lsh_multiprobe_validation(emb, queries):
+    with pytest.raises(ValueError, match="multiprobe"):
+        similarity.ann_lsh_topk(emb, queries, multiprobe=3)
+
+
 def test_ivf_deterministic(emb, queries):
     a = similarity.ann_ivf_topk(emb, queries, k=5, n_lists=8, nprobe=2).collect()
     b = similarity.ann_ivf_topk(emb, queries, k=5, n_lists=8, nprobe=2).collect()

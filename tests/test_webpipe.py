@@ -1296,6 +1296,85 @@ class TestSamplingWeights:
         assert duck == 2
 
 
+class TestUnimaxSampling:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    def test_hand_computed_boundary(self, spark):
+        """Literal UniMax walk (Chung et al. 2023), N=2, B=20 over
+        token counts a=1, b=5, c=10 (ascending): step 1 — a's full
+        2-epoch supply 2 fits the uniform share 20/3, capped at 2;
+        step 2 — b's supply 10 > (20−2)/2 = 9, so b and c split the
+        remaining 18 evenly at tau=9. Weights 2/20, 9/20, 9/20."""
+        docs = self._docs(spark, [
+            (0, "a", "t"),
+            (1, "b", "t t t t t"),
+            (2, "c", "t t t t t"),
+            (3, "c", "t t t t t"),
+        ])
+        rows = {r.lang: r for r in webpipe.unimax_sampling(
+            docs, epochs=2, budget_tokens=20
+        ).collect()}
+        assert (rows["a"].capped, rows["b"].capped, rows["c"].capped) == (
+            True, False, False
+        )
+        assert rows["a"].alloc == 2.0 and rows["a"].weight == 0.1
+        assert rows["b"].alloc == 9.0 and rows["b"].weight == 0.45
+        assert rows["c"].alloc == 9.0 and rows["c"].weight == 0.45
+        assert rows["c"].n_tokens == 10 and rows["c"].n_docs == 2
+
+    def test_all_capped_when_budget_exceeds_supply(self, spark):
+        """B >= total N-epoch supply: every language is capped at its
+        own supply, the total allocation is the supply sum (budget
+        deliberately underused — the epoch cap is the whole point)."""
+        docs = self._docs(spark, [
+            (0, "a", "t"), (1, "b", "t t"), (2, "c", "t t t"),
+        ])
+        rows = {r.lang: r for r in webpipe.unimax_sampling(
+            docs, epochs=1, budget_tokens=6
+        ).collect()}
+        assert all(r.capped for r in rows.values())
+        # weights proportional to supply over the all-caps total 6
+        # (round6 = floor(x*1e6 + 0.5): 1/6 -> 0.166667, 2/6 -> 0.333333)
+        assert rows["a"].weight == 0.166667
+        assert rows["b"].weight == 0.333333
+        assert rows["c"].weight == 0.5
+
+    def test_null_lang_and_null_text(self, spark):
+        docs = self._docs(spark, [
+            (0, "a", "t t"), (1, None, "t t t"), (2, "a", None),
+        ])
+        rows = webpipe.unimax_sampling(
+            docs, epochs=1, budget_tokens=10
+        ).collect()
+        assert len(rows) == 1
+        assert rows[0].lang == "a" and rows[0].n_tokens == 2
+        assert rows[0].n_docs == 2  # the NULL-text doc counts, at 0 tokens
+
+    def test_partitioning_invariance(self, spark):
+        docs = self._docs(spark, [
+            (i, f"l{i % 5}", "w " * (i % 17)) for i in range(60)
+        ])
+        a = webpipe.unimax_sampling(docs, epochs=2, budget_frac=0.7).collect()
+        b = webpipe.unimax_sampling(
+            docs.repartition(11), epochs=2, budget_frac=0.7
+        ).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    def test_validation(self, spark):
+        docs = self._docs(spark, [(0, "a", "t")])
+        with pytest.raises(ValueError, match="exactly one"):
+            webpipe.unimax_sampling(docs)
+        with pytest.raises(ValueError, match="exactly one"):
+            webpipe.unimax_sampling(docs, budget_tokens=5, budget_frac=0.5)
+        with pytest.raises(ValueError, match="epochs"):
+            webpipe.unimax_sampling(docs, epochs=0, budget_tokens=5)
+        with pytest.raises(ValueError, match="budget_tokens"):
+            webpipe.unimax_sampling(docs, budget_tokens=0)
+        with pytest.raises(ValueError, match="budget_frac"):
+            webpipe.unimax_sampling(docs, budget_frac=0.0)
+
+
 class TestC4Clean:
     def _run(self, spark, rows, **kw):
         df = spark.createDataFrame(rows, "doc_id long, text string")
