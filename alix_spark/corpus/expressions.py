@@ -38,14 +38,31 @@ def expressions(
     Expressions.java:340-353). Consecutive means adjacent in the
     ORIGINAL stream: any skipped token between two content words breaks
     the expression, exactly like the reference's ``form.setLength(0)``.
+    A POSITION GAP breaks a run the same way (review batch 31): the
+    full analysis chain DROPS stop/punctuation tokens while consuming
+    a position (StopFilter gap semantics), so a hole in the pos
+    numbering IS a dropped resetting token — without this,
+    engine.expressions() over chain output chained content words
+    across the very function words the reference resets at. On a
+    stream that carries every token physically (the contract fixture),
+    positions are contiguous and the gap term is a no-op.
     Ties rank expression asc for a deterministic report."""
     w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    gap = (
+        F.col("pos")
+        - F.coalesce(F.lag("pos").over(w_doc), F.col("pos") - F.lit(1))
+        > F.lit(1)
+    )
     marked = tok.select(
         "doc_id", "pos", F.col(term_col).alias("term"), skip.alias("skip")
     ).withColumn(
-        # run id = number of resets seen so far (inclusive): content
-        # tokens sharing a run id are consecutive in the stream
-        "run", F.sum(F.col("skip").cast("int")).over(w_doc)
+        # run id = resets seen so far (inclusive): content tokens
+        # sharing a run id are consecutive in the stream; a skip row
+        # and a pos hole both advance it (double-advance at a skipped
+        # row that also follows a hole is harmless — run ids need only
+        # separate segments, not be dense)
+        "run",
+        F.sum(F.col("skip").cast("int") + gap.cast("int")).over(w_doc),
     )
     content = marked.filter(~F.col("skip"))
     w_run = Window.partitionBy("doc_id", "run").orderBy("pos")

@@ -61,6 +61,24 @@ def _fold_clause(c, fold):
 _flip_leading_case = parser.flip_leading_case
 
 
+def _prefix_upper_bound(prefix: str) -> str | None:
+    """Smallest string greater than every string starting with
+    ``prefix``, for a pushdown range filter — or None when no such
+    bound exists. A bare ``chr(ord(last) + 1)`` breaks at codepoint
+    boundaries: U+10FFFF has no successor (ValueError) and
+    incrementing U+D7FF lands on a lone surrogate pyarrow cannot
+    encode into a filter literal (review batch 31). Skip the
+    surrogate block, and carry into the preceding character when the
+    last one has no valid successor."""
+    for i in range(len(prefix) - 1, -1, -1):
+        nxt = ord(prefix[i]) + 1
+        if 0xD800 <= nxt <= 0xDFFF:
+            nxt = 0xE000
+        if nxt <= 0x10FFFF:
+            return prefix[:i] + chr(nxt)
+    return None  # prefix is all U+10FFFF: >= alone bounds it
+
+
 class AlixEngine:
     """A frozen index + its source corpus, queryable."""
 
@@ -77,6 +95,7 @@ class AlixEngine:
         self.corpus = corpus
         self._tok: DataFrame | None = None
         self._rail: DataFrame | None = None
+        self._ids: DataFrame | None = None
         self._has_positions: bool | None = None
         self._vocab: set[str] | None = None
         self._theme_weights: DataFrame | None = None
@@ -147,23 +166,41 @@ class AlixEngine:
         )
         tok = tok_url.join(ids, "url").select("doc_id", "pos", "term")
         tok = tok.persist(StorageLevel.MEMORY_AND_DISK)
-        segments.build_index(spark, tok, index_dir, n_shards=n_shards, resume=resume)
-        from alix_spark.lexicometry.suggest import FOLD_DST, FOLD_SRC
+        try:
+            segments.build_index(
+                spark, tok, index_dir, n_shards=n_shards, resume=resume
+            )
+            from alix_spark.lexicometry.suggest import FOLD_DST, FOLD_SRC
 
-        # lower + fold, matching the query side's fold_query — a
-        # capitalized indexed term ("Paris") must be reachable from
-        # the folded query term ("paris")
-        folded = tok.withColumn(
-            "term", F.lower(F.translate("term", FOLD_SRC, FOLD_DST))
-        )
-        segments.build_index(
-            spark, folded, index_dir + "_ascii", n_shards=n_shards,
-            resume=resume,
-        )
-        tok.unpersist()
+            # lower + fold, matching the query side's fold_query — a
+            # capitalized indexed term ("Paris") must be reachable from
+            # the folded query term ("paris")
+            folded = tok.withColumn(
+                "term", F.lower(F.translate("term", FOLD_SRC, FOLD_DST))
+            )
+            segments.build_index(
+                spark, folded, index_dir + "_ascii", n_shards=n_shards,
+                resume=resume,
+            )
+        finally:
+            # a failed build must not pin the exploded token table for
+            # the session's lifetime (the segments.py try/finally
+            # standard, review batch 28)
+            tok.unpersist()
         return cls(spark, index_dir, corpus)
 
     # ---------------------------------------------------- token access
+
+    def _url_ids(self) -> DataFrame:
+        """The frozen corpus's (url, doc_id) map, computed ONCE per
+        handle: util.dense_ranks runs an eager range-partition +
+        per-partition-count collect job at construction, and the
+        mapping is constant for a frozen corpus — rebuilding it per
+        terms(focus)/clades/chrono/suggest(population) call paid that
+        corpus-wide job again each time (review batch 31)."""
+        if self._ids is None:
+            self._ids = url_ranks(self.corpus)
+        return self._ids
 
     def tokens(self) -> DataFrame:
         """Analyzed token table with dense docIDs (cached)."""
@@ -171,7 +208,7 @@ class AlixEngine:
             if self.corpus is None:
                 raise ValueError("engine opened without a corpus table")
             tok_url = analyzed_tokens(self.corpus, id_col="url", id_type="string")
-            ids = url_ranks(self.corpus)
+            ids = self._url_ids()
             self._tok = (
                 tok_url.join(ids, "url")
                 .select("doc_id", "pos", "term", "pos_tag", "lemma")
@@ -265,8 +302,10 @@ class AlixEngine:
         dset = wand.term_stats_dataset(index_dir or self.index_dir)
         flt = None
         if prefix:
-            hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
-            flt = (ds.field("term") >= prefix) & (ds.field("term") < hi)
+            hi = _prefix_upper_bound(prefix)
+            flt = ds.field("term") >= prefix
+            if hi is not None:
+                flt = flt & (ds.field("term") < hi)
         terms = dset.to_table(columns=["term"], filter=flt)["term"].to_pylist()
         rx = parser.glob_to_regex(pattern)
         out = [t for t in sorted(terms) if rx.match(t)]
@@ -392,6 +431,15 @@ class AlixEngine:
         if start is not None or end is not None:
             if start is None or end is None:
                 raise ValueError("start and end must be given together")
+            if focus is not None:
+                # the chrono branch has its own focus (the interval)
+                # and its own scorer — silently dropping the caller's
+                # predicate would answer a different question (review
+                # batch 31)
+                raise ValueError(
+                    "terms: focus cannot be combined with start/end "
+                    "(the chrono branch's focus IS the interval)"
+                )
             return self._terms_chrono(start, end, top)
         if focus is not None:
             self._corpus_required("terms(focus=...)")
@@ -403,7 +451,7 @@ class AlixEngine:
             )
         focus_docs = (
             self.corpus.filter(focus)
-            .join(url_ranks(self.corpus), "url")
+            .join(self._url_ids(), "url")
             .select("doc_id")
         )
         return keyness_mod.keyness(
@@ -419,7 +467,7 @@ class AlixEngine:
 
         self._corpus_required("terms(start=, end=)")
         doc_values = (
-            self.corpus.join(url_ranks(self.corpus), "url")
+            self.corpus.join(self._url_ids(), "url")
             .select("doc_id", F.dayofyear("warc_ts").alias("value"))
         )
         doc_tokens = self._bm25_inputs()[1]
@@ -491,7 +539,7 @@ class AlixEngine:
         self._corpus_required("clades")
         parts = (
             self.corpus.select("url", F.col("lang").alias("part"))
-            .join(url_ranks(self.corpus), "url")
+            .join(self._url_ids(), "url")
             .select("doc_id", "part")
         )
         return svd_mod.ca_map(
@@ -517,20 +565,27 @@ class AlixEngine:
         return self._theme_weights
 
     def close(self) -> None:
-        """Release this handle's Spark-side caches (the persisted
-        theme-weights vocabulary). Dataset persist entries live in
-        Spark's CacheManager, NOT in driver GC — a long-lived serving
-        process that drops superseded handles without close() leaks
-        one full-vocabulary cache per republish (review batch 28).
-        Idempotent; the handle stays usable (weights recompute on next
-        use)."""
+        """Release this handle's Spark-side caches: the persisted
+        theme-weights vocabulary AND the persisted analyzed token
+        table (tokens() — the LARGER cache, review batch 31). Dataset
+        persist entries live in Spark's CacheManager, NOT in driver
+        GC — a long-lived serving process that drops superseded
+        handles without close() leaks one cache per republish (review
+        batch 28). Idempotent; the handle stays usable (everything
+        recomputes on next use)."""
         with self._tw_lock:
             tw, self._theme_weights = self._theme_weights, None
-        if tw is not None:
-            try:
-                tw.unpersist()
-            except Exception:
-                pass  # session already stopped: nothing left to free
+        tok, self._tok = self._tok, None
+        # _rail may BE the token table's projection; _ids is unpersisted
+        # lineage but droppable state all the same
+        self._rail = None
+        self._ids = None
+        for h in (tw, tok):
+            if h is not None:
+                try:
+                    h.unpersist()
+                except Exception:
+                    pass  # session already stopped: nothing left to free
 
     def suggest(self, q: str, top: int = 20, population=None) -> DataFrame:
         """Folded prefix/infix completion. With ``population`` (a
@@ -541,7 +596,7 @@ class AlixEngine:
             self._corpus_required("suggest(population=...)")
             pop_docs = (
                 self.corpus.filter(population)
-                .join(url_ranks(self.corpus), "url")
+                .join(self._url_ids(), "url")
                 .select("doc_id")
             )
             return suggest_mod.suggest_population(

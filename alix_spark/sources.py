@@ -71,6 +71,15 @@ def write_table(
     Paths use the parquet writer; atomicity there comes from the
     caller's versioned-publish protocol
     (segments.begin_publish/commit_publish)."""
+    # normalize like the V1 writer does internally: Spark accepts
+    # 'ErrorIfExists'/'Ignore' case-insensitively on the path branch,
+    # and an unnormalized capitalized mode on the catalog branch would
+    # miss every guard below and fall through to the atomic REPLACE —
+    # clobbering the table the caller asked to protect (review batch
+    # 31). Unknown modes are rejected for the same reason.
+    mode = str(mode).lower()
+    if mode not in ("overwrite", "append", "ignore", "error", "errorifexists"):
+        raise ValueError(f"write_table: unknown save mode {mode!r}")
     if is_table_ref(ref):
         _write_catalog(df, ref, mode, partition_by)
         return

@@ -45,6 +45,11 @@ class PhraseUdtf:
     def eval(self, index_dir: str, terms: str, slop: int = 0, k: int = 10):
         from alix_spark.query.wand import _load_blocks, phrase_shard_matches
 
+        if int(k) <= 0:
+            # hits[:negative] would DROP rows from the end instead of
+            # yielding none (the wand k<=0 guard, review batch 29,
+            # did not cover this UDTF's direct slice)
+            return
         term_list = _csv_terms(terms)
         # cached, republish-invalidated dataset handle — no directory
         # re-listing per invocation (wand serving-path cache); the

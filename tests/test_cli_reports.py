@@ -45,6 +45,26 @@ def test_expressions_digit_initial_resets(spark):
     assert rows == {"gamma delta epsilon"}
 
 
+def test_expressions_position_gap_resets(spark):
+    """A HOLE in the position numbering resets the accumulator exactly
+    like a physically-present skip token (review batch 31): the full
+    analysis chain DROPS stop/punctuation tokens while consuming a
+    position, so engine.expressions() over chain output must not chain
+    content words across the dropped function word the reference
+    resets at."""
+    import pyspark.sql.functions as F2
+
+    # positions 0,1,[2 dropped],3,4,5 — a trigram may not span the hole
+    tok = spark.createDataFrame(
+        [(0, 0, "alpha"), (0, 1, "beta"),
+         (0, 3, "gamma"), (0, 4, "delta"), (0, 5, "epsilon")],
+        "doc_id long, pos int, term string",
+    )
+    rows = {r["expression"]
+            for r in expressions(tok, F2.lit(False)).collect()}
+    assert rows == {"gamma delta epsilon"}
+
+
 def test_doc_keywords_measures_and_ranks(spark):
     from alix_spark.index import simple
 

@@ -363,3 +363,42 @@ def test_null_html_rows_build_cleanly(spark, tmp_path):
     )
     eng = AlixEngine.build(spark, nulled, str(tmp_path / "nullix"), n_shards=2)
     assert eng.meta["corpus_docs"] > 0
+
+
+def test_prefix_upper_bound_codepoint_edges():
+    """Wildcard pushdown range bound at codepoint boundaries (review
+    batch 31): incrementing into the surrogate block or past U+10FFFF
+    must not produce an unencodable filter literal or a ValueError."""
+    from alix_spark.engine import _prefix_upper_bound
+
+    # U+D7FF + 1 would be a lone surrogate: skip to U+E000
+    assert _prefix_upper_bound("ab\ud7ff") == "ab\ue000"
+    # U+10FFFF has no successor: carry into the previous char
+    assert _prefix_upper_bound("a\U0010ffff") == "b"
+    # no valid bound at all: fall back to >=-only filtering
+    assert _prefix_upper_bound("\U0010ffff") is None
+
+
+def test_terms_rejects_focus_with_chrono_interval(engine):
+    """focus + start/end would silently drop the predicate and answer
+    a different question (review batch 31)."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="focus"):
+        engine.terms(focus=F.col("lang") == "fr", start=10, end=20)
+
+
+def test_close_releases_token_cache(spark, tmp_path):
+    """close() must release the persisted analyzed token table, not
+    just the theme-weights cache (review batch 31) — one leaked
+    corpus-sized cache per republish otherwise."""
+    corpus = webtext.webtext(spark, 30, seed=3, partitions=2)
+    idx = str(tmp_path / "ix_close")
+    eng = AlixEngine.build(spark, corpus, idx, n_shards=2)
+    tok = eng.tokens()
+    assert tok.storageLevel.useMemory or tok.storageLevel.useDisk
+    eng.close()
+    assert not (tok.storageLevel.useMemory or tok.storageLevel.useDisk)
+    # handle stays usable: caches rebuild on demand
+    assert eng.tokens().count() > 0
+    eng.close()

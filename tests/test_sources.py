@@ -105,6 +105,14 @@ def test_catalog_mode_semantics(spark):
     # error: refuses existing
     with pytest.raises(ValueError):
         sources.write_table(df, "src_modes", mode="error")
+    # capitalized spellings must hit the same guards, not fall through
+    # to the atomic replace (review batch 31); unknown modes rejected
+    with pytest.raises(ValueError):
+        sources.write_table(df, "src_modes", mode="ErrorIfExists")
+    sources.write_table(df.filter("x < 1"), "src_modes", mode="Ignore")
+    assert sources.read_table(spark, "src_modes").count() == 4
+    with pytest.raises(ValueError, match="unknown save mode"):
+        sources.write_table(df, "src_modes", mode="clobber")
     assert sources.read_table(spark, "src_modes").count() == 4
     _fresh_table(spark, "src_modes")
 

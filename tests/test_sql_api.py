@@ -31,6 +31,17 @@ def test_sql_bm25_matches_engine(spark, sql_index):
     assert got == want and len(got) == 10
 
 
+def test_sql_phrase_k_nonpositive_yields_no_rows(spark, sql_index):
+    """k<=0 must yield nothing — hits[:-1] silently dropped only the
+    LAST match before (review batch 31; the wand-side k guard from
+    batch 29 did not cover this UDTF's direct slice)."""
+    for k in (0, -1):
+        rows = spark.sql(
+            f"SELECT * FROM alix_phrase('{sql_index}', 'order,fast', 0, {k})"
+        ).collect()
+        assert rows == []
+
+
 def test_sql_phrase(spark, sql_index):
     rows = spark.sql(
         f"SELECT * FROM alix_phrase('{sql_index}', 'order,fast', 0, 100)"
