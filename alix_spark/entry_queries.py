@@ -1391,6 +1391,47 @@ def q_streaming_quality_rate(spark, sf_dir):
     ).orderBy("win_start_s", "lang")
 
 
+# lang_drift batch-replay baseline: binary-exact decimal shares
+# (0.5/0.125 — no literal-parse divergence between engines), summing
+# to 1 over exactly the corpus's five languages, deliberately offset
+# from the empirical mix so tvd lands on both sides of the threshold.
+LANG_DRIFT_BASELINE = {
+    "de": 0.125, "en": 0.5, "es": 0.125, "fr": 0.125, "zh": 0.125,
+}
+LANG_DRIFT_THRESHOLD = 0.1
+
+
+def q_streaming_lang_drift(spark, sf_dir):
+    """Batch replay of the streaming lang_drift monitor (the
+    quality_rate precedent): the SAME monitor plan — per-lang
+    conditional counts in one watermarked windowed agg, the TVD
+    column expressions — run over a batch frame, keyed by the
+    window's epoch second. Upgrades lang_drift from rows-only to
+    oracle-checked: the local mini-driver compares every suite run."""
+    from alix_spark.streaming import monitor
+
+    pages = _docs(spark, sf_dir).select(
+        F.timestamp_seconds(
+            F.lit(QRATE_EPOCH) + (F.col("doc_id") % 7) * F.lit(QRATE_STEP_S)
+        ).alias("warc_ts"),
+        "lang",
+    )
+    out = monitor.lang_drift(
+        pages,
+        LANG_DRIFT_BASELINE,
+        window="1 hour",
+        watermark="2 hours",
+        threshold=LANG_DRIFT_THRESHOLD,
+    )
+    return out.select(
+        F.unix_timestamp("window_start").cast("long").alias("win_start_s"),
+        "pages",
+        *(f"n_{lang}" for lang in sorted(LANG_DRIFT_BASELINE)),
+        "tvd",
+        "drifted",
+    ).orderBy("win_start_s")
+
+
 def q_winnowing(spark, sf_dir):
     """Winnowing fingerprint selection (Schleimer et al. 2003) — the
     MOSS partial-overlap sketch over word 3-gram md5s, window 4."""
@@ -1853,6 +1894,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webtext_term_stats": q_webtext_term_stats,
         "part_keyness_min": q_part_keyness_min,
         "phrase_match": q_phrase_match,
+        # r05 tail entry: lang_drift's batch replay with a full oracle
+        # (the quality_rate in-window precedent) — upgrades the TVD
+        # monitor from rows-only to oracle-checked; the local
+        # mini-driver compares it against DuckDB every suite run even
+        # though no driver-window slot is free this round
+        "streaming_lang_drift": q_streaming_lang_drift,
     }
 
 
@@ -4054,6 +4101,46 @@ SELECT win_start_s, lang,
        CAST(sum(k) AS BIGINT) AS kept,
        {sql_round6('CAST(sum(k) AS DOUBLE) / count(*)')} AS keep_rate
 FROM v GROUP BY win_start_s, lang ORDER BY win_start_s, lang
+"""
+
+    # lang_drift replay oracle: the TVD sum is built LEFT-ASSOCIATIVE
+    # in sorted-lang order, textually mirroring the engine's python
+    # loop — identical IEEE addition order, so round6 absorbs nothing
+    # but the representation. Baseline shares are binary-exact decimal
+    # literals interpolated from the SAME dict the engine reads.
+    _ld_langs = sorted(LANG_DRIFT_BASELINE)
+    _ld_counts = ",\n    ".join(
+        f"CAST(sum(CASE WHEN lang = '{lang}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_{lang}"
+        for lang in _ld_langs
+    )
+    _ld_tvd = None
+    for lang in _ld_langs:
+        term = (
+            f"abs(CAST(n_{lang} AS DOUBLE) / CAST(pages AS DOUBLE)"
+            f" - {LANG_DRIFT_BASELINE[lang]!r})"
+        )
+        _ld_tvd = term if _ld_tvd is None else f"({_ld_tvd} + {term})"
+    _ld_other = "(pages - (" + " + ".join(f"n_{lang}" for lang in _ld_langs) + "))"
+    _ld_tvd = (
+        f"(({_ld_tvd} + abs(CAST({_ld_other} AS DOUBLE)"
+        f" / CAST(pages AS DOUBLE) - 0.0)) / 2.0)"
+    )
+    sqls["streaming_lang_drift"] = f"""
+WITH p AS (
+  SELECT CAST(({QRATE_EPOCH} + (doc_id % 7) * {QRATE_STEP_S}) // 3600 * 3600 AS BIGINT) AS win_start_s,
+         lang
+  FROM documents
+),
+a AS (
+  SELECT win_start_s, CAST(count(*) AS BIGINT) AS pages,
+    {_ld_counts}
+  FROM p GROUP BY win_start_s
+),
+t AS (SELECT *, {sql_round6(_ld_tvd)} AS tvd FROM a)
+SELECT win_start_s, pages, {", ".join(f"n_{lang}" for lang in _ld_langs)},
+       tvd, tvd >= {LANG_DRIFT_THRESHOLD!r} AS drifted
+FROM t ORDER BY win_start_s
 """
 
     # Winnowing oracle: the O(n*w) window expansion (fine at oracle
