@@ -63,8 +63,16 @@ class IndexRegistry:
 
         changes: dict[str, str] = {}
         seen = set()
-        if os.path.isdir(self.root):
-            for name in sorted(os.listdir(self.root)):
+        try:
+            names = sorted(os.listdir(self.root)) if os.path.isdir(self.root) else []
+        except OSError:
+            # the ROOT itself vanished between the isdir check and the
+            # listing (the same TOCTOU class the per-index marker read
+            # already survives) — an embedded watch() loop must not die
+            # on one transient race (review batch 32)
+            names = []
+        if names:
+            for name in names:
                 try:
                     token = segments.publish_marker(
                         os.path.join(self.root, name)

@@ -66,23 +66,29 @@ def _write_batch(batch_df: DataFrame, batch_id: int, staging_dir: str) -> None:
         .drop("_rn")
         .persist()
     )
-    tok = analyzed_tokens(
-        batch_df, id_col="url", id_type="string", light=True
-    ).withColumn("batch_id", F.lit(batch_id))
-    tok.write.mode("overwrite").option(
-        "partitionOverwriteMode", "dynamic"
-    ).partitionBy("batch_id").parquet(os.path.join(staging_dir, "tokens"))
-    # content_md5 rides to staging so compaction can use the SAME
-    # content-first tiebreak across batches (batch boundaries are an
-    # accident of file listing, not an ordering signal)
-    batch_df.select(
-        "url", "warc_ts", "lang", F.md5(F.col("html")).alias("content_md5")
-    ).withColumn(
-        "batch_id", F.lit(batch_id)
-    ).write.mode("overwrite").option(
-        "partitionOverwriteMode", "dynamic"
-    ).partitionBy("batch_id").parquet(os.path.join(staging_dir, "pages"))
-    batch_df.unpersist()
+    try:
+        tok = analyzed_tokens(
+            batch_df, id_col="url", id_type="string", light=True
+        ).withColumn("batch_id", F.lit(batch_id))
+        tok.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("batch_id").parquet(os.path.join(staging_dir, "tokens"))
+        # content_md5 rides to staging so compaction can use the SAME
+        # content-first tiebreak across batches (batch boundaries are an
+        # accident of file listing, not an ordering signal)
+        batch_df.select(
+            "url", "warc_ts", "lang", F.md5(F.col("html")).alias("content_md5")
+        ).withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("batch_id").parquet(os.path.join(staging_dir, "pages"))
+    finally:
+        # a failed micro-batch write must not leak the persisted batch:
+        # foreachBatch retries would stack a new cached lineage per
+        # attempt in the long-lived streaming session (the segments.py
+        # try/finally standard, review batch 32)
+        batch_df.unpersist()
 
 
 def start_ingest(

@@ -105,13 +105,23 @@ def first_seen(pages: DataFrame) -> DataFrame:
     keyed = pages.select(
         "url", "warc_ts", "lang", F.md5(F.col("html")).alias("content_md5")
     )
-    return keyed.groupBy("content_md5").applyInPandasWithState(
-        _first_seen_fn,
-        outputStructType=FIRST_SEEN_SCHEMA,
-        stateStructType="seen int",
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    deduped = (
+        keyed.filter(F.col("content_md5").isNotNull())
+        .groupBy("content_md5")
+        .applyInPandasWithState(
+            _first_seen_fn,
+            outputStructType=FIRST_SEEN_SCHEMA,
+            stateStructType="seen int",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )
+    # NULL-payload pages carry no content to compare and PASS THROUGH
+    # un-deduped (the recent_dedup/batch-tier convention, review batch
+    # 32): md5(NULL) is NULL, and a NULL group key would collapse
+    # EVERY payload-less page into one state group — the first would
+    # emit and all later ones would be suppressed forever.
+    return deduped.unionByName(keyed.filter(F.col("content_md5").isNull()))
 
 
 def quality_rate(

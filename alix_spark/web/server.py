@@ -380,7 +380,13 @@ class AlixHttpServer:
         if not q:
             raise HttpError(400, "missing parameter: q")
         k = pars.get_int("hits", 10, 1, 1000)
-        hits = engine.search(q, k=k)
+        try:
+            hits = engine.search(q, k=k)
+        except ValueError as exc:
+            # predictable, client-triggerable capability mismatches —
+            # e.g. a phrase/near query against an index built without
+            # positions — are a 400, not a 500 (review batch 32)
+            raise HttpError(400, str(exc))
         return [
             {"rank": i + 1, "doc_id": int(d), "score": float(s)}
             for i, (d, s) in enumerate(hits)
@@ -394,14 +400,18 @@ class AlixHttpServer:
         import numpy as np
 
         top = pars.get_int("top", 50, 1, 10000)
-        tbl = wand.term_stats_dataset(engine.index_dir).to_table(
-            columns=["term", "cf", "df"]
+        dset = wand.term_stats_dataset(engine.index_dir)
+        # O(n) top-k over the NUMERIC cf column only (argpartition) —
+        # the term strings, which dominate driver memory at web-scale
+        # vocabularies, are fetched ONLY for the tie pool and the k
+        # winners via row-index take (review batch 32; the previous
+        # full-table scan materialized every term string first,
+        # contradicting this comment's own claim). Row indices are
+        # stable between scans: pyarrow datasets scan fragments in
+        # listing order and preserve in-fragment row order.
+        cf = dset.to_table(columns=["cf"])["cf"].to_numpy(
+            zero_copy_only=False
         )
-        # O(n) top-k over the skinny stats columns (argpartition), then
-        # sort only the k winners — a web-scale vocabulary never takes
-        # a full driver sort (the reference serves freqlist from its
-        # in-memory TermStats arrays the same way)
-        cf = tbl["cf"].to_numpy(zero_copy_only=False)
         k = min(top, len(cf))
         if not k:
             return []
@@ -415,16 +425,20 @@ class AlixHttpServer:
         tie_idx = np.nonzero(cf == kth)[0]
         if need > 0 and len(tie_idx) > need:
             tie_terms = np.asarray(
-                tbl["term"].take(tie_idx).to_pylist(), dtype=object
+                dset.take(tie_idx, columns=["term"])["term"].to_pylist(),
+                dtype=object,
             )
             sel = np.argpartition(tie_terms, need - 1)[:need]
             tie_idx = tie_idx[sel]
-        cand = np.concatenate([above, tie_idx[: max(need, 0)]])
+        cand = np.concatenate([above, tie_idx[: max(need, 0)]]).astype(
+            "int64"
+        )
+        winners = dset.take(cand, columns=["term", "df"])
         rows = sorted(
             zip(
-                tbl["term"].take(cand).to_pylist(),
+                winners["term"].to_pylist(),
                 cf[cand].tolist(),
-                tbl["df"].take(cand).to_pylist(),
+                winners["df"].to_pylist(),
             ),
             key=lambda r: (-r[1], r[0]),
         )[:k]
@@ -463,6 +477,16 @@ class AlixHttpServer:
                 return _df_rows(engine.terms(start=s, end=e, top=top))
             except ValueError as exc:  # empty focus / out-of-range interval
                 raise HttpError(400, str(exc))
+        if pars.get("tsort") is not None:
+            from alix_spark.lexicometry.keyness import SCORERS
+
+            if scorer not in SCORERS:
+                # an unknown scorer raised KeyError deep in keyness and
+                # surfaced as a 500 (review batch 32)
+                raise HttpError(
+                    400,
+                    f"unknown tsort {scorer!r}; one of {sorted(SCORERS)}",
+                )
         if lang:
             self._require_corpus(engine)  # focus filters the corpus
         focus = F.col("lang") == lang if lang else None
@@ -576,11 +600,13 @@ class AlixHttpServer:
         slug path is the servlet's unmatched-segment fallback)."""
         from pyspark.sql import functions as F
 
-        from alix_spark.corpus.webtext import url_ranks
-
         if engine.corpus is None:
             raise HttpError(404, "index serves no document store")
-        docs = engine.corpus.join(url_ranks(engine.corpus), "url")
+        # the handle's memoized (url, doc_id) map — url_ranks runs an
+        # eager corpus-wide job at construction, so rebuilding it per
+        # HTTP request re-paid that job on every doc/slug lookup
+        # (review batch 32; engine._url_ids is the batch-31 cache)
+        docs = engine.corpus.join(engine._url_ids(), "url")
         if key.isdigit():
             docs = docs.filter(F.col("doc_id") == int(key))
         else:

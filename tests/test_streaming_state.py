@@ -94,13 +94,26 @@ def test_first_seen_suppresses_recrawls_across_batches(spark, tmp_path):
         ("https://b/5", "2024-01-01 11:01:00", b"<p>third</p>", "en"),
     ], os.path.join(src, "drop2"))
 
+    # NULL payloads carry no content to compare: each must PASS
+    # THROUGH (review batch 32 — md5(NULL) is NULL, and a NULL group
+    # key would emit the first payload-less page and suppress every
+    # later one forever)
+    _write_drop(spark, [
+        ("https://b/6", "2024-01-01 11:02:00", None, "fr"),
+        ("https://b/7", "2024-01-01 11:03:00", None, "de"),
+    ], os.path.join(src, "drop3"))
+
     out = _run_stream(
         spark, src + "/*", monitor.first_seen, "first_seen_sink"
     ).collect()
     urls = sorted(r["url"] for r in out)
-    # earliest (warc_ts, url) per distinct payload, recrawls suppressed
-    assert urls == ["https://b/1", "https://b/3", "https://b/5"]
-    assert len({r["content_md5"] for r in out}) == 3
+    # earliest (warc_ts, url) per distinct payload, recrawls
+    # suppressed; BOTH payload-less pages pass
+    assert urls == [
+        "https://b/1", "https://b/3", "https://b/5",
+        "https://b/6", "https://b/7",
+    ]
+    assert len({r["content_md5"] for r in out if r["content_md5"]}) == 3
 
 
 def test_quality_rate_gates_with_the_batch_gopher_verdict(spark, tmp_path):

@@ -110,6 +110,35 @@ def test_terms_and_suggest(served):
     assert [r["term"] for r in got] == [r["term"] for r in want]
 
 
+def test_terms_unknown_tsort_400(served):
+    """An unknown tsort raised KeyError deep in keyness and surfaced
+    as a 500 (review batch 32); a client typo is a 400."""
+    server, engine = served
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(server, "/demo/terms.json?lang=fr&tsort=bogus")
+    assert e.value.code == 400
+    assert b"bogus" in e.value.read()
+
+
+def test_results_capability_valueerror_maps_to_400(served):
+    """A predictable, client-triggerable capability mismatch (e.g. a
+    positional query against a positions-less index) raises ValueError
+    engine-side and must answer 400, not 500 (review batch 32)."""
+    server, engine = served
+    orig = engine.search
+    engine.search = lambda *a, **kw: (_ for _ in ()).throw(
+        ValueError("positional query on an index built with "
+                   "with_positions=False")
+    )
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(server, "/demo/results.json?q=ville")
+        assert e.value.code == 400
+        assert b"with_positions" in e.value.read()
+    finally:
+        engine.search = orig
+
+
 def test_terms_chrono_interval(served):
     """terms?start=&end= serves the chrono-partitioned branch; half an
     interval or a data-empty one answers 400, never 500."""
