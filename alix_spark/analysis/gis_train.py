@@ -91,6 +91,11 @@ def train_gis(
     for feats, o in events:
         for f in feats:
             observed[f][o] += 1.0
+    if not events:
+        raise ValueError(
+            "train_gis: no training events survive the cutoff — "
+            "lower cutoff or supply more data (review batch 33)"
+        )
     C = max(len(feats) for feats, _ in events)
     params: dict[str, dict[str, float]] = {
         f: {o: 0.0 for o in obs} for f, obs in observed.items()

@@ -95,8 +95,20 @@ class GisModel:
         kind = _read_utf(b)
         if kind != "GIS":
             raise ValueError(f"unsupported maxent model type {kind!r}")
-        _read_int(b)      # correction constant (unused in modern eval)
-        _read_double(b)   # correction param (unused)
+        corr_const = _read_int(b)
+        corr_param = _read_double(b)
+        if corr_const > 1 and corr_param != 0.0:
+            # legacy slack-feature GIS: eval divides the activation by
+            # the correction constant and adds (1 - n/C)*corrParam —
+            # silently ignoring it returns differently-tempered
+            # probabilities and different beam sequences. Modern
+            # OpenNLP writes corr_param 0; anything else must fail
+            # loudly, not tag wrong (review batch 33).
+            raise ValueError(
+                "legacy GIS model with active correction "
+                f"(constant={corr_const}, param={corr_param}) is not "
+                "supported — retrain without slack correction"
+            )
         outcomes = [_read_utf(b) for _ in range(_read_int(b))]
         pats = []
         for _ in range(_read_int(b)):
@@ -122,15 +134,15 @@ class GisModel:
     @classmethod
     def load_pos_model(cls, bin_path: str) -> tuple["GisModel", int]:
         """Load from an OpenNLP POSModel zip; returns (model, beam)."""
-        z = zipfile.ZipFile(bin_path)
-        beam = 3
-        try:
-            for line in z.read("manifest.properties").decode().splitlines():
-                if line.startswith("BeamSize="):
-                    beam = int(line.split("=", 1)[1])
-        except KeyError:
-            pass
-        return cls.from_bytes(z.read("pos.model")), beam
+        with zipfile.ZipFile(bin_path) as z:  # close the handle (b33)
+            beam = 3
+            try:
+                for line in z.read("manifest.properties").decode().splitlines():
+                    if line.startswith("BeamSize="):
+                        beam = int(line.split("=", 1)[1])
+            except KeyError:
+                pass
+            return cls.from_bytes(z.read("pos.model")), beam
 
     def eval(self, features: list[str]) -> np.ndarray:
         """P(outcome | features): softmax over summed parameters of the

@@ -736,7 +736,11 @@ def q_term_embeddings(spark, sf_dir):
     pdf = svd_mod.embedding_export(
         _tok(spark, sf_dir), _doc_parts(spark, sf_dir), top_terms=31, dim=4
     )
-    return spark.createDataFrame(pdf)
+    # explicit schema: inference fails on the guarded empty-input
+    # frame, and the export's column set is stable by construction
+    # (zero-padded past the spectrum — review batch 33)
+    schema = "term string, " + ", ".join(f"v{j} double" for j in range(4))
+    return spark.createDataFrame(pdf, schema=schema)
 
 
 def q_ca_map(spark, sf_dir):
@@ -2775,10 +2779,13 @@ FROM neigh WHERE term <> 'spark'
 GROUP BY term ORDER BY freq DESC, term ASC LIMIT 50
 """
 
+    # case-insensitive on BOTH sides (review batch 33): lower(term)
+    # mirrors the engine's F.lower(term); the prefix constant is
+    # already lowercase
     _s_pred = (
-        f"starts_with(term, '{SUGGEST_PREFIX}')"
+        f"starts_with(lower(term), '{SUGGEST_PREFIX}')"
         if len(SUGGEST_PREFIX) < 3
-        else f"contains(term, '{SUGGEST_PREFIX}')"
+        else f"contains(lower(term), '{SUGGEST_PREFIX}')"
     )
     sqls["suggest"] = f"""
 WITH {TOKS_CTE},

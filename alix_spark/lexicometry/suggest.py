@@ -12,14 +12,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from alix_spark.util import maybe_broadcast
+
 
 def suggest(tstats: DataFrame, q: str, top: int = 20) -> DataFrame:
-    """(term, cf) completions for q over a (term, df, cf) stats table."""
+    """(term, cf) completions for q over a (term, df, cf) stats table.
+
+    Case-INSENSITIVE on both sides: lowercasing only the query (the
+    old behavior) was neither case-sensitive nor insensitive — an
+    exact-case query could never match capitalized vocabulary while
+    matching the lowercase twin (review batch 33). Diacritic folding
+    is :func:`suggest_folded`'s job."""
     q = q.lower()
+    t = F.lower(F.col("term"))
     if len(q) < 3:
-        pred = F.col("term").startswith(q)
+        pred = t.startswith(q)
     else:
-        pred = F.col("term").contains(q)
+        pred = t.contains(q)
     return (
         tstats.filter(pred)
         .select("term", "cf")
@@ -144,7 +153,10 @@ def suggest_population(
         # repeated doc_id (e.g. from a fanning join upstream) would
         # double-count that doc's tokens into cf — the same dedup
         # discipline as keyness/theme/partition (review batch 27)
-        tok.join(F.broadcast(pop_docs.select("doc_id").distinct()), "doc_id")
+        # count-guarded, NOT unconditional: the population is an
+        # arbitrary filter result (population=F.lit(True) is the whole
+        # corpus) — the batch-27 broadcast rule (review batch 33)
+        tok.join(maybe_broadcast(pop_docs.select("doc_id").distinct()), "doc_id")
         .filter(pred)
         .groupBy("term")
         .agg(F.count("*").alias("cf"))

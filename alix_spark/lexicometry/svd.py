@@ -32,9 +32,18 @@ def contingency(
     terms. Returns (terms, parts, observed)."""
     from alix_spark.util import maybe_broadcast
 
+    # NULL parts carry no label: excluded up front (review batch 33 —
+    # a None part crashed the sorted() part axis and would otherwise
+    # occupy a phantom matrix column)
+    doc_parts = doc_parts.filter(F.col("part").isNotNull())
     # per-doc label table grows with the corpus: count-guarded, the
-    # partition.py:458 precedent (review batch 27)
-    t = tok.join(maybe_broadcast(doc_parts), "doc_id")
+    # partition.py:458 precedent (review batch 27). The joined base is
+    # lazily pinned: BOTH aggregates below (top terms + cells) read
+    # it, and without the pin the corpus-scale token join ran twice
+    # per call (the batch-24 shared-base discipline).
+    t = tok.join(maybe_broadcast(doc_parts), "doc_id").localCheckpoint(
+        eager=False
+    )
     top = (
         t.groupBy("term").agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), F.asc("term")).limit(top_terms)
@@ -198,8 +207,14 @@ def ca_map(
         (full**2).sum(axis=1), 1e-300
     )
     out = {"term": terms}
-    for j in range(k):
-        out[f"axis{j + 1}"] = np.round(coords[:, j], 6)
+    # ALWAYS emit axis1..axis{axes}: fewer parts than axes would
+    # otherwise shrink the schema while the empty-input branch emits
+    # all of them — downstream readers need ONE stable shape (review
+    # batch 33). Axes past the spectrum carry zero inertia: 0.0.
+    for j in range(axes):
+        out[f"axis{j + 1}"] = (
+            np.round(coords[:, j], 6) if j < k else np.zeros(len(terms))
+        )
     out["cos2"] = np.round(cos2, 6)
     df = pd.DataFrame(out)
     df.attrs["axis_inertia"] = axis_inertia.tolist()
@@ -208,9 +223,15 @@ def ca_map(
 
 
 def ca_map_df(spark, tok, doc_parts, top_terms=100, axes=2) -> DataFrame:
-    """Spark DataFrame wrapper for the driver contract."""
+    """Spark DataFrame wrapper for the driver contract. Explicit
+    schema: createDataFrame cannot infer one from the guarded
+    empty-input pandas frame (review batch 33), and the column set is
+    stable by construction (axis padding above)."""
     pdf = ca_map(tok, doc_parts, top_terms=top_terms, axes=axes)
-    return spark.createDataFrame(pdf)
+    schema = "term string, " + ", ".join(
+        f"axis{i + 1} double" for i in range(axes)
+    ) + ", cos2 double"
+    return spark.createDataFrame(pdf, schema=schema)
 
 
 def embedding_export(
@@ -241,6 +262,10 @@ def embedding_export(
     norms = np.sqrt((vecs**2).sum(axis=1))
     vecs = vecs / np.where(norms > 0, norms, 1.0)[:, None]
     out = {"term": terms}
-    for j in range(k):
-        out[f"v{j}"] = np.round(vecs[:, j], 6)
+    # stable v0..v{dim-1} schema, zero-padded past the spectrum (the
+    # ca_map rationale above; review batch 33)
+    for j in range(dim):
+        out[f"v{j}"] = (
+            np.round(vecs[:, j], 6) if j < k else np.zeros(len(terms))
+        )
     return pd.DataFrame(out)

@@ -517,6 +517,37 @@ def test_ca_map_invariants(spark, data):
     assert (pdf["axis1"] == pdf2["axis1"]).all()
 
 
+def test_ca_map_null_parts_and_schema_stability(spark, data):
+    """Review batch 33: NULL-part docs are excluded (a None label
+    crashed the sorted() part axis and occupied a phantom column);
+    fewer parts than axes must NOT shrink the schema — absent axes
+    zero-pad; the Spark wrapper carries an explicit schema so the
+    guarded empty-input frame still builds."""
+    docs, tok = data
+    parts = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, None).otherwise(
+            F.col("lang")
+        ).alias("part"),
+    )
+    pdf = svd.ca_map(tok, parts, top_terms=10, axes=2)
+    assert list(pdf.columns) == ["term", "axis1", "axis2", "cos2"]
+    assert None not in pdf.attrs["parts"]
+    # one part only, two axes requested: axis2 present and zero
+    one = docs.select("doc_id", F.lit("all").alias("part"))
+    pdf1 = svd.ca_map(tok, one, top_terms=10, axes=2)
+    assert list(pdf1.columns) == ["term", "axis1", "axis2", "cos2"]
+    assert (pdf1["axis2"] == 0.0).all()
+    emb = svd.embedding_export(tok, one, top_terms=10, dim=4)
+    assert list(emb.columns) == ["term", "v0", "v1", "v2", "v3"]
+    # all-NULL parts -> the guarded empty frame, and the Spark wrapper
+    # must still produce a typed (empty) DataFrame
+    none_parts = docs.select("doc_id", F.lit(None).cast("string").alias("part"))
+    sdf = svd.ca_map_df(spark, tok, none_parts, top_terms=5, axes=2)
+    assert sdf.columns == ["term", "axis1", "axis2", "cos2"]
+    assert sdf.count() == 0
+
+
 def test_ipf_margins():
     rng = np.random.default_rng(5)
     obs = rng.integers(0, 50, size=(8, 4)).astype(float)
@@ -536,6 +567,18 @@ def test_residual_formulas():
 
 
 # --------------------------------------------------------------- suggest
+
+
+def test_suggest_plain_is_case_insensitive(spark):
+    """Review batch 33: lowercasing only the query was neither case-
+    sensitive nor insensitive — capitalized vocabulary was unreachable
+    while its lowercase twin matched. Both sides lower now."""
+    tstats = spark.createDataFrame(
+        [("Paris", 5, 9), ("paris", 4, 7), ("parole", 2, 3), ("lyon", 1, 1)],
+        "term string, df long, cf long",
+    )
+    got = [r["term"] for r in suggest.suggest(tstats, "Pa", top=10).collect()]
+    assert got == ["Paris", "paris", "parole"]  # cf desc, term asc
 
 
 def test_suggest_folded_matches_accented(spark):

@@ -209,3 +209,46 @@ def test_beam_decoder_uses_tag_history(toy_model):
     # and with no DET before it, the same neutral token ties → outcome 0
     tags3 = tagger.tag(["xyz"])
     assert tags3 == ["NOUN"]
+
+
+def test_legacy_correction_model_rejected():
+    """Review batch 33: a GIS model with an ACTIVE slack correction
+    (constant > 1 AND param != 0) evaluates under different math —
+    loading must fail loudly, not tag wrong."""
+    import struct
+
+    import pytest
+
+    from alix_spark.analysis.maxent import GisModel
+
+    def _utf(s):
+        raw = s.encode()
+        return struct.pack(">H", len(raw)) + raw
+
+    def _blob(const, param):
+        return (
+            _utf("GIS")
+            + struct.pack(">i", const)
+            + struct.pack(">d", param)
+            + struct.pack(">i", 1) + _utf("NOUN")
+            + struct.pack(">i", 1) + _utf("1 0")
+            + struct.pack(">i", 1) + _utf("f=a")
+            + struct.pack(">d", 0.5)
+        )
+
+    with pytest.raises(ValueError, match="correction"):
+        GisModel.from_bytes(_blob(3, 0.7))
+    # a zeroed correction param (modern OpenNLP, any constant) loads
+    m = GisModel.from_bytes(_blob(3, 0.0))
+    assert m.outcomes == ["NOUN"]
+
+
+def test_train_gis_empty_events_raise():
+    import pytest
+
+    from alix_spark.analysis.gis_train import train_gis
+
+    with pytest.raises(ValueError, match="cutoff"):
+        train_gis([], iterations=3)
+    with pytest.raises(ValueError, match="cutoff"):
+        train_gis([(["rare=1"], "X")], iterations=3, cutoff=5)
