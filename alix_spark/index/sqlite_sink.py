@@ -77,67 +77,102 @@ def export_sqlite(docs: DataFrame, tok: DataFrame, path: str) -> dict:
           sparse lemma channel).
 
     Returns {"docs": n, "toks": n, "orth": n, "lem": n}.
+
+    ``doc_id`` must be integral (the reference schema's INTEGER key):
+    a string-keyed token table (``id_type='string'``) must join
+    ``url_ranks`` first — the error below names that, instead of a
+    bare int() ValueError (review batch 34).
     """
+    from datetime import timezone
+    from zoneinfo import ZoneInfo
+
+    def _doc_id(v):
+        if isinstance(v, bool) or not isinstance(v, int):
+            raise ValueError(
+                "export_sqlite: doc_id must be an integer (got "
+                f"{type(v).__name__}) — for url-keyed tokens join "
+                "corpus.webtext.url_ranks first"
+            )
+        return v
+
+    # Spark collects timestamps as tz-NAIVE datetimes rendered in the
+    # SESSION timezone; naive .timestamp() would re-interpret them in
+    # the driver OS zone, exporting different epochs on different
+    # machines (review batch 34)
+    sess_tz = ZoneInfo(
+        docs.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
+        or "UTC"
+    )
+
     con = sqlite3.connect(path)
-    con.executescript("DROP TABLE IF EXISTS doc; DROP TABLE IF EXISTS tok;"
-                      "DROP TABLE IF EXISTS orth; DROP TABLE IF EXISTS lem;")
-    con.executescript(SCHEMA)
+    try:
+        con.executescript("DROP TABLE IF EXISTS doc; DROP TABLE IF EXISTS tok;"
+                          "DROP TABLE IF EXISTS orth; DROP TABLE IF EXISTS lem;")
+        con.executescript(SCHEMA)
 
-    cols = {f.name for f in docs.schema.fields}
-    n_docs = 0
-    for row in docs.toLocalIterator():
-        html = bytes(row["html"]) if "html" in cols and row["html"] is not None else None
-        date = None
-        if "warc_ts" in cols and row["warc_ts"] is not None:
-            date = int(row["warc_ts"].timestamp())
-        con.execute(
-            "INSERT INTO doc(id, code, html, date) VALUES (?, ?, ?, ?)",
-            (int(row["doc_id"]), row["url"], html, date),
-        )
-        n_docs += 1
+        cols = {f.name for f in docs.schema.fields}
+        n_docs = 0
+        for row in docs.toLocalIterator():
+            html = bytes(row["html"]) if "html" in cols and row["html"] is not None else None
+            date = None
+            if "warc_ts" in cols and row["warc_ts"] is not None:
+                ts = row["warc_ts"]
+                if ts.tzinfo is None:
+                    ts = ts.replace(tzinfo=sess_tz)
+                date = int(ts.timestamp())
+            con.execute(
+                "INSERT INTO doc(id, code, html, date) VALUES (?, ?, ?, ?)",
+                (_doc_id(row["doc_id"]), row["url"], html, date),
+            )
+            n_docs += 1
 
-    orth_ids: dict[tuple[str, str], int] = {}
-    lem_ids: dict[tuple[str, str], int] = {}
-    n_toks = 0
-    batch = []
-    tok_cols = {f.name for f in tok.schema.fields}
-    for row in tok.toLocalIterator():
-        # orth = the true surface form; the canonical term column is
-        # lemma-projected, so using it here would make orth a copy of
-        # lem and lose the surface forever
-        form = row["orth"] if "orth" in tok_cols else row["term"]
-        cat = row["pos_tag"]
-        lemma = row["lemma"] or form
-        lk = (lemma, cat)
-        if lk not in lem_ids:
-            lem_ids[lk] = len(lem_ids) + 1
-            con.execute(
-                "INSERT INTO lem(id, form, cat) VALUES (?, ?, ?)",
-                (lem_ids[lk], lemma, cat),
+        orth_ids: dict[tuple[str, str], int] = {}
+        lem_ids: dict[tuple[str, str], int] = {}
+        n_toks = 0
+        batch = []
+        tok_cols = {f.name for f in tok.schema.fields}
+        for row in tok.toLocalIterator():
+            # orth = the true surface form; the canonical term column is
+            # lemma-projected, so using it here would make orth a copy of
+            # lem and lose the surface forever
+            form = row["orth"] if "orth" in tok_cols else row["term"]
+            cat = row["pos_tag"]
+            lemma = row["lemma"] or form
+            lk = (lemma, cat)
+            if lk not in lem_ids:
+                lem_ids[lk] = len(lem_ids) + 1
+                con.execute(
+                    "INSERT INTO lem(id, form, cat) VALUES (?, ?, ?)",
+                    (lem_ids[lk], lemma, cat),
+                )
+            ok = (form, cat)
+            if ok not in orth_ids:
+                orth_ids[ok] = len(orth_ids) + 1
+                con.execute(
+                    "INSERT INTO orth(id, form, cat, lem) VALUES (?, ?, ?, ?)",
+                    (orth_ids[ok], form, cat, lem_ids[lk]),
+                )
+            batch.append(
+                (_doc_id(row["doc_id"]), orth_ids[ok], cat, lem_ids[lk],
+                 int(row["start"]), int(row["end"]) - int(row["start"]))
             )
-        ok = (form, cat)
-        if ok not in orth_ids:
-            orth_ids[ok] = len(orth_ids) + 1
-            con.execute(
-                "INSERT INTO orth(id, form, cat, lem) VALUES (?, ?, ?, ?)",
-                (orth_ids[ok], form, cat, lem_ids[lk]),
-            )
-        batch.append(
-            (int(row["doc_id"]), orth_ids[ok], cat, lem_ids[lk],
-             int(row["start"]), int(row["end"]) - int(row["start"]))
-        )
-        n_toks += 1
-        if len(batch) >= 10000:
+            n_toks += 1
+            if len(batch) >= 10000:
+                con.executemany(
+                    "INSERT INTO tok(doc, orth, cat, lem, offset, length) "
+                    "VALUES (?, ?, ?, ?, ?, ?)", batch)
+                batch = []
+        if batch:
             con.executemany(
                 "INSERT INTO tok(doc, orth, cat, lem, offset, length) "
                 "VALUES (?, ?, ?, ?, ?, ?)", batch)
-            batch = []
-    if batch:
-        con.executemany(
-            "INSERT INTO tok(doc, orth, cat, lem, offset, length) "
-            "VALUES (?, ?, ?, ?, ?, ?)", batch)
-    con.executescript(INDEXES)
-    con.commit()
-    con.close()
+        con.executescript(INDEXES)
+        con.commit()
+    finally:
+        # close on EVERY exit: a mid-export IntegrityError must not
+        # pin the half-written file's handle (review batch 34; the
+        # partial file itself is the caller's to clean — the export
+        # has no atomic-publish contract)
+        con.close()
     return {"docs": n_docs, "toks": n_toks,
             "orth": len(orth_ids), "lem": len(lem_ids)}

@@ -29,8 +29,17 @@ def kwic(
     ±width. Ordered (doc_id, pos) with a deterministic limit."""
     from alix_spark.util import maybe_broadcast
 
-    hits = tok.filter(F.col("term") == term).select(
-        F.col("doc_id").alias("h_doc"), F.col("pos").alias("h_pos")
+    # lazily pinned: maybe_broadcast's count below materializes the
+    # hits ONCE and the band join reuses the pinned partitions —
+    # without the pin the count re-ran the full upstream rail decode
+    # as an extra job per concordance call (review batch 34). The
+    # count-guard itself must STAY: this is a BAND join (range
+    # predicate), where an oversized broadcast side degrades to a
+    # nested-loop plan, not an AQE shuffle join.
+    hits = (
+        tok.filter(F.col("term") == term)
+        .select(F.col("doc_id").alias("h_doc"), F.col("pos").alias("h_pos"))
+        .localCheckpoint(eager=False)
     )
     # the hit's own row stays IN the band: it falls into neither the
     # left nor the right when() bucket, so it contributes nothing to

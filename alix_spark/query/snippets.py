@@ -39,8 +39,14 @@ def snippet_topk(
     theme-weight sum; ordered score desc, doc_id asc, pos asc."""
     from alix_spark.util import maybe_broadcast
 
-    hits = tok.filter(F.col("term").isin(sorted(set(query_terms)))).select(
-        F.col("doc_id").alias("h_doc"), F.col("pos").alias("h_pos")
+    # both counted sides lazily pinned: maybe_broadcast's guard count
+    # materializes each ONCE instead of re-running the token scan and
+    # the full theme-weights aggregation as extra jobs (review batch
+    # 34; the band join below needs the guard — see kwic.py)
+    hits = (
+        tok.filter(F.col("term").isin(sorted(set(query_terms))))
+        .select(F.col("doc_id").alias("h_doc"), F.col("pos").alias("h_pos"))
+        .localCheckpoint(eager=False)
     )
     window_terms = (
         tok.alias("t")
@@ -59,7 +65,10 @@ def snippet_topk(
     )
     scored = (
         window_terms.join(
-            maybe_broadcast(weights.select("term", "score")), "term"
+            maybe_broadcast(
+                weights.select("term", "score").localCheckpoint(eager=False)
+            ),
+            "term",
         )  # guarded: a web-scale vocabulary's weights are not driver-size
         .groupBy("doc_id", "pos")
         .agg(

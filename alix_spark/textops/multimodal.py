@@ -240,6 +240,11 @@ def image_embedding(resized: DataFrame, dim: int = 16) -> DataFrame:
     flattened raster to fill ``dim`` — every pixel contributes (a
     deterministic stand-in for a CNN forward pass; the Spark shape is
     identical). Returns (media_id, embedding)."""
+    if not 1 <= dim <= 4096:
+        # fail fast on the driver like decode_features' feat_dim guard
+        # (review batch 34): dim=0 silently yielded empty embeddings,
+        # dim<0 a cryptic worker-side array_split error
+        raise ValueError("image_embedding: dim must be in [1, 4096]")
     ensure_py_files(resized.sparkSession)
 
     def gen(it):

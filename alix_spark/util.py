@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import threading
 import zipfile
 
 from pyspark.sql import SparkSession
@@ -36,13 +37,19 @@ def ensure_py_files(spark: SparkSession) -> None:
         tempfile.gettempdir(), f"alix_spark_pyfiles_{os.getpid()}.zip"
     )
     if not os.path.exists(zpath):
-        with zipfile.ZipFile(zpath, "w") as z:
+        # write-temp + atomic replace: a concurrent thread (registry
+        # reload + build on fresh contexts) or a mid-write crash must
+        # never let addPyFile ship a truncated zip that breaks every
+        # executor import with BadZipFile (review batch 34)
+        tmp = zpath + f".tmp-{threading.get_ident()}"
+        with zipfile.ZipFile(tmp, "w") as z:
             for root, _dirs, files in os.walk(pkg_dir):
                 for fn in files:
                     if fn.endswith((".py", ".csv")):
                         full = os.path.join(root, fn)
                         rel = os.path.relpath(full, os.path.dirname(pkg_dir))
                         z.write(full, rel)
+        os.replace(tmp, zpath)
     sc.addPyFile(zpath)
     sc._alix_pyfiles_added = True
 
@@ -70,6 +77,16 @@ def dense_ranks(
     each range's max key, and the rank job re-derives the bucket from
     those **frozen** bounds (broadcast range lookup) instead of
     re-running the sampler — the two jobs can never disagree.
+
+    Preconditions (review batch 34): NULL keys RAISE in-plan — a NULL
+    order key is counted into the partition offsets but dropped by the
+    frozen-bounds join (ids stop being dense), and an all-NULL first
+    range makes its (NULL, NULL] bucket match EVERY row (duplicate
+    ids) — the silent-corruption twin of grouped_prefix_sums' explicit
+    NULL-group rejection. Duplicate keys get DISTINCT consecutive ids
+    in arbitrary tie order (this is row_number, not dense_rank over
+    values): callers wanting one id per value must de-duplicate first
+    (term_dict does; segments feeds pre-aggregated stats).
     """
     from pyspark.sql import Window
 
@@ -81,7 +98,11 @@ def dense_ranks(
     # ``parts``: callers that know the key cardinality should size this
     # (≈1 range per few hundred k keys) — 32 three-stage range tasks
     # over a 50k-term dictionary is pure scheduling overhead
-    keyed = df.select(key).withColumn("_ord", order_expr)
+    guarded = F.when(
+        order_expr.isNull(),
+        F.raise_error(F.lit(f"dense_ranks: NULL order key (column {key!r})")),
+    ).otherwise(order_expr)
+    keyed = df.select(key).withColumn("_ord", guarded)
     ranged = keyed.repartitionByRange(parts, F.col("_ord")).withColumn(
         "_pid", F.spark_partition_id()
     )
@@ -257,6 +278,17 @@ def grouped_prefix_sums(
         for pdf in it:
             if len(pdf) == 0:
                 continue
+            for c in sum_cols:
+                if pdf[c].isna().any():
+                    # a NULL sum value would silently become NaN in the
+                    # cumsum (the totals pass treats it as 0) —
+                    # diverging from the documented SQL window
+                    # semantics; reject like NULL group keys (review
+                    # batch 34)
+                    raise ValueError(
+                        f"grouped_prefix_sums: NULL value in sum column "
+                        f"{c!r}; coalesce or filter before calling"
+                    )
             pid = int(pdf["_pid"].iloc[0])
             body = pdf.drop(columns=["_pid"])
             if not group_cols:

@@ -249,6 +249,20 @@ def test_dl_join_path_bit_identical(spark, built_index, tmp_path):
     assert segments.read_meta(idx)["avgdl"] == segments.read_meta(idx2)["avgdl"]
 
 
+def test_dense_ranks_rejects_null_keys(spark):
+    """Review batch 34: a NULL order key was counted into the
+    partition offsets but dropped by the frozen-bounds join (ids not
+    dense), and an all-NULL first range matched EVERY row (duplicate
+    ids) — NULL keys now raise in-plan."""
+    import pytest
+
+    from alix_spark.util import dense_ranks
+
+    df = spark.createDataFrame([("b",), (None,)], "k string")
+    with pytest.raises(Exception, match="NULL order key"):
+        dense_ranks(df, "k", "id").collect()
+
+
 def test_dense_ranks_matches_global_window(spark):
     """util.dense_ranks (range-partitioned parallel rank) must equal the
     single-task global row_number it replaces, at any parallelism."""

@@ -81,3 +81,20 @@ def test_orth_keeps_surface_form(spark, tmp_path):
     ).fetchone()[0]
     assert dated == 20
     con.close()
+
+
+def test_export_sqlite_string_ids_named_error(spark, tmp_path):
+    """Review batch 34: a url-keyed (string id) token table must fail
+    with an error NAMING the url_ranks join, not a bare int()
+    ValueError."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [("https://a/1", "https://a/1")], "doc_id string, url string"
+    )
+    tok = spark.createDataFrame(
+        [], "doc_id string, term string, pos_tag string, lemma string, "
+            "start int, end int, orth string"
+    )
+    with pytest.raises(ValueError, match="url_ranks"):
+        export_sqlite(docs, tok, str(tmp_path / "x.sqlite"))

@@ -1030,6 +1030,21 @@ class TestGroupedPrefixSums:
         with pytest.raises(ValueError, match="NULL group key"):
             grouped_prefix_sums(df, ["o"], ["v"], group_cols=["g"]).collect()
 
+    def test_null_sum_value_rejected(self, spark):
+        """Review batch 34: a NULL sum value became NaN in the Arrow
+        cumsum while the totals pass counted it as 0 — silently
+        diverging from the documented SQL window; reject like NULL
+        group keys."""
+        import pytest as _pytest
+
+        from alix_spark.util import grouped_prefix_sums
+
+        df = spark.createDataFrame(
+            [("s1", 1, 2), ("s1", 2, None)], "g string, o long, v long"
+        )
+        with _pytest.raises(Exception, match="NULL value in sum column"):
+            grouped_prefix_sums(df, ["o"], ["v"], group_cols=["g"]).collect()
+
     def test_global_and_grouped_exclusive_sums(self, spark):
         from alix_spark.util import grouped_prefix_sums
 
