@@ -2711,8 +2711,7 @@ known AS (
 unk AS (
   SELECT doc_id, term FROM toks
   WHERE length(term) >= 3
-    AND NOT regexp_matches(term, '[0-9]$')
-    AND NOT regexp_matches(term, '[''’]$')
+    AND NOT regexp_matches(term, '[0-9''’]$')
     AND term NOT IN (SELECT term FROM known)
 )
 SELECT term, count(*) AS freq, count(DISTINCT doc_id) AS docs

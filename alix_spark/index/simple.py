@@ -70,6 +70,15 @@ def gram_multiplicities(
     per-group-aggregation hazard never arises)."""
     carried = [f for f in base.schema.fields if f.name != toks_col]
     names = [f.name for f in carried]
+    if out_col in names or "m" in names or out_col == "m":
+        # a carried column named 'm' (or out_col) would collide in the
+        # emitted dict and be SILENTLY overwritten by the multiplicity
+        # (review batch 35) — make the contract explicit
+        raise ValueError(
+            f"gram_multiplicities: carried columns {names} collide "
+            f"with output columns ({out_col!r}, 'm') — rename before "
+            "calling"
+        )
     schema = ", ".join(
         [f"{f.name} {f.dataType.simpleString()}" for f in carried]
         + [f"{out_col} {out_type}", "m long"]

@@ -64,6 +64,10 @@ def bm25_topk(
     Returns (doc_id, score) with score rounded to 6 dp for stable
     cross-engine comparison; ordered score desc, doc_id asc, limit k.
     """
+    if mode not in ("and", "or"):
+        # anything else silently fell through to OR semantics; the
+        # sibling sim parameter raises on typos (review batch 35)
+        raise ValueError(f"bm25_topk: mode must be 'and' or 'or', got {mode!r}")
     terms = sorted(set(terms))
     cand = (
         post.filter(F.col("term").isin(terms))
@@ -99,6 +103,11 @@ def bm25_oracle_sql(
     """DuckDB SQL computing the identical BM25 top-k (same float ops,
     same rounding, same tie-break) — the rank-identity oracle."""
     terms = sorted(set(terms))
+    if not terms:
+        # `term IN ()` is a DuckDB syntax error while the engine side
+        # returns an empty frame — render a valid empty result
+        # instead of a crashed contract leg (review batch 35)
+        return "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score WHERE 1 = 0"
     # escape quotes: an apostrophe-bearing term (aujourd'hui) must
     # render as valid SQL, not a syntax error (review batch 29)
     term_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)

@@ -108,7 +108,13 @@ def parse(q: str) -> list[Clause]:
             # analyzer would drop, NOT a wildcard: expanding it would
             # narrow the whole AND query to docs holding some
             # 1-char/any term (review batch 29)
-            pat = tok.rstrip(".,;:!")
+            # the strip set mirrors what the analyzer would shed from
+            # a bare term's tail — including ellipsis, guillemets,
+            # quotes and closing brackets (review batch 35: a pattern
+            # like 'pari*\u2026' kept the trailing char, expanded to
+            # [], and the empty clause DROP silently widened the
+            # query) — but never '?', the wildcard metacharacter
+            pat = tok.rstrip(".,;:!\u2026\u00ab\u00bb\u201c\u201d\u2019'\")()[]{}")
             if pat.strip("*?"):
                 clauses.append(WildcardClause(pat))
         else:

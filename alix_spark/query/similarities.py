@@ -72,6 +72,8 @@ def alt_topk(
 ) -> DataFrame:
     """Top-k docs under an alternate similarity — same join shape,
     rounding, and (score desc, doc_id asc) tie-break as bm25_topk."""
+    if mode not in ("and", "or"):
+        raise ValueError(f"alt_topk: mode must be 'and' or 'or', got {mode!r}")
     terms = sorted(set(terms))
     cand = (
         post.filter(F.col("term").isin(terms))
@@ -122,6 +124,9 @@ def alt_oracle_sql(
 ) -> str:
     """DuckDB SQL computing the identical alternate-similarity top-k."""
     terms = sorted(set(terms))
+    if not terms:
+        # the bm25_oracle_sql empty-terms guard (review batch 35)
+        return "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score WHERE 1 = 0"
     # escape quotes: an apostrophe-bearing term (aujourd'hui) must
     # render as valid SQL, not a syntax error (review batch 29)
     term_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)

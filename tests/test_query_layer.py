@@ -51,6 +51,23 @@ def test_parse_or_group_and_wildcard():
     assert isinstance(plan[1], parser.WildcardClause)
 
 
+def test_wildcard_trailing_punctuation_stripped():
+    """Review batch 35: a wildcard pattern with trailing punctuation
+    the analyzer would shed from a bare term (ellipsis, guillemets,
+    quotes, brackets) must strip it — otherwise the pattern expands to
+    [] and the empty-clause DROP silently WIDENS the AND query. '?'
+    stays: it is a wildcard metacharacter."""
+    for raw, want in [
+        ("pari*\u2026", "pari*"),
+        ("pari*\u00bb", "pari*"),
+        ("pari*)", "pari*"),
+        ("livre?", "livre?"),
+    ]:
+        cl = parser.parse(raw)
+        assert len(cl) == 1 and isinstance(cl[0], parser.WildcardClause), raw
+        assert cl[0].pattern == want, raw
+
+
 def test_parse_stopwords_dropped():
     plan = parser.parse("le la roi")
     assert [c.term for c in plan] == ["roi"]
@@ -137,6 +154,27 @@ def test_query_local_unknown_term(built):
 
 
 # ------------------------------------- §2.6 alternate similarities
+
+
+def test_mode_validation_and_empty_terms_oracle():
+    """Review batch 35: an unknown mode silently fell through to OR
+    semantics; an empty term list rendered `term IN ()` — a DuckDB
+    syntax error — while the engine returned an empty frame."""
+    import duckdb
+    import pytest as _pytest
+
+    from alix_spark.query import bm25 as bm25_mod
+    from alix_spark.query import similarities as sim_mod
+
+    with _pytest.raises(ValueError, match="mode"):
+        bm25_mod.bm25_topk(None, None, None, None, ["a"], mode="AND")
+    with _pytest.raises(ValueError, match="mode"):
+        sim_mod.alt_topk(None, None, None, None, ["a"], mode="all")
+    for sql in (
+        bm25_mod.bm25_oracle_sql([]),
+        sim_mod.alt_oracle_sql([], "chi2"),
+    ):
+        assert duckdb.connect().execute(sql).fetchall() == []
 
 
 def test_alt_similarities_semantics(spark):

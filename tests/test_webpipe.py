@@ -2121,3 +2121,16 @@ class TestCensusInvariance:
             for r in textstats.tokenizer_fertility(df.repartition(7)).collect()
         ]
         assert a == b and len(a) == 2
+
+
+def test_gram_multiplicities_column_collision_raises(spark):
+    """Review batch 35: a carried column named 'm' (or the out_col)
+    silently lost its values to the multiplicity column via dict-key
+    collision — explicit error now."""
+    from alix_spark.index.simple import gram_multiplicities
+
+    base = spark.createDataFrame(
+        [(1, 2, ["a", "b"])], "doc_id long, m long, toks array<string>"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        gram_multiplicities(base, (1,), "gram")
